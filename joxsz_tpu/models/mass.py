@@ -1,0 +1,41 @@
+"""Hydrostatic-equilibrium mass profile.
+
+Replaces the reference's ``CmptMyMass`` (/root/reference/joxsz_funcs.py:409-437):
+
+    M(<r) = - (dP/dr) r^2 / (mu_gas m_u n_e G)   [solar masses]
+
+with dP/dr from the pressure component (analytic for gNFW, autodiff
+otherwise).  Also provides the overdensity mass M_Delta(r) of the critical
+density (joxsz_plots.py:378-399) used to solve for r_500/M_500.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from .. import constants as K
+from ..cosmology import Cosmology
+
+
+class HSEMass:
+    def __init__(self, pressure, density, mu_gas: float = K.mu_gas,
+                 name: str = "m"):
+        self.name = name
+        self.pressure = pressure
+        self.density = density
+        self.mu_gas = mu_gas
+
+    def __call__(self, pars: dict, r_kpc) -> jnp.ndarray:
+        dp_dr_kpc = self.pressure.derivative(pars, r_kpc)
+        dp_dr_cm = dp_dr_kpc * K.keV_erg / K.kpc_cm
+        ne = self.density(pars, r_kpc)
+        r_cm = jnp.asarray(r_kpc) * K.kpc_cm
+        return (-dp_dr_cm * r_cm**2
+                / (self.mu_gas * K.mu_g * ne * K.G_cgs) / K.solar_mass_g)
+
+
+def mass_overdensity(r_kpc, cosmo: Cosmology, delta: float = 500.0):
+    """M_Delta(r) = (4/3) pi rho_c(z) Delta r^3 in solar masses."""
+    rho_c = cosmo.critical_density_cgs()
+    r_cm = jnp.asarray(r_kpc) * K.kpc_cm
+    return 4.0 / 3.0 * jnp.pi * rho_c * delta * r_cm**3 / K.solar_mass_g

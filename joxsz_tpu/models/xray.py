@@ -1,0 +1,140 @@
+"""X-ray forward model + Cash likelihood (JAX, jittable, vmappable).
+
+TPU-native replacement for the mbproj2 pipeline the reference drives through
+``Fit.calcProfiles`` + ``mylikeFromProfs`` (/root/reference/joxsz_funcs.py:495-546,
+SURVEY.md §2.3):
+
+    ne, T_X, Z at the shell midpoints
+      -> per-band count rate per unit XSPEC norm (table lookup: linear in
+         log T of the log-rate, linear in Z between the Z=0 and Z=1 grids)
+      -> emissivity density = rate * ne^2 * [1e-14 / (4 pi (D_A (1+z))^2 ne_nH)]
+      -> shell-to-annulus projection: one (n_ann, n_shell) matmul per band
+      -> x exposure x areascale + backscale * backrate * exposure * area
+      -> Cash log-likelihood sum(d ln m - m) over non-NaN counts.
+
+The count-rate table is an offline artifact (see ``joxsz_tpu.tablegen``);
+at runtime it is a pure gather+lerp — no XSPEC anywhere near the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..ops.splines import lerp_lookup
+from ..geometry.annuli import Annuli
+from ..io.readers import BandData
+
+
+@dataclasses.dataclass(frozen=True)
+class CountRateTable:
+    """Per-band count rates (cts/s per unit XSPEC norm) on a log-T grid,
+    tabulated at Z=0 and Z=1 solar; plus bolometric flux tables (erg/cm^2/s
+    per unit norm) for cooling-time profiles."""
+
+    Tlog: jnp.ndarray          # (nT,) natural-log temperature grid
+    lograte_Z0: jnp.ndarray    # (n_band, nT)
+    lograte_Z1: jnp.ndarray    # (n_band, nT)
+    logflux_Z0: jnp.ndarray    # (nT,) bolometric
+    logflux_Z1: jnp.ndarray    # (nT,)
+
+    def rates(self, T_keV, Z_solar):
+        """cts/s per unit norm, broadcast over bands x shells."""
+        tl = jnp.log(T_keV)
+        r0 = jnp.exp(lerp_lookup(self.Tlog, self.lograte_Z0, tl))
+        r1 = jnp.exp(lerp_lookup(self.Tlog, self.lograte_Z1, tl))
+        return r0 * (1.0 - Z_solar) + r1 * Z_solar
+
+    def flux(self, T_keV, Z_solar, ne_cm3, norm_per_cm3):
+        """Observed bolometric flux per cm^3 of emitting plasma
+        (erg/cm^2/s/cm^3), for cooling-time profiles
+        (cf. reference joxsz_plots.py:243)."""
+        tl = jnp.log(T_keV)
+        f0 = jnp.exp(lerp_lookup(self.Tlog, self.logflux_Z0, tl))
+        f1 = jnp.exp(lerp_lookup(self.Tlog, self.logflux_Z1, tl))
+        f = f0 * (1.0 - Z_solar) + f1 * Z_solar
+        return f * ne_cm3**2 * norm_per_cm3
+
+    @classmethod
+    def from_npz(cls, path: str, dtype=jnp.float64) -> "CountRateTable":
+        d = np.load(path)
+        asx = lambda a: jnp.asarray(a, dtype=dtype)
+        return cls(
+            Tlog=asx(d["Tlog"]),
+            lograte_Z0=asx(d["lograte_Z0"]),
+            lograte_Z1=asx(d["lograte_Z1"]),
+            logflux_Z0=asx(d["logflux_Z0"]),
+            logflux_Z1=asx(d["logflux_Z1"]),
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class XrayData:
+    """Device-resident constants for the X-ray likelihood of one cluster."""
+
+    counts: jnp.ndarray          # (n_band, n_ann), NaN for missing
+    counts_mask: jnp.ndarray     # 1.0 where counts valid
+    counts_filled: jnp.ndarray   # counts with NaN -> 0
+    exposures: jnp.ndarray       # (n_band, n_ann) s
+    areascales: jnp.ndarray      # (n_band, n_ann)
+    areas: jnp.ndarray           # (n_band, n_ann) arcmin^2 (pixelised)
+    backrates: jnp.ndarray       # (n_band, n_ann) cts/s/arcmin^2
+    vols: jnp.ndarray            # (n_ann, n_shell) cm^3
+    midpt_kpc: jnp.ndarray       # (n_shell,)
+    norm_per_cm3: float          # 1e-14/(4 pi (D_A(1+z))^2 ne_nH)
+    table: CountRateTable
+
+    @classmethod
+    def build(cls, bands: list[BandData], annuli: Annuli,
+              table: CountRateTable, dtype=jnp.float64) -> "XrayData":
+        asx = lambda a: jnp.asarray(np.asarray(a, dtype=float), dtype=dtype)
+        cts = np.stack([b.counts for b in bands])
+        mask = ~np.isnan(cts)
+        return cls(
+            counts=asx(cts),
+            counts_mask=asx(mask.astype(float)),
+            counts_filled=asx(np.where(mask, cts, 0.0)),
+            exposures=asx(np.stack([b.exposures_s for b in bands])),
+            areascales=asx(np.stack([b.areascales for b in bands])),
+            areas=asx(np.stack([b.areas_arcmin2 for b in bands])),
+            backrates=asx(np.stack([b.backrates for b in bands])),
+            vols=asx(annuli.vols_cm3),
+            midpt_kpc=asx(annuli.midpt_kpc),
+            norm_per_cm3=float(annuli.xspec_norm_per_cm3()),
+            table=table,
+        )
+
+
+def predicted_counts(pars: dict, x: XrayData, density, temperature,
+                     Z_name: str = "Z") -> jnp.ndarray:
+    """(n_band, n_ann) predicted counts for the current parameters."""
+    ne = density(pars, x.midpt_kpc)                      # (n_shell,)
+    T = temperature.t_x(pars, x.midpt_kpc)               # (n_shell,)
+    Z = pars[Z_name] * jnp.ones_like(T)
+    rates = x.table.rates(T, Z)                          # (n_band, n_shell)
+    emiss = rates * (ne * ne * x.norm_per_cm3)           # (n_band, n_shell)
+    proj = emiss @ x.vols.T                              # (n_band, n_ann)
+    signal = proj * x.exposures * x.areascales
+    background = pars["backscale"] * x.backrates * x.exposures * x.areas
+    return signal + background
+
+
+def cash_log_like(counts_filled, mask, pred) -> jnp.ndarray:
+    """Poisson (Cash) log-likelihood sum(d ln m - m) over valid annuli,
+    dropping the data-only constant terms (mbproj2 convention)."""
+    logm = jnp.log(pred)
+    return jnp.sum(mask * (counts_filled * logm - pred))
+
+
+def xray_log_like(pars: dict, x: XrayData, density, temperature,
+                  Z_name: str = "Z") -> jnp.ndarray:
+    """Cash log-likelihood with the reference's positivity veto: any
+    non-positive predicted profile value => -inf
+    (/root/reference/joxsz_funcs.py:529-532)."""
+    pred = predicted_counts(pars, x, density, temperature, Z_name)
+    ok = jnp.min(pred) > 0.0
+    safe_pred = jnp.where(pred > 0.0, pred, 1.0)
+    ll = cash_log_like(x.counts_filled, x.counts_mask, safe_pred)
+    return jnp.where(ok, ll, -jnp.inf)

@@ -1,0 +1,14 @@
+from .abel import forward_abel_matrix, forward_abel
+from .splines import interp_matrix, mirrored_interp_matrix, lerp_lookup
+from .szkernel import (
+    sz_map_pipeline,
+    build_sz_operator,
+    SZOperator,
+    compton_y_prefactor,
+)
+
+__all__ = [
+    "forward_abel_matrix", "forward_abel", "interp_matrix",
+    "mirrored_interp_matrix", "lerp_lookup", "sz_map_pipeline",
+    "build_sz_operator", "SZOperator", "compton_y_prefactor",
+]
