@@ -1,0 +1,155 @@
+"""Assembly: config -> data products -> fused operators -> JointModel.
+
+This is the framework's equivalent of the reference's ``main()`` setup
+phase (/root/reference/joxsz_main.py:93-188, SURVEY.md §3.1), done once on
+the host.  The output is a ``FitSession`` holding the jittable joint
+log-likelihood plus everything post-processing needs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import pathlib
+
+import numpy as np
+import jax.numpy as jnp
+
+from .config import JoXSZConfig
+from .cosmology import Cosmology
+from .io.readers import (
+    read_xy, read_transfer_function, read_conversion_table, load_band,
+    annuli_edges_arcmin,
+)
+from .geometry import (
+    build_beam, build_map_geometry, build_filter_image, Annuli, MapGeometry,
+)
+from .ops.szkernel import build_sz_operator, SZOperator
+from .models import (
+    GNFWPressure, VikhlininDensity, UPPTemperature, SZData, XrayData,
+    CountRateTable, JointModel, build_reference_params,
+)
+from .tablegen import TableSpec, generate_table, save_table
+
+
+_DTYPES = {"float64": jnp.float64, "float32": jnp.float32,
+           "bfloat16": jnp.bfloat16}
+
+
+@dataclasses.dataclass
+class FitSession:
+    """Everything a fit run needs, fully constructed."""
+
+    config: JoXSZConfig
+    cosmology: Cosmology
+    geometry: MapGeometry
+    beam_2d: np.ndarray
+    fwhm_arcsec: float
+    filter_image: np.ndarray
+    sz_operator: SZOperator
+    model: JointModel
+    annuli: Annuli | None = None
+    bands: list | None = None
+
+    @property
+    def log_like(self):
+        return self.model.log_like
+
+    @property
+    def params(self):
+        return self.model.params
+
+
+def _operator_cache_path(cfg: JoXSZConfig) -> pathlib.Path:
+    key = hashlib.sha256(cfg.to_json().encode()).hexdigest()[:16]
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    return repo / "data" / "cache" / f"szop_{key}.npz"
+
+
+def build_session(cfg: JoXSZConfig, sz_only: bool = False,
+                  use_cache: bool = True) -> FitSession:
+    dtype = _DTYPES[cfg.dtype]
+    cosmo = Cosmology(z=cfg.redshift, H0=cfg.H0, WM=cfg.WM, WV=cfg.WV)
+
+    # --- SZ geometry + operators -------------------------------------------
+    flux = read_xy(cfg.sz.flux_file, ncol=3)
+    max_r = flux[0][-1]
+    beam_2d, fwhm = build_beam(
+        cfg.step_arcsec, max_r, approx=cfg.sz.beam_approx,
+        filename=cfg.sz.beam_file, fwhm_arcsec=cfg.sz.fwhm_beam_arcsec,
+    )
+    geom = build_map_geometry(cfg.step_arcsec, max_r, fwhm,
+                              cosmo.kpc_per_arcsec, cfg.cluster_extent_kpc)
+    wn, tf = read_transfer_function(
+        cfg.sz.tf_file, approx=cfg.sz.tf_approx, loc=cfg.sz.tf_loc,
+        scale=cfg.sz.tf_scale, c=cfg.sz.tf_c,
+    )
+    filt = build_filter_image(wn, tf, geom.side, cfg.step_arcsec)
+
+    cache = _operator_cache_path(cfg)
+    op = None
+    if use_cache and cache.exists():
+        d = np.load(cache)
+        op = SZOperator(L=d["L"], G=d["G"], w_T0=d["w_T0"], w_y0=d["w_y0"],
+                        integ_w=d["integ_w"], y_prefactor=float(d["y_pref"]),
+                        n_pix=int(d["n_pix"]), n_press=int(d["n_press"]))
+    if op is None:
+        op = build_sz_operator(geom, beam_2d, filt, flux[0])
+        if use_cache:
+            cache.parent.mkdir(parents=True, exist_ok=True)
+            np.savez_compressed(
+                cache, L=op.L, G=op.G, w_T0=op.w_T0, w_y0=op.w_y0,
+                integ_w=op.integ_w, y_pref=op.y_prefactor,
+                n_pix=op.n_pix, n_press=op.n_press)
+
+    conv_table = read_conversion_table(cfg.sz.conversion_file)
+    sz_data = SZData.build(
+        op, conv_table, flux, geom.r_press_kpc, geom.sep, dtype=dtype,
+        calc_integ=cfg.sz.calc_integ, integ_mu=cfg.sz.integ_mu,
+        integ_sig=cfg.sz.integ_sig,
+    )
+
+    # --- components + parameters -------------------------------------------
+    pressure = GNFWPressure("p")
+    density = VikhlininDensity("ne", mode="single")
+    temperature = UPPTemperature(pressure, density, "T")
+
+    annuli = None
+    bands = None
+    xray_data = None
+    edges_logkpc = None
+    if cfg.xray is not None and not sz_only:
+        edges = annuli_edges_arcmin(cfg.xray.fg_template, cfg.xray.bands_eV[0])
+        annuli = Annuli(edges_arcmin=edges, cosmology=cosmo)
+        edges_logkpc = annuli.edges_logkpc
+        bands = [load_band(cfg.xray.fg_template, cfg.xray.bg_template, b)
+                 for b in cfg.xray.bands_eV]
+        table_path = cfg.xray.table_path
+        if table_path is None or not pathlib.Path(table_path).exists():
+            repo = pathlib.Path(__file__).resolve().parents[1]
+            table_path = str(repo / "data" / "tables" / "cl1226_ctrate.npz")
+            if not pathlib.Path(table_path).exists():
+                spec = TableSpec(
+                    rmf=cfg.xray.rmf, arf=cfg.xray.arf,
+                    bands_eV=tuple(cfg.xray.bands_eV), z=cfg.redshift,
+                    NH_1022pcm2=cfg.xray.NH_1022pcm2)
+                save_table(table_path, generate_table(spec))
+        table = CountRateTable.from_npz(table_path, dtype=dtype)
+        xray_data = XrayData.build(bands, annuli, table, dtype=dtype)
+
+    params = build_reference_params(
+        pressure, density, temperature,
+        Z_solar=cfg.xray.Z_solar if cfg.xray else 0.3,
+        edges_logkpc=edges_logkpc,
+    )
+
+    model = JointModel(
+        pressure=pressure, density=density, temperature=temperature,
+        params=params, sz_data=sz_data, xray_data=xray_data,
+        exclude_unphysical_mass=cfg.exclude_unphysical_mass,
+    )
+    return FitSession(
+        config=cfg, cosmology=cosmo, geometry=geom, beam_2d=beam_2d,
+        fwhm_arcsec=fwhm, filter_image=filt, sz_operator=op, model=model,
+        annuli=annuli, bands=bands,
+    )

@@ -1,0 +1,122 @@
+"""Typed configuration covering every knob of the reference.
+
+The reference configures by editing ~30 module-level globals
+(/root/reference/joxsz_main.py:21-88; SURVEY.md §5.6).  Each of those
+becomes a field here; ``JoXSZConfig.cl1226()`` reproduces the bundled
+CL J1226.9+3332 setup exactly.  The CLI (``python -m joxsz_tpu.run``)
+accepts a JSON config file plus field overrides.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import pathlib
+
+
+@dataclasses.dataclass
+class SZConfig:
+    beam_file: str | None = None
+    tf_file: str | None = None
+    flux_file: str = ""
+    conversion_file: str = ""
+    beam_approx: bool = False
+    tf_approx: bool = False
+    fwhm_beam_arcsec: float | None = None      # used when beam_approx
+    tf_loc: float = 0.0                        # normal-cdf approx params
+    tf_scale: float = 0.02
+    tf_c: float = 0.95
+    calc_integ: bool = False                   # integrated-Y prior
+    integ_mu: float = 0.94e-3
+    integ_sig: float = 0.36e-3
+
+
+@dataclasses.dataclass
+class XrayConfig:
+    fg_template: str = ""
+    bg_template: str = ""
+    rmf: str = ""
+    arf: str = ""
+    bands_eV: tuple = ()
+    NH_1022pcm2: float = 0.0183
+    Z_solar: float = 0.3
+    table_path: str | None = None              # pre-generated count-rate table
+
+
+@dataclasses.dataclass
+class MCMCConfig:
+    nwalkers: int = 30
+    nburn: int = 2000
+    nsteps: int = 5000
+    nthin: int = 5
+    seed: int | None = None
+    initspread: float = 0.1                    # walker init perturbation
+    prelim_iterations: int = 1000              # preliminary improvement loop
+
+
+@dataclasses.dataclass
+class JoXSZConfig:
+    # sampling step in arcsec for the SZ map (joxsz_main.py:21)
+    step_arcsec: float = 2.0
+    # radial cluster extent (kpc), upper bound of the y integration
+    cluster_extent_kpc: float = 5000.0
+    # cosmology
+    redshift: float = 0.888
+    H0: float = 67.32
+    WM: float = 0.3158
+    WV: float = 0.6842
+    # outputs
+    name: str = "joxsz"
+    plot_dir: str = "./"
+    save_dir: str = "./"
+    ci: int = 95                               # credible-interval level
+    exclude_unphysical_mass: bool = True
+    # numerics
+    dtype: str = "float64"                     # float64|float32|bfloat16
+    abel_scheme: str = "pyabel"                # pyabel|exact-linear
+    sz: SZConfig = dataclasses.field(default_factory=SZConfig)
+    xray: XrayConfig | None = None
+    mcmc: MCMCConfig = dataclasses.field(default_factory=MCMCConfig)
+
+    @classmethod
+    def cl1226(cls, data_dir: str = "/root/reference/data",
+               table_path: str | None = None) -> "JoXSZConfig":
+        """The bundled CL J1226.9+3332 configuration (reference defaults)."""
+        d = pathlib.Path(data_dir)
+        bands = ((700, 1000), (1000, 1300), (1300, 1600), (1600, 2000),
+                 (2000, 2700), (2700, 3400), (3400, 3800), (3800, 4300),
+                 (4300, 5000), (5000, 7000))
+        if table_path is None:
+            repo = pathlib.Path(__file__).resolve().parents[1]
+            cand = repo / "data" / "tables" / "cl1226_ctrate.npz"
+            table_path = str(cand) if cand.exists() else None
+        return cls(
+            sz=SZConfig(
+                beam_file=str(d / "SZ/Beam150GHz.fits"),
+                tf_file=str(d / "SZ/TransferFunction150GHz_CLJ1227.fits"),
+                flux_file=str(d / "SZ/press_data_cl1226_flagsource_Xraycent.dat"),
+                conversion_file=str(d / "SZ/Compton_to_Jy_per_beam.dat"),
+            ),
+            xray=XrayConfig(
+                fg_template=str(d / "X/fg_profnew_%04i_%04i.dat"),
+                bg_template=str(d / "X/bg_profnew_%04i_%04i.dat"),
+                rmf=str(d / "X/source.rmf"),
+                arf=str(d / "X/source.arf"),
+                bands_eV=bands,
+                table_path=table_path,
+            ),
+        )
+
+    # -- (de)serialisation ---------------------------------------------------
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "JoXSZConfig":
+        raw = json.loads(text)
+        sz = SZConfig(**raw.pop("sz", {}))
+        xr = raw.pop("xray", None)
+        xray = XrayConfig(**{**xr, "bands_eV": tuple(map(tuple, xr["bands_eV"]))}) \
+            if xr else None
+        mcmc = MCMCConfig(**raw.pop("mcmc", {}))
+        return cls(sz=sz, xray=xray, mcmc=mcmc, **raw)

@@ -1,0 +1,170 @@
+"""TPU-resident affine-invariant ensemble sampler (Goodman-Weare 2010).
+
+Replaces emcee's ``EnsembleSampler`` + ``multiprocessing.Pool`` stack
+(reference: /root/reference/joxsz_main.py:203-208, joxsz_funcs.py:572-635;
+SURVEY.md §2.2/§3.4).  The reference evaluates one likelihood per forked
+worker per walker with pickled IPC; here the entire chain runs inside one
+``lax.scan`` on device:
+
+  * the ensemble is split into two fixed halves; each substep updates one
+    half using stretch-move partners drawn from the complementary half
+    (the exact emcee 'red-black' scheme, required for detailed balance);
+  * the proposal scale z ~ g(z) prop. 1/sqrt(z) on [1/a, a] is sampled by
+    inverse CDF: z = (1/sqrt(a) + u (sqrt(a) - 1/sqrt(a)))^2;
+  * acceptance: log U < (ndim - 1) log z + logP(Y) - logP(X);
+  * all walkers of a half evaluate the joint likelihood as ONE vmapped
+    batch — on TPU the SZ/X-ray matvecs become MXU matmuls over the batch;
+  * the chain is accumulated on device (thinned) and fetched to host once.
+
+The same step function is shardable over a walker mesh axis for multi-chip
+runs (see ``joxsz_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class EnsembleResult:
+    chain: np.ndarray        # (n_saved, n_walkers, ndim)
+    log_prob: np.ndarray     # (n_saved, n_walkers)
+    acceptance_fraction: np.ndarray   # (n_walkers,)
+    final_state: tuple       # (positions, log_probs, key) device arrays
+
+
+def _sample_z(key, shape, a: float, dtype):
+    u = jax.random.uniform(key, shape, dtype=dtype)
+    sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
+    return (1.0 / sa + u * (sa - 1.0 / sa)) ** 2
+
+
+def _half_update(log_prob_batch, key, x_move, lp_move, x_fixed, a, ndim):
+    """Stretch-move update of one half against the fixed complementary
+    half.  Shapes: x_move (H, D), x_fixed (H, D)."""
+    kz, kp, ku = jax.random.split(key, 3)
+    H = x_move.shape[0]
+    dtype = x_move.dtype
+    z = _sample_z(kz, (H,), a, dtype)
+    partner = jax.random.randint(kp, (H,), 0, x_fixed.shape[0])
+    xp = x_fixed[partner]                      # (H, D)
+    y = xp + z[:, None] * (x_move - xp)
+    lp_y = log_prob_batch(y)
+    log_ratio = (ndim - 1.0) * jnp.log(z) + lp_y - lp_move
+    accept = jnp.log(jax.random.uniform(ku, (H,), dtype=dtype)) < log_ratio
+    x_new = jnp.where(accept[:, None], y, x_move)
+    lp_new = jnp.where(accept, lp_y, lp_move)
+    return x_new, lp_new, accept
+
+
+def make_step(log_prob_batch, ndim: int, a: float = 2.0):
+    """One full ensemble step (both half-updates).  ``log_prob_batch`` maps
+    (H, D) -> (H,) and must be vmap-compatible."""
+
+    def step(state, key):
+        x, lp, acc = state
+        W = x.shape[0]
+        H = W // 2
+        k1, k2 = jax.random.split(key)
+        x0, x1 = x[:H], x[H:]
+        lp0, lp1 = lp[:H], lp[H:]
+        x0, lp0, a0 = _half_update(log_prob_batch, k1, x0, lp0, x1, a, ndim)
+        x1, lp1, a1 = _half_update(log_prob_batch, k2, x1, lp1, x0, a, ndim)
+        x = jnp.concatenate([x0, x1])
+        lp = jnp.concatenate([lp0, lp1])
+        acc = acc + jnp.concatenate([a0, a1]).astype(acc.dtype)
+        return (x, lp, acc), None
+
+    return step
+
+
+def run_ensemble(
+    log_prob_batch,
+    p0: jnp.ndarray,
+    n_steps: int,
+    key: jax.Array,
+    thin: int = 1,
+    a: float = 2.0,
+    store_chain: bool = True,
+    unroll_inner: int = 1,
+) -> EnsembleResult:
+    """Run ``n_steps`` ensemble steps, saving every ``thin``-th state.
+
+    The whole loop is one jitted scan: (n_saved outer) x (thin inner)
+    steps.  Matches the reference's sampling semantics with thinning
+    (/root/reference/joxsz_funcs.py:621-623)."""
+    W, D = p0.shape
+    if W % 2:
+        raise ValueError("need an even number of walkers")
+    if W < 2 * D + 2:
+        # emcee's own guidance; warn-level, not fatal
+        pass
+    n_saved = n_steps // thin
+    step = make_step(log_prob_batch, D, a)
+
+    lp0 = log_prob_batch(p0)
+    acc0 = jnp.zeros((W,), dtype=p0.dtype)
+
+    @partial(jax.jit, static_argnames=("save",))
+    def drive(p0, lp0, acc0, key, save: bool):
+        def outer(state, k):
+            keys = jax.random.split(k, thin)
+            state, _ = jax.lax.scan(step, state, keys, unroll=unroll_inner)
+            x, lp, acc = state
+            out = (x, lp) if save else None
+            return state, out
+
+        keys = jax.random.split(key, n_saved)
+        state, saved = jax.lax.scan(outer, (p0, lp0, acc0), keys)
+        return state, saved
+
+    state, saved = drive(p0, lp0, acc0, key, store_chain)
+    x, lp, acc = state
+    if store_chain:
+        chain = np.asarray(saved[0])
+        logp = np.asarray(saved[1])
+    else:
+        chain = np.empty((0, W, D))
+        logp = np.empty((0, W))
+    return EnsembleResult(
+        chain=chain,
+        log_prob=logp,
+        acceptance_fraction=np.asarray(acc) / float(n_steps),
+        final_state=(x, lp, key),
+    )
+
+
+def generate_init_positions(
+    log_prob_batch, theta0: np.ndarray, n_walkers: int, key: jax.Array,
+    spread: float = 0.1, max_tries: int = 64,
+) -> jnp.ndarray:
+    """Multiplicative-Gaussian perturbations of a centre point, rejection-
+    resampled until every walker has finite log-probability (the
+    reference's `_generateInitPars`, /root/reference/joxsz_funcs.py:548-570).
+
+    Implemented as a batched resampling loop: draw a full batch, keep
+    finite rows, redraw only the rest — O(few) batched likelihood calls
+    instead of one call per walker."""
+    theta0 = jnp.asarray(theta0)
+    D = theta0.shape[0]
+    pos = jnp.zeros((n_walkers, D), dtype=theta0.dtype)
+    ok = jnp.zeros((n_walkers,), dtype=bool)
+    for _ in range(max_tries):
+        key, sub = jax.random.split(key)
+        cand = theta0 * (1.0 + spread * jax.random.normal(
+            sub, (n_walkers, D), dtype=theta0.dtype))
+        lp = log_prob_batch(cand)
+        fine = jnp.isfinite(lp)
+        take = fine & ~ok
+        pos = jnp.where(take[:, None], cand, pos)
+        ok = ok | fine
+        if bool(jnp.all(ok)):
+            return pos
+    raise RuntimeError(
+        f"could not find {n_walkers} finite-likelihood walkers; "
+        "check the starting point / priors")

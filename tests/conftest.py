@@ -8,7 +8,6 @@ jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +16,18 @@ if "host_platform_device_count" not in flags:
 
 import jax
 
+# This image's interpreter boot (sitecustomize) registers a remote-TPU
+# backend and force-overrides jax_platforms, ignoring the JAX_PLATFORMS env
+# var — tests must run on the local CPU backend, so override via config
+# (backends are not initialized yet at conftest time).
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# this image compiles XLA slowly on its single CPU core; the persistent
+# cache makes every repeated computation across test runs a ~100ms reload
+jax.config.update("jax_compilation_cache_dir",
+                  str(__import__("pathlib").Path(__file__).parents[1]
+                      / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 import pathlib
 
