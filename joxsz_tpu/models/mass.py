@@ -24,14 +24,17 @@ class HSEMass:
         self.pressure = pressure
         self.density = density
         self.mu_gas = mu_gas
+        # fold all CGS conversions into one O(1e10) scalar so the traced
+        # computation stays in float32 range on TPU (no 1e49 intermediates):
+        # M[Msun] = -dP/dr[keV cm^-3 kpc^-1] * r[kpc]^2 / ne * C
+        self._C = (K.keV_erg * K.kpc_cm
+                   / (mu_gas * K.mu_g * K.G_cgs) / K.solar_mass_g)
 
     def __call__(self, pars: dict, r_kpc) -> jnp.ndarray:
         dp_dr_kpc = self.pressure.derivative(pars, r_kpc)
-        dp_dr_cm = dp_dr_kpc * K.keV_erg / K.kpc_cm
         ne = self.density(pars, r_kpc)
-        r_cm = jnp.asarray(r_kpc) * K.kpc_cm
-        return (-dp_dr_cm * r_cm**2
-                / (self.mu_gas * K.mu_g * ne * K.G_cgs) / K.solar_mass_g)
+        r = jnp.asarray(r_kpc)
+        return -dp_dr_kpc * r * r / ne * self._C
 
 
 def mass_overdensity(r_kpc, cosmo: Cosmology, delta: float = 500.0):

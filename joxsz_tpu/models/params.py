@@ -65,10 +65,18 @@ class ParamSet:
         self.thawed = [n for n, p in self._params.items() if not p.frozen]
         self._thawed_idx = {n: i for i, n in enumerate(self.thawed)}
         th = [self._params[n] for n in self.thawed]
-        self.lo = np.array([p.minval if p.minval is not None else -np.inf
-                            for p in th])
-        self.hi = np.array([p.maxval if p.maxval is not None else np.inf
-                            for p in th])
+        # map the sentinel wide bounds to inf so casting to float32 on TPU
+        # cannot overflow
+        def _lo(p):
+            v = p.minval if p.minval is not None else -np.inf
+            return -np.inf if v <= -1e30 else v
+
+        def _hi(p):
+            v = p.maxval if p.maxval is not None else np.inf
+            return np.inf if v >= 1e30 else v
+
+        self.lo = np.array([_lo(p) for p in th])
+        self.hi = np.array([_hi(p) for p in th])
         self.is_gauss = np.array([p.prior == "gauss" for p in th])
         self.mu = np.array([p.prior_mu if p.prior == "gauss" else 0.0
                             for p in th])

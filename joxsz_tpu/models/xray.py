@@ -81,9 +81,12 @@ class XrayData:
     areascales: jnp.ndarray      # (n_band, n_ann)
     areas: jnp.ndarray           # (n_band, n_ann) arcmin^2 (pixelised)
     backrates: jnp.ndarray       # (n_band, n_ann) cts/s/arcmin^2
-    vols: jnp.ndarray            # (n_ann, n_shell) cm^3
+    vols_norm: jnp.ndarray       # (n_ann, n_shell): projection volumes x
+                                 # the per-cm^3 XSPEC norm prefactor — O(0.1)
+                                 # values, float32-safe (raw vols ~1e69 cm^3
+                                 # and the norm ~1e-71 both overflow f32)
     midpt_kpc: jnp.ndarray       # (n_shell,)
-    norm_per_cm3: float          # 1e-14/(4 pi (D_A(1+z))^2 ne_nH)
+    norm_per_cm3: float          # 1e-14/(4 pi (D_A(1+z))^2 ne_nH) [host use]
     table: CountRateTable
 
     @classmethod
@@ -92,6 +95,7 @@ class XrayData:
         asx = lambda a: jnp.asarray(np.asarray(a, dtype=float), dtype=dtype)
         cts = np.stack([b.counts for b in bands])
         mask = ~np.isnan(cts)
+        norm = float(annuli.xspec_norm_per_cm3())
         return cls(
             counts=asx(cts),
             counts_mask=asx(mask.astype(float)),
@@ -100,9 +104,9 @@ class XrayData:
             areascales=asx(np.stack([b.areascales for b in bands])),
             areas=asx(np.stack([b.areas_arcmin2 for b in bands])),
             backrates=asx(np.stack([b.backrates for b in bands])),
-            vols=asx(annuli.vols_cm3),
+            vols_norm=asx(annuli.vols_cm3 * norm),
             midpt_kpc=asx(annuli.midpt_kpc),
-            norm_per_cm3=float(annuli.xspec_norm_per_cm3()),
+            norm_per_cm3=norm,
             table=table,
         )
 
@@ -114,8 +118,8 @@ def predicted_counts(pars: dict, x: XrayData, density, temperature,
     T = temperature.t_x(pars, x.midpt_kpc)               # (n_shell,)
     Z = pars[Z_name] * jnp.ones_like(T)
     rates = x.table.rates(T, Z)                          # (n_band, n_shell)
-    emiss = rates * (ne * ne * x.norm_per_cm3)           # (n_band, n_shell)
-    proj = emiss @ x.vols.T                              # (n_band, n_ann)
+    emiss = rates * (ne * ne)                            # (n_band, n_shell)
+    proj = emiss @ x.vols_norm.T                         # (n_band, n_ann)
     signal = proj * x.exposures * x.areascales
     background = pars["backscale"] * x.backrates * x.exposures * x.areas
     return signal + background

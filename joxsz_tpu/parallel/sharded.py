@@ -1,0 +1,151 @@
+"""Sharded ensemble sampling: walkers (and clusters) over a device mesh.
+
+Multi-chip equivalent of ``sampling.stretch`` (SURVEY.md §5.8): the walker
+ensemble lives sharded over the mesh's walker axis; the per-walker
+likelihood runs fully local; the only communication per stretch-move
+substep is the all-gather of the complementary half's positions that XLA
+inserts for the partner lookup — a few-KB ICI transfer.
+
+For multi-cluster batches (BASELINE config #5), ``run_multi_cluster``
+vmaps the single-cluster step over a leading cluster axis; sharded over
+('cluster', 'walker') the fits proceed with zero cross-cluster traffic.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..sampling.stretch import make_step
+
+
+def make_sharded_drive(log_prob_batch, ndim: int, mesh: Mesh,
+                       n_steps: int, thin: int = 1, a: float = 2.0,
+                       walker_axis: str = "walker"):
+    """jitted driver with walker-sharded state: (x, lp, acc, key) -> same +
+    thinned chain.  The per-step logic is identical to the single-chip
+    path; sharding constraints keep the ensemble distributed between
+    steps."""
+    step = make_step(log_prob_batch, ndim, a)
+    xs = NamedSharding(mesh, P(walker_axis))
+    vs = NamedSharding(mesh, P(walker_axis))
+
+    n_saved = max(n_steps // thin, 1)
+
+    @partial(jax.jit,
+             in_shardings=(xs, vs, vs, None),
+             out_shardings=((xs, vs, vs), (None, None)))
+    def drive(x, lp, acc, key):
+        def outer(state, k):
+            keys = jax.random.split(k, thin)
+            state, _ = jax.lax.scan(step, state, keys)
+            return state, (state[0], state[1])
+
+        keys = jax.random.split(key, n_saved)
+        state, saved = jax.lax.scan(outer, (x, lp, acc), keys)
+        return state, saved
+
+    return drive
+
+
+def run_sharded_ensemble(log_prob_batch, p0, n_steps, key, mesh,
+                         thin: int = 1, a: float = 2.0):
+    """Convenience wrapper mirroring ``run_ensemble`` on a mesh."""
+    W, D = p0.shape
+    xs = NamedSharding(mesh, P("walker"))
+    x = jax.device_put(jnp.asarray(p0), xs)
+    lp = log_prob_batch(x)
+    acc = jnp.zeros((W,), dtype=x.dtype)
+    drive = make_sharded_drive(log_prob_batch, D, mesh, n_steps, thin, a)
+    (x, lp, acc), (chain, logp) = drive(x, lp, acc, key)
+    return {
+        "chain": np.asarray(chain),
+        "log_prob": np.asarray(logp),
+        "acceptance_fraction": np.asarray(acc) / float(n_steps),
+        "final": (x, lp),
+    }
+
+
+def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
+                      thin: int = 1, a: float = 2.0):
+    """Batched independent ensembles: p0 (C, W, D); the log-prob callable
+    maps (C, W, D) -> (C, W) (e.g. vmap of per-cluster batched
+    likelihoods).  State is sharded over ('cluster', 'walker')."""
+    C, W, D = p0.shape
+    sh3 = NamedSharding(mesh, P("cluster", "walker"))
+    sh2 = NamedSharding(mesh, P("cluster", "walker"))
+
+    # full ensemble step batched across clusters: the half-updates operate
+    # on (C, H, D) blocks so every cluster's half-batch is evaluated in a
+    # single call to log_prob_batch_cluster
+    def step_all(state, k):
+        x, lp, acc = state
+        keys = jax.random.split(k, C)
+        H = W // 2
+        dtype = x.dtype
+
+        def half(carry, which):
+            x, lp, acc, keys = carry
+            # split halves
+            if which == 0:
+                xm, lm = x[:, :H], lp[:, :H]
+                xf = x[:, H:]
+            else:
+                xm, lm = x[:, H:], lp[:, H:]
+                xf = x[:, :H]
+            ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
+            kz, kp, ku = ks[:, 0], ks[:, 1], ks[:, 2]
+            sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
+            u = jax.vmap(lambda k: jax.random.uniform(k, (H,), dtype=dtype))(kz)
+            z = (1.0 / sa + u * (sa - 1.0 / sa)) ** 2
+            pidx = jax.vmap(lambda k: jax.random.randint(k, (H,), 0, W - H))(kp)
+            xp = jnp.take_along_axis(xf, pidx[:, :, None], axis=1)
+            y = xp + z[:, :, None] * (xm - xp)
+            lp_y = log_prob_batch_cluster(y)
+            logr = (D - 1.0) * jnp.log(z) + lp_y - lm
+            uu = jax.vmap(lambda k: jax.random.uniform(k, (H,), dtype=dtype))(ku)
+            accept = jnp.log(uu) < logr
+            xm = jnp.where(accept[:, :, None], y, xm)
+            lm = jnp.where(accept, lp_y, lm)
+            if which == 0:
+                x = jnp.concatenate([xm, x[:, H:]], axis=1)
+                lp = jnp.concatenate([lm, lp[:, H:]], axis=1)
+                acc = acc.at[:, :H].add(accept.astype(dtype))
+            else:
+                x = jnp.concatenate([x[:, :H], xm], axis=1)
+                lp = jnp.concatenate([lp[:, :H], lm], axis=1)
+                acc = acc.at[:, H:].add(accept.astype(dtype))
+            return (x, lp, acc, keys), None
+
+        keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
+        (x, lp, acc, _), _ = half((x, lp, acc, keys), 0)
+        (x, lp, acc, _), _ = half((x, lp, acc, keys2), 1)
+        return (x, lp, acc), None
+
+    n_saved = max(n_steps // thin, 1)
+
+    @partial(jax.jit, in_shardings=(sh3, sh2, sh2, None),
+             out_shardings=((sh3, sh2, sh2), None))
+    def drive(x, lp, acc, key):
+        def outer(state, k):
+            keys = jax.random.split(k, thin)
+            state, _ = jax.lax.scan(step_all, state, keys)
+            return state, None
+
+        keys = jax.random.split(key, n_saved)
+        state, _ = jax.lax.scan(outer, (x, lp, acc), keys)
+        return state, None
+
+    x = jax.device_put(jnp.asarray(p0), sh3)
+    lp = log_prob_batch_cluster(x)
+    acc = jnp.zeros((C, W), dtype=x.dtype)
+    (x, lp, acc), _ = drive(x, lp, acc, key)
+    return {
+        "positions": np.asarray(x),
+        "log_prob": np.asarray(lp),
+        "acceptance_fraction": np.asarray(acc) / float(n_steps),
+    }

@@ -1,0 +1,11 @@
+from .profiles import (
+    equal_tailed, cumulative_gas_mass, ProfileSet, make_profile_fns,
+    compute_profiles, compute_mass_profiles, compute_gas_fraction,
+    posterior_predictive,
+)
+
+__all__ = [
+    "equal_tailed", "cumulative_gas_mass", "ProfileSet", "make_profile_fns",
+    "compute_profiles", "compute_mass_profiles", "compute_gas_fraction",
+    "posterior_predictive",
+]

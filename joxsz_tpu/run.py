@@ -1,0 +1,134 @@
+"""End-to-end fit runner (CLI) — the framework's equivalent of the
+reference's ``main()`` (/root/reference/joxsz_main.py:93-246):
+
+  setup -> MLE -> MCMC -> posterior table -> checkpoints -> all six figures.
+
+Usage:
+    python -m joxsz_tpu.run                       # bundled CL J1226 config
+    python -m joxsz_tpu.run --config my.json      # custom config
+    python -m joxsz_tpu.run --sz-only --quick     # SZ-only smoke fit
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="JoXSZ-TPU joint SZ+X-ray fit")
+    ap.add_argument("--config", help="JSON config file (default: bundled "
+                    "CL J1226.9+3332)")
+    ap.add_argument("--data-dir", default="/root/reference/data")
+    ap.add_argument("--sz-only", action="store_true",
+                    help="SZ-only fit (the preprofit capability)")
+    ap.add_argument("--quick", action="store_true",
+                    help="short chains for smoke testing")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the local CPU backend")
+    ap.add_argument("--seed", type=int, default=None)
+    ap.add_argument("--no-plots", action="store_true")
+    args = ap.parse_args(argv)
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      str(pathlib.Path(__file__).parents[1] / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    import numpy as np
+    from .config import JoXSZConfig
+    from .build import build_session
+    from .sampling import run_fit
+
+    if args.config:
+        cfg = JoXSZConfig.from_json(
+            pathlib.Path(args.config).read_text())
+    else:
+        cfg = JoXSZConfig.cl1226(args.data_dir)
+    if jax.default_backend() == "cpu":
+        cfg.dtype = "float64"
+        jax.config.update("jax_enable_x64", True)
+    else:
+        cfg.dtype = "float32"
+    if args.seed is not None:
+        cfg.mcmc.seed = args.seed
+
+    print(f"backend: {jax.default_backend()}; dtype {cfg.dtype}")
+    t0 = time.time()
+    sess = build_session(cfg, sz_only=args.sz_only)
+    print(f"session built in {time.time()-t0:.1f}s "
+          f"(operator {sess.sz_operator.L.shape}, "
+          f"{'SZ-only' if args.sz_only else 'joint SZ+X'})")
+
+    m = cfg.mcmc
+    if args.quick:
+        m.nburn, m.nsteps, m.nthin = 200, 400, 5
+        prelim, rounds = 100, 2
+    else:
+        prelim, rounds = m.prelim_iterations, 10
+
+    p = sess.params
+    save = pathlib.Path(cfg.save_dir)
+    res = run_fit(
+        sess.log_like, p.thawed_values(), p.lo, p.hi, p.thawed,
+        nwalkers=m.nwalkers, nburn=m.nburn, nsteps=m.nsteps, nthin=m.nthin,
+        seed=m.seed, initspread=m.initspread, prelim_iterations=prelim,
+        max_prelim_rounds=rounds,
+        chain_path=str(save / f"{cfg.name}_chain.hdf5"),
+        state_path=str(save / f"{cfg.name}_state.npz"),
+    )
+    res.print_summary([p[n].unit for n in p.thawed])
+    (save / f"{cfg.name}_timings.json").write_text(
+        json.dumps(res.timings, indent=2, default=float))
+
+    if args.no_plots:
+        return res
+
+    from .postproc import (
+        compute_profiles, compute_mass_profiles, compute_gas_fraction,
+        posterior_predictive,
+    )
+    from .plotting import (
+        traceplot, cornerplot, fit_on_data, radial_profiles, mass_plot,
+        gas_fraction_plot,
+    )
+
+    flat = res.flat_chain
+    cube = res.cube_chain()
+    plotdir = cfg.plot_dir
+    r_pp = sess.geometry.r_press_kpc
+
+    t0 = time.time()
+    traceplot(cube, p.thawed, seed=m.seed, plotdir=plotdir)
+    cornerplot(flat, p.thawed, ci=cfg.ci, plotdir=plotdir)
+
+    perc_x, perc_sz = posterior_predictive(sess.model, flat, ci=cfg.ci)
+    if perc_x is not None and sess.annuli is not None:
+        fit_on_data(sess.bands, sess.annuli, sess.model.sz_data,
+                    perc_x, perc_sz, ci=cfg.ci,
+                    step_arcsec=cfg.step_arcsec, plotdir=plotdir)
+
+    profs = compute_profiles(sess.model, sess.cosmology, r_pp, flat,
+                             ci=cfg.ci)
+    tempx_differs = not sess.params["log(T_X/T_{SZ})"].frozen
+    radial_profiles(profs, tempx_differs, ci=cfg.ci, plotdir=plotdir)
+
+    mass_bands, r_delta, m_delta = compute_mass_profiles(
+        sess.model, sess.cosmology, r_pp, flat, delta=500.0, ci=cfg.ci)
+    mass_plot(r_pp, mass_bands, sess.cosmology,
+              r_delta=r_delta[:, 0], m_delta=m_delta[:, 0],
+              plotdir=plotdir)
+
+    fgas = compute_gas_fraction(sess.model, sess.cosmology, r_pp, flat,
+                                ci=cfg.ci)
+    gas_fraction_plot(r_pp, fgas, ci=cfg.ci, plotdir=plotdir)
+    print(f"figures written to {plotdir} in {time.time()-t0:.1f}s")
+    return res
+
+
+if __name__ == "__main__":
+    main()

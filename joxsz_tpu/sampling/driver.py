@@ -1,0 +1,174 @@
+"""High-level fit driver: MLE -> walker init -> preliminary -> burn ->
+sample, with checkpointing and timing.
+
+Reproduces the phase structure of the reference's ``mcmc_run``
+(/root/reference/joxsz_funcs.py:572-635, SURVEY.md §3.4):
+
+  1. MLE warm start (mbproj2 doFitting equivalent),
+  2. rejection-sampled walker initialisation around the MLE,
+  3. "preliminary" loops of ``prelim_iterations`` steps repeated while the
+     best log-probability still improves,
+  4. ``nburn`` burn-in steps (discarded),
+  5. ``nsteps`` sampling steps thinned by ``nthin`` -> the saved chain,
+  6. acceptance-fraction report, HDF5 chain checkpoint + resume state.
+
+Everything between host decisions runs device-resident; each phase is one
+lax.scan.  Per-phase wall-clock and likelihood-evaluation throughput are
+recorded in ``FitResult.timings`` (SURVEY.md §5.1: the reference has no
+instrumentation; evals/sec is this framework's headline metric).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .stretch import run_ensemble, generate_init_positions, EnsembleResult
+from .mle import find_mle
+from ..io.checkpoint import save_chain_hdf5, save_state
+
+
+@dataclasses.dataclass
+class FitResult:
+    chain: np.ndarray             # (n_saved, n_walkers, ndim)
+    log_prob: np.ndarray          # (n_saved, n_walkers)
+    acceptance_fraction: np.ndarray
+    mle_theta: np.ndarray
+    mle_loglike: float
+    param_names: list[str]
+    timings: dict
+
+    @property
+    def flat_chain(self) -> np.ndarray:
+        """((n_saved*n_walkers), ndim), walker-major like the reference's
+        order='F' reshape (joxsz_main.py:213-214)."""
+        n_saved, n_w, ndim = self.chain.shape
+        return np.transpose(self.chain, (1, 0, 2)).reshape(-1, ndim)
+
+    def cube_chain(self) -> np.ndarray:
+        """(n_walkers, n_saved, ndim) — the reference's mcmc.chain layout."""
+        return np.transpose(self.chain, (1, 0, 2))
+
+    def summary_rows(self, units: list[str] | None = None):
+        med = np.median(self.flat_chain, axis=0)
+        std = np.std(self.flat_chain, axis=0)
+        units = units or ["."] * len(self.param_names)
+        return list(zip(self.param_names, med, std, units))
+
+    def print_summary(self, units: list[str] | None = None):
+        print(f"{'':>18}|{'Median':>10} |{'Sd':>9} |{'Unit':>13}")
+        print("-" * 53)
+        for name, med, std, unit in self.summary_rows(units):
+            print(f"{name:>17} |{med:>9.3f} |{std:>8.3f} |{unit:>13}")
+
+
+def run_fit(
+    log_like,
+    theta0: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    param_names: list[str],
+    nwalkers: int = 30,
+    nburn: int = 2000,
+    nsteps: int = 5000,
+    nthin: int = 5,
+    seed: int | None = None,
+    initspread: float = 0.1,
+    prelim_iterations: int = 1000,
+    max_prelim_rounds: int = 10,
+    do_mle: bool = True,
+    chain_path: str | None = None,
+    state_path: str | None = None,
+    verbose: bool = True,
+) -> FitResult:
+    timings: dict = {}
+    key = jax.random.PRNGKey(0 if seed is None else seed)
+
+    log_like_batch = jax.jit(jax.vmap(log_like))
+
+    # 1. MLE
+    t0 = time.time()
+    if do_mle:
+        if verbose:
+            print("MLE warm start...")
+        mle_theta, mle_ll = find_mle(log_like, theta0, lo, hi,
+                                     verbose=verbose)
+    else:
+        mle_theta = np.asarray(theta0, dtype=float)
+        mle_ll = float(jax.jit(log_like)(jnp.asarray(mle_theta)))
+    timings["mle_s"] = time.time() - t0
+
+    # 2. walker init
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    p0 = generate_init_positions(log_like_batch, mle_theta, nwalkers, sub,
+                                 spread=initspread)
+    timings["init_s"] = time.time() - t0
+
+    # 3. preliminary improvement loop (reference joxsz_funcs.py:589-598)
+    t0 = time.time()
+    best = mle_ll
+    rounds = 0
+    while rounds < max_prelim_rounds:
+        key, sub = jax.random.split(key)
+        res = run_ensemble(log_like_batch, p0, prelim_iterations, sub,
+                           thin=prelim_iterations, store_chain=True)
+        p0 = res.final_state[0]
+        newbest = float(np.max(res.log_prob[-1]))
+        rounds += 1
+        if verbose:
+            print(f"preliminary round {rounds}: best ll {newbest:.2f}")
+        if newbest < best:
+            break
+        best = newbest
+    timings["prelim_s"] = time.time() - t0
+    timings["prelim_rounds"] = rounds
+
+    # 4. burn-in
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    res = run_ensemble(log_like_batch, p0, nburn, sub, thin=max(nburn // 2, 1),
+                       store_chain=True)
+    p1 = res.final_state[0]
+    timings["burn_s"] = time.time() - t0
+
+    # 5. sampling
+    t0 = time.time()
+    key, sub = jax.random.split(key)
+    res = run_ensemble(log_like_batch, p1, nsteps, sub, thin=nthin,
+                       store_chain=True)
+    timings["sample_s"] = time.time() - t0
+    n_evals = (rounds * prelim_iterations + nburn + nsteps) * nwalkers
+    total_s = (timings["prelim_s"] + timings["burn_s"] + timings["sample_s"])
+    timings["likelihood_evals"] = n_evals
+    timings["evals_per_s"] = n_evals / total_s if total_s > 0 else np.nan
+
+    if verbose:
+        print(f"acceptance fraction: {np.mean(res.acceptance_fraction):.3f}")
+        print(f"throughput: {timings['evals_per_s']:.0f} likelihood "
+              f"evals/s over {n_evals} evals")
+
+    # 6. checkpoint
+    if chain_path:
+        save_chain_hdf5(chain_path, res.chain, res.log_prob,
+                        res.acceptance_fraction, param_names, nburn, nthin)
+    if state_path:
+        x, lp, k = res.final_state
+        save_state(state_path, np.asarray(x), np.asarray(lp),
+                   np.asarray(jax.random.key_data(k)),
+                   {"param_names": param_names, "nburn": nburn,
+                    "nthin": nthin, "seed": seed})
+
+    return FitResult(
+        chain=res.chain,
+        log_prob=res.log_prob,
+        acceptance_fraction=res.acceptance_fraction,
+        mle_theta=mle_theta,
+        mle_loglike=mle_ll,
+        param_names=param_names,
+        timings=timings,
+    )

@@ -1,0 +1,190 @@
+"""Golden-parity tests: the fused JAX likelihood vs an independent
+scipy/numpy implementation of the reference math on the bundled data.
+
+This is the test strategy SURVEY.md §4/§7.2 prescribes: the reference's
+external engines are not installed, so ground truth is a from-first-
+principles host implementation of each stage (which for the SZ side is the
+exact ``sz_map_pipeline`` scipy path the operators were built from)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from joxsz_tpu.config import JoXSZConfig
+from joxsz_tpu.build import build_session
+
+
+@pytest.fixture(scope="module")
+def session(ref_data):
+    return build_session(JoXSZConfig.cl1226(str(ref_data)))
+
+
+@pytest.fixture(scope="module")
+def theta0(session):
+    return jnp.asarray(session.params.thawed_values())
+
+
+def _pars_numpy(session, theta):
+    return {n: float(v) for n, v in
+            session.params.unpack(jnp.asarray(theta)).items()}
+
+
+def test_parameter_layout(session):
+    assert session.params.ndim == 13
+    # SURVEY.md §2.4 free parameters all present
+    expected = {"log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
+                "Z", "log(T_X/T_{SZ})", "P_0", "a", "b", "r_p",
+                "backscale", "calibration"}
+    assert set(session.params.thawed) == expected
+    # frozen per reference config: alpha, gamma, c
+    for frozen in (r"\alpha", r"\gamma", "c"):
+        assert session.params[frozen].frozen
+    # bound tightening from annuli edges (joxsz_main.py:160-161)
+    assert session.params["log(r_c)"].maxval < 3.7
+
+
+def test_sz_loglike_vs_numpy(session, theta0):
+    """Full SZ chain: fused operators vs the explicit scipy pipeline."""
+    from joxsz_tpu.ops.szkernel import sz_map_pipeline
+    from scipy.interpolate import interp1d
+
+    pars = _pars_numpy(session, theta0)
+    geom = session.geometry
+    r = geom.r_press_kpc
+
+    # independent numpy forward model
+    x = r / pars["r_p"]
+    pp = pars["P_0"] / (x ** pars["c"] *
+                        (1 + x ** pars["a"]) ** ((pars["b"] - pars["c"]) / pars["a"]))
+    raw = sz_map_pipeline(pp, geom, session.beam_2d, session.filter_image)
+
+    ne = _vikh_numpy(pars, r)
+    t_prof = (pp / ne)[: geom.sep]
+    rpos = r[: geom.sep]
+    h = interp1d(np.append(-rpos, rpos), np.append(t_prof, t_prof),
+                 kind="cubic", bounds_error=False,
+                 fill_value=(t_prof[-1], t_prof[-1]))
+    t_all = np.append(h(0.0), t_prof)
+    from joxsz_tpu.io.readers import read_conversion_table
+    t_tab, v_tab = read_conversion_table(session.config.sz.conversion_file)
+    conv = interp1d(t_tab, v_tab, kind="linear",
+                    fill_value="extrapolate")(t_all)
+    prof = raw * conv * pars["calibration"]
+    g = interp1d(geom.radius_arcsec[geom.sep:], prof, kind="cubic",
+                 fill_value="extrapolate")
+    from joxsz_tpu.io.readers import read_xy
+    flux = read_xy(session.config.sz.flux_file, 3)
+    chisq = np.nansum(((flux[1] - g(flux[0])) / flux[2]) ** 2)
+    expected_ll = -chisq / 2
+
+    from joxsz_tpu.models.sz import sz_log_like
+    pars_j = session.params.unpack(theta0)
+    got = float(sz_log_like(pars_j, session.model.sz_data,
+                            session.model.pressure,
+                            session.model.temperature))
+    assert np.isclose(got, expected_ll, rtol=1e-9)
+
+
+def _vikh_numpy(pars, r):
+    n0 = 10.0 ** pars["log(n_0)"]
+    rc = 10.0 ** pars["log(r_c)"]
+    rs = 10.0 ** pars["log(r_s)"]
+    ne2 = (n0**2 * (r / rc) ** (-pars[r"\alpha"])
+           / ((1 + (r / rc) ** 2) ** (3 * pars[r"\beta"] - pars[r"\alpha"] / 2)
+              * (1 + (r / rs) ** pars[r"\gamma"]) ** (pars[r"\epsilon"] / pars[r"\gamma"])))
+    return np.sqrt(ne2)
+
+
+def test_xray_pred_vs_numpy(session, theta0):
+    """X-ray predicted counts: JAX path vs independent numpy folding."""
+    pars = _pars_numpy(session, theta0)
+    x = session.model.xray_data
+    mid = np.asarray(x.midpt_kpc)
+    ne = _vikh_numpy(pars, mid)
+    xx = mid / pars["r_p"]
+    press = pars["P_0"] / (xx ** pars["c"] *
+                           (1 + xx ** pars["a"]) ** ((pars["b"] - pars["c"]) / pars["a"]))
+    T = press / ne * 10.0 ** pars["log(T_X/T_{SZ})"]
+    Z = pars["Z"]
+
+    tab = x.table
+    Tlog = np.asarray(tab.Tlog)
+    lr0 = np.asarray(tab.lograte_Z0)
+    lr1 = np.asarray(tab.lograte_Z1)
+    from scipy.interpolate import interp1d
+    r0 = np.exp(np.stack([
+        interp1d(Tlog, lr0[b], fill_value="extrapolate")(np.log(T))
+        for b in range(lr0.shape[0])]))
+    r1 = np.exp(np.stack([
+        interp1d(Tlog, lr1[b], fill_value="extrapolate")(np.log(T))
+        for b in range(lr1.shape[0])]))
+    rates = r0 * (1 - Z) + r1 * Z
+    emiss = rates * ne**2
+    proj = emiss @ np.asarray(x.vols_norm).T
+    pred = (proj * np.asarray(x.exposures) * np.asarray(x.areascales)
+            + pars["backscale"] * np.asarray(x.backrates)
+            * np.asarray(x.exposures) * np.asarray(x.areas))
+
+    got = np.asarray(session.model.xray_profiles(theta0))
+    assert np.allclose(got, pred, rtol=1e-9)
+
+    # Cash likelihood agreement
+    cts = np.asarray(x.counts)
+    mask = ~np.isnan(cts)
+    expected_cash = np.sum(cts[mask] * np.log(pred[mask]) - pred[mask])
+    from joxsz_tpu.models.xray import xray_log_like
+    got_ll = float(xray_log_like(session.params.unpack(theta0), x,
+                                 session.model.density,
+                                 session.model.temperature))
+    assert np.isclose(got_ll, expected_cash, rtol=1e-9)
+
+
+def test_joint_is_sum_of_parts(session, theta0):
+    from joxsz_tpu.models.sz import sz_log_like
+    from joxsz_tpu.models.xray import xray_log_like
+
+    pars = session.params.unpack(theta0)
+    sz = float(sz_log_like(pars, session.model.sz_data,
+                           session.model.pressure, session.model.temperature))
+    xr = float(xray_log_like(pars, session.model.xray_data,
+                             session.model.density,
+                             session.model.temperature))
+    pr = float(session.params.log_prior(theta0))
+    total = float(jax.jit(session.log_like)(theta0))
+    assert np.isclose(total, sz + xr + pr, rtol=1e-12)
+
+
+def test_vetoes(session, theta0):
+    ll = jax.jit(session.log_like)
+    t = np.asarray(theta0)
+
+    # out-of-box parameter -> -inf (box prior)
+    bad = t.copy()
+    bad[session.params.thawed.index("P_0")] = -0.5
+    assert float(ll(jnp.asarray(bad))) == -np.inf
+
+    # r_c > r_s veto (joxsz_funcs.py:397-407)
+    bad = t.copy()
+    bad[session.params.thawed.index("log(r_c)")] = 3.0
+    bad[session.params.thawed.index("log(r_s)")] = 2.0
+    assert float(ll(jnp.asarray(bad))) == -np.inf
+
+    # Gaussian prior terms present: shifting calibration by 1 sigma costs 0.5
+    shift = t.copy()
+    i = session.params.thawed.index("calibration")
+    shift[i] = 1.0 + 0.07
+    base_prior = float(session.params.log_prior(jnp.asarray(t)))
+    new_prior = float(session.params.log_prior(jnp.asarray(shift)))
+    assert np.isclose(base_prior - new_prior, 0.5, atol=1e-9)
+
+
+def test_batched_matches_single(session, theta0):
+    rng = np.random.default_rng(11)
+    batch = np.asarray(theta0)[None] * (
+        1 + 0.02 * rng.normal(size=(8, session.params.ndim)))
+    single = np.array([float(jax.jit(session.log_like)(jnp.asarray(b)))
+                       for b in batch])
+    batched = np.asarray(jax.jit(jax.vmap(session.log_like))(
+        jnp.asarray(batch)))
+    assert np.allclose(batched, single, rtol=1e-12, equal_nan=True)
