@@ -65,18 +65,20 @@ def ff_photon_emissivity(E_keV, T_keV, zsum: float = _ZSUM_HHE):
 
 # Line complexes: (centroid keV, width keV, peak emissivity scale,
 #                  log10 T of peak, log-T gaussian width)
-# Amplitudes chosen so line-to-continuum ratios are APEC-like at solar Z:
-# Fe-L dominates the 0.7-1.3 keV band below ~2 keV, Fe-K EW ~1 keV at 3-8 keV.
+# Amplitudes/temperature responses calibrated so solar-metallicity
+# equivalent widths track APEC: Fe-K EW ~1 keV at kT~4 (peak of Fe XXV),
+# ~0.4 keV at kT~8, ~0.3 keV at kT~12; Fe-L dominating below ~2 keV;
+# alpha-element lines at the tens-of-eV level for hot clusters.
 _LINES = np.array([
     # E0     sigE    amp      logT0  sigLogT
     [0.654, 0.020, 1.5e-16, -0.60, 0.35],   # O VIII
     [0.915, 0.050, 6.0e-16, -0.30, 0.30],   # Ne IX/X + Fe-L
     [1.050, 0.080, 1.2e-15, 0.00, 0.35],    # Fe-L complex
-    [1.340, 0.030, 2.0e-16, 0.15, 0.35],    # Mg XI/XII
-    [1.870, 0.040, 2.5e-16, 0.30, 0.40],    # Si XIII/XIV
-    [2.460, 0.050, 1.2e-16, 0.45, 0.40],    # S XV/XVI
-    [3.900, 0.060, 4.0e-17, 0.60, 0.45],    # Ca + Ar
-    [6.690, 0.080, 3.5e-16, 0.75, 0.40],    # Fe XXV/XXVI K
+    [1.340, 0.030, 1.5e-16, 0.15, 0.35],    # Mg XI/XII
+    [1.870, 0.040, 1.2e-16, 0.30, 0.35],    # Si XIII/XIV
+    [2.460, 0.050, 6.0e-17, 0.45, 0.35],    # S XV/XVI
+    [3.900, 0.060, 3.0e-17, 0.60, 0.40],    # Ca + Ar
+    [6.690, 0.080, 2.2e-16, 0.65, 0.22],    # Fe XXV/XXVI K
 ])
 
 

@@ -65,11 +65,11 @@ const Line LINES[] = {
     {0.654, 0.020, 1.5e-16, -0.60, 0.35},
     {0.915, 0.050, 6.0e-16, -0.30, 0.30},
     {1.050, 0.080, 1.2e-15, 0.00, 0.35},
-    {1.340, 0.030, 2.0e-16, 0.15, 0.35},
-    {1.870, 0.040, 2.5e-16, 0.30, 0.40},
-    {2.460, 0.050, 1.2e-16, 0.45, 0.40},
-    {3.900, 0.060, 4.0e-17, 0.60, 0.45},
-    {6.690, 0.080, 3.5e-16, 0.75, 0.40},
+    {1.340, 0.030, 1.5e-16, 0.15, 0.35},
+    {1.870, 0.040, 1.2e-16, 0.30, 0.35},
+    {2.460, 0.050, 6.0e-17, 0.45, 0.35},
+    {3.900, 0.060, 3.0e-17, 0.60, 0.40},
+    {6.690, 0.080, 2.2e-16, 0.65, 0.22},
 };
 const int N_LINES = sizeof(LINES) / sizeof(LINES[0]);
 
