@@ -81,6 +81,66 @@ class JointModel:
         """vmapped version: (n_walkers, ndim) -> (n_walkers,)."""
         return jax.vmap(self.log_like)
 
+    def log_like_batch_fused(self, conv_table, flux_data, op,
+                             use_pallas: bool = True,
+                             interpret: bool = False, dtype=None):
+        """Batch-level joint likelihood with the SZ core as one fused
+        Pallas kernel (ops.pallas_kernels): profile evaluation and the
+        X-ray/prior terms stay vmapped XLA; the two SZ matmuls + conversion
+        + chi^2 run VMEM-resident per walker tile.
+
+        Numerically identical to vmap(log_like) (covered by tests); on TPU
+        it removes the HBM round-trips between the SZ stages."""
+        from ..ops.pallas_kernels import make_sz_core
+        from .xray import xray_log_like
+
+        if dtype is None:
+            dtype = self.sz_data.L.dtype
+        sz = self.sz_data
+        core = make_sz_core(op, conv_table, flux_data[1], flux_data[2],
+                            dtype=dtype, use_pallas=use_pallas,
+                            interpret=interpret)
+        sep = sz.sep
+
+        def profiles_one(theta):
+            pars = self.params.unpack(theta)
+            pp = self.pressure(pars, sz.r_press_kpc)
+            t_prof = self.temperature.t_sz(pars, sz.r_press_kpc[:sep])
+            t0 = sz.w_T0 @ t_prof
+            t_all = jnp.concatenate([t0[None], t_prof])
+            return pp, t_all, pars["calibration"]
+
+        def rest_one(theta):
+            pars = self.params.unpack(theta)
+            total = self.params.log_prior(theta)
+            if hasattr(self.density, "log_prior"):
+                total = total + self.density.log_prior(pars)
+            if self.exclude_unphysical_mass:
+                m = self.mass(pars, sz.r_press_kpc)
+                mono = jnp.all(jnp.gradient(m) > 0.0)
+                total = total + jnp.where(mono, 0.0, -jnp.inf)
+            if self.xray_data is not None:
+                total = total + xray_log_like(
+                    pars, self.xray_data, self.density, self.temperature,
+                    self.Z_name)
+            if sz.calc_integ:
+                pp = self.pressure(pars, sz.r_press_kpc)
+                cint = sz.integ_w @ pp
+                total = total - 0.5 * ((cint - sz.integ_mu)
+                                       / sz.integ_sig) ** 2
+            return total
+
+        profiles_b = jax.vmap(profiles_one)
+        rest_b = jax.vmap(rest_one)
+
+        def batch_ll(thetas):
+            pp, t_all, cal = profiles_b(thetas)
+            sz_ll = core(pp, t_all, cal)
+            total = sz_ll + rest_b(thetas)
+            return jnp.where(jnp.isnan(total), -jnp.inf, total)
+
+        return batch_ll
+
     # -- diagnostics / post-processing --------------------------------------
     def sz_profile(self, theta) -> jnp.ndarray:
         pars = self.params.unpack(theta)
