@@ -1,0 +1,156 @@
+"""Checkpoint round-trips, config serialisation, tablegen consistency,
+beam/TF approximation modes, double-mode density, integrated-Y option."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+
+def test_chain_hdf5_roundtrip(tmp_path):
+    from joxsz_tpu.io.checkpoint import save_chain_hdf5, load_chain_hdf5
+
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(50, 30, 13))
+    logp = rng.normal(size=(50, 30))
+    acc = rng.uniform(size=30)
+    names = ["log(n_0)", r"\beta", "P_0"] + [f"p{i}" for i in range(10)]
+    path = str(tmp_path / "chain.hdf5")
+    save_chain_hdf5(path, chain, logp, acc, names, nburn=2000, nthin=5)
+    out = load_chain_hdf5(path)
+    assert np.array_equal(out["chain"], chain)
+    assert np.array_equal(out["log_prob"], logp)
+    assert out["param_names"] == names
+    assert out["burn"] == 2000 and out["thin"] == 5
+
+    # emcee-compatible layout: mcmc group with chain/log_prob datasets
+    import h5py
+    with h5py.File(path, "r") as f:
+        assert "mcmc" in f
+        assert f["mcmc"].attrs["nwalkers"] == 30
+        assert f["mcmc"].attrs["iteration"] == 50
+
+
+def test_state_roundtrip(tmp_path):
+    from joxsz_tpu.io.checkpoint import save_state, load_state
+
+    pos = np.random.rand(30, 13)
+    lp = np.random.rand(30)
+    key = np.array([1, 2], dtype=np.uint32)
+    path = str(tmp_path / "state.npz")
+    save_state(path, pos, lp, key, {"seed": 7, "names": ["a"]})
+    st = load_state(path)
+    assert np.array_equal(st["positions"], pos)
+    assert st["meta"]["seed"] == 7
+
+
+def test_config_json_roundtrip():
+    from joxsz_tpu.config import JoXSZConfig
+
+    cfg = JoXSZConfig.cl1226()
+    cfg2 = JoXSZConfig.from_json(cfg.to_json())
+    assert cfg2.redshift == cfg.redshift
+    assert cfg2.xray.bands_eV == cfg.xray.bands_eV
+    assert cfg2.sz.flux_file == cfg.sz.flux_file
+    assert cfg2.mcmc.nwalkers == cfg.mcmc.nwalkers
+
+
+def test_tablegen_native_matches_numpy(ref_data):
+    from joxsz_tpu.tablegen import TableSpec, generate_table, build_native
+
+    bands = ((700, 1000), (5000, 7000))
+    spec = TableSpec(rmf=str(ref_data / "X/source.rmf"),
+                     arf=str(ref_data / "X/source.arf"),
+                     bands_eV=bands, z=0.888, NH_1022pcm2=0.0183, nT=16)
+    t_np = generate_table(spec, backend="numpy")
+    if build_native():
+        t_nat = generate_table(spec, backend="native")
+        for k in ("lograte_Z0", "lograte_Z1", "logflux_Z0", "logflux_Z1"):
+            assert np.allclose(t_nat[k], t_np[k], atol=1e-5)
+    # physical sanity on the numpy table
+    r = np.exp(t_np["lograte_Z0"])
+    assert np.all(np.isfinite(r))
+    # metallicity adds flux: Z=1 rates >= Z=0 rates
+    assert np.all(t_np["lograte_Z1"] >= t_np["lograte_Z0"] - 1e-9)
+
+
+def test_spectrum_physics():
+    from joxsz_tpu.tablegen import spectrum as sp
+
+    E = np.geomspace(0.3, 12.0, 500)
+    lam = sp.photon_emissivity(E, 8.0, 0.3)
+    assert np.all(lam > 0)
+    # exponential cutoff: emission falls steeply beyond kT
+    assert lam[-1] < lam[0] * 1e-2
+    # absorption: stronger at soft energies
+    tr = sp.phabs_transmission(E, 0.0183)
+    assert tr[0] < tr[-1] <= 1.0
+    assert np.all((tr > 0) & (tr <= 1.0))
+    # Gaunt factor ~O(1)
+    g = sp.gaunt_ff(np.array([1.0, 5.0]), 8.0)
+    assert np.all((g > 0.5) & (g < 10.0))
+
+
+def test_beam_tf_approximations(ref_data):
+    """The reference's beam_approx/tf_approx toggles
+    (/root/reference/joxsz_main.py:59-62)."""
+    from joxsz_tpu.geometry import build_beam, build_filter_image
+    from joxsz_tpu.io.readers import read_transfer_function
+
+    beam_2d, fwhm = build_beam(2.0, 116.1, approx=True, fwhm_arcsec=18.0)
+    assert abs(fwhm - 18.0) < 1e-12
+    assert beam_2d.shape[0] == beam_2d.shape[1]
+    assert np.isclose(beam_2d.sum() * 4.0, 1.0)
+    # peak at the centre
+    c = beam_2d.shape[0] // 2
+    assert beam_2d[c, c] == beam_2d.max()
+
+    wn, tf = read_transfer_function(
+        str(ref_data / "SZ/TransferFunction150GHz_CLJ1227.fits"),
+        approx=True, loc=0.0, scale=0.02, c=0.95)
+    assert tf.max() <= 0.95 + 1e-9
+    filt = build_filter_image(wn, tf, 65, 2.0)
+    assert filt.shape == (65, 65)
+
+
+def test_double_mode_density():
+    from joxsz_tpu.models import VikhlininDensity
+
+    d = VikhlininDensity(mode="double")
+    pars = {n: p.val for n, p in
+            ((n, d.default_params()[n]) for n in d.default_params().names)}
+    r = jnp.asarray(np.geomspace(10, 2000, 50))
+    ne = np.asarray(d(pars, r))
+    assert np.all(ne > 0) and np.all(np.diff(ne) < 0)
+    # the double-beta term adds density everywhere
+    d1 = VikhlininDensity(mode="single")
+    ne1 = np.asarray(d1(pars, r))
+    assert np.all(ne >= ne1)
+
+
+def test_integrated_y_option(ref_data):
+    """calc_integ=True adds the Gaussian integrated-Y term
+    (/root/reference/joxsz_funcs.py:480-487)."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.sz.calc_integ = True
+    cfg.sz.integ_mu = 0.94e-3
+    cfg.sz.integ_sig = 0.36e-3
+    sess = build_session(cfg, sz_only=True, use_cache=True)
+    theta0 = jnp.asarray(sess.params.thawed_values())
+    ll_with = float(jax.jit(sess.log_like)(theta0))
+
+    cfg2 = JoXSZConfig.cl1226(str(ref_data))
+    sess2 = build_session(cfg2, sz_only=True, use_cache=True)
+    ll_without = float(jax.jit(sess2.log_like)(theta0))
+
+    from joxsz_tpu.models.sz import sz_integrated_y
+    pars = sess.params.unpack(theta0)
+    cint = float(sz_integrated_y(pars, sess.model.sz_data,
+                                 sess.model.pressure))
+    expected_penalty = -0.5 * ((cint - 0.94e-3) / 0.36e-3) ** 2
+    assert np.isclose(ll_with - ll_without, expected_penalty, rtol=1e-6)
+    # Y of a massive cluster: positive, order 1e-4..1e-2 arcmin^2
+    assert 0 < cint < 1.0
