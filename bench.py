@@ -36,7 +36,16 @@ def main():
 
     theta0 = np.asarray(sess.params.thawed_values(),
                         dtype=np.float32 if on_tpu else np.float64)
-    log_like_batch = jax.jit(jax.vmap(sess.log_like))
+    if on_tpu:
+        # fused Pallas SZ core for the hot path
+        from joxsz_tpu.io.readers import read_conversion_table, read_xy
+
+        conv = read_conversion_table(cfg.sz.conversion_file)
+        flux = read_xy(cfg.sz.flux_file, 3)
+        log_like_batch = jax.jit(sess.model.log_like_batch_fused(
+            conv, flux, sess.sz_operator, use_pallas=True))
+    else:
+        log_like_batch = jax.jit(jax.vmap(sess.log_like))
 
     # large-ensemble throughput: the TPU-native scaling axis is the walker
     # batch (SURVEY.md §2.2); 1024 walkers saturate the MXU matmuls

@@ -142,6 +142,13 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
         Z_solar=cfg.xray.Z_solar if cfg.xray else 0.3,
         edges_logkpc=edges_logkpc,
     )
+    if xray_data is None:
+        # SZ-only (preprofit) mode: parameters that only the X-ray
+        # likelihood constrains would wander on their priors — freeze them
+        # (the density shape stays free: T_SZ = P/ne feeds the conversion)
+        for name in ("Z", "backscale", "log(T_X/T_{SZ})"):
+            if name in params:
+                params.freeze(name)
 
     model = JointModel(
         pressure=pressure, density=density, temperature=temperature,

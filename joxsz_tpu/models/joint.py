@@ -50,29 +50,36 @@ class JointModel:
             self.mass = HSEMass(self.pressure, self.density)
 
     # -- likelihood ----------------------------------------------------------
-    def log_like(self, theta: jnp.ndarray) -> jnp.ndarray:
-        """Joint log-likelihood (including priors) of a thawed vector."""
+    def log_like(self, theta: jnp.ndarray, sz_data: SZData | None = None,
+                 xray_data: XrayData | None = None) -> jnp.ndarray:
+        """Joint log-likelihood (including priors) of a thawed vector.
+
+        ``sz_data``/``xray_data`` override the bound datasets — both
+        containers are registered pytrees, so a stacked multi-cluster batch
+        can be vmapped over data and parameters together (see
+        ``models.multicluster``)."""
+        sz = sz_data if sz_data is not None else self.sz_data
+        xr = xray_data if xray_data is not None else self.xray_data
         pars = self.params.unpack(theta)
         total = self.params.log_prior(theta)
         if hasattr(self.density, "log_prior"):
             total = total + self.density.log_prior(pars)
 
-        if self.exclude_unphysical_mass and self.sz_data is not None:
-            m = self.mass(pars, self.sz_data.r_press_kpc)
+        if self.exclude_unphysical_mass and sz is not None:
+            m = self.mass(pars, sz.r_press_kpc)
             # reference veto: np.gradient(m, 1) > 0 everywhere
             # (joxsz_funcs.py:522-525); jnp.gradient matches numpy's
             # central/one-sided differencing
             mono = jnp.all(jnp.gradient(m) > 0.0)
             total = total + jnp.where(mono, 0.0, -jnp.inf)
 
-        if self.xray_data is not None:
+        if xr is not None:
             total = total + xray_log_like(
-                pars, self.xray_data, self.density, self.temperature,
-                self.Z_name)
+                pars, xr, self.density, self.temperature, self.Z_name)
 
-        if self.sz_data is not None:
+        if sz is not None:
             total = total + sz_log_like(
-                pars, self.sz_data, self.pressure, self.temperature)
+                pars, sz, self.pressure, self.temperature)
 
         # keep NaNs (e.g. 0*inf products under masking) out of the chain
         return jnp.where(jnp.isnan(total), -jnp.inf, total)

@@ -24,15 +24,21 @@ import dataclasses
 from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.szkernel import SZOperator
 from ..ops.splines import lerp_lookup
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class SZData:
-    """Device-resident constants for the SZ likelihood of one cluster."""
+    """Device-resident constants for the SZ likelihood of one cluster.
+
+    Registered as a JAX pytree (array fields are leaves; `sep`/integ
+    settings are static) so a stack of clusters' data can be vmapped
+    alongside the parameter batch (multi-cluster fits, BASELINE #5)."""
 
     L: jnp.ndarray            # (n_pix, n_press)
     G: jnp.ndarray            # (n_data, n_pix)
@@ -44,10 +50,13 @@ class SZData:
     flux: jnp.ndarray         # (n_data,) flux densities (mJy/beam)
     flux_err: jnp.ndarray     # (n_data,)
     r_press_kpc: jnp.ndarray  # (n_press,)
-    sep: int
-    calc_integ: bool = False
-    integ_mu: float = 0.0
-    integ_sig: float = 1.0
+    sep: int = dataclasses.field(metadata=dict(static=True))
+    calc_integ: bool = dataclasses.field(
+        default=False, metadata=dict(static=True))
+    integ_mu: float = dataclasses.field(
+        default=0.0, metadata=dict(static=True))
+    integ_sig: float = dataclasses.field(
+        default=1.0, metadata=dict(static=True))
 
     @classmethod
     def build(cls, op: SZOperator, conv_table, flux_data,

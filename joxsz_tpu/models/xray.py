@@ -21,6 +21,7 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..ops.splines import lerp_lookup
@@ -28,6 +29,7 @@ from ..geometry.annuli import Annuli
 from ..io.readers import BandData
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CountRateTable:
     """Per-band count rates (cts/s per unit XSPEC norm) on a log-T grid,
@@ -70,9 +72,12 @@ class CountRateTable:
         )
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class XrayData:
-    """Device-resident constants for the X-ray likelihood of one cluster."""
+    """Device-resident constants for the X-ray likelihood of one cluster.
+
+    Registered as a JAX pytree (see SZData) for multi-cluster vmapping."""
 
     counts: jnp.ndarray          # (n_band, n_ann), NaN for missing
     counts_mask: jnp.ndarray     # 1.0 where counts valid
@@ -86,8 +91,8 @@ class XrayData:
                                  # values, float32-safe (raw vols ~1e69 cm^3
                                  # and the norm ~1e-71 both overflow f32)
     midpt_kpc: jnp.ndarray       # (n_shell,)
-    norm_per_cm3: float          # 1e-14/(4 pi (D_A(1+z))^2 ne_nH) [host use]
-    table: CountRateTable
+    norm_per_cm3: float = dataclasses.field(metadata=dict(static=True))
+    table: CountRateTable = dataclasses.field(default=None)
 
     @classmethod
     def build(cls, bands: list[BandData], annuli: Annuli,

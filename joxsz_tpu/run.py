@@ -30,6 +30,8 @@ def main(argv=None):
                     help="force the local CPU backend")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--no-plots", action="store_true")
+    ap.add_argument("--resume", metavar="STATE_NPZ",
+                    help="resume sampling from a saved state file")
     args = ap.parse_args(argv)
 
     import jax
@@ -80,6 +82,7 @@ def main(argv=None):
         max_prelim_rounds=rounds,
         chain_path=str(save / f"{cfg.name}_chain.hdf5"),
         state_path=str(save / f"{cfg.name}_state.npz"),
+        resume_from=args.resume,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(

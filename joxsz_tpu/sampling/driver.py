@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from .stretch import run_ensemble, generate_init_positions, EnsembleResult
 from .mle import find_mle
-from ..io.checkpoint import save_chain_hdf5, save_state
+from ..io.checkpoint import save_chain_hdf5, save_state, load_state
 
 
 @dataclasses.dataclass
@@ -83,16 +83,34 @@ def run_fit(
     do_mle: bool = True,
     chain_path: str | None = None,
     state_path: str | None = None,
+    resume_from: str | None = None,
+    log_like_batch=None,
     verbose: bool = True,
 ) -> FitResult:
+    """Full fit; pass ``resume_from`` (a state .npz written by a previous
+    run) to skip MLE/init/preliminary/burn-in and continue sampling from
+    the saved walker positions — a capability the reference lacks
+    (SURVEY.md §5.4: write-side only).  ``log_like_batch`` may override the
+    batched likelihood (e.g. the fused Pallas path)."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 
-    log_like_batch = jax.jit(jax.vmap(log_like))
+    if log_like_batch is None:
+        log_like_batch = jax.jit(jax.vmap(log_like))
+
+    resumed = None
+    if resume_from is not None:
+        resumed = load_state(resume_from)
+        if verbose:
+            print(f"resuming from {resume_from} "
+                  f"({resumed['positions'].shape[0]} walkers)")
 
     # 1. MLE
     t0 = time.time()
-    if do_mle:
+    if resumed is not None:
+        mle_theta = resumed["positions"][np.argmax(resumed["log_probs"])]
+        mle_ll = float(np.max(resumed["log_probs"]))
+    elif do_mle:
         if verbose:
             print("MLE warm start...")
         mle_theta, mle_ll = find_mle(log_like, theta0, lo, hi,
@@ -105,15 +123,19 @@ def run_fit(
     # 2. walker init
     t0 = time.time()
     key, sub = jax.random.split(key)
-    p0 = generate_init_positions(log_like_batch, mle_theta, nwalkers, sub,
-                                 spread=initspread)
+    if resumed is not None:
+        p0 = jnp.asarray(resumed["positions"])
+        nwalkers = p0.shape[0]
+    else:
+        p0 = generate_init_positions(log_like_batch, mle_theta, nwalkers,
+                                     sub, spread=initspread)
     timings["init_s"] = time.time() - t0
 
     # 3. preliminary improvement loop (reference joxsz_funcs.py:589-598)
     t0 = time.time()
     best = mle_ll
     rounds = 0
-    while rounds < max_prelim_rounds:
+    while resumed is None and rounds < max_prelim_rounds:
         key, sub = jax.random.split(key)
         res = run_ensemble(log_like_batch, p0, prelim_iterations, sub,
                            thin=prelim_iterations, store_chain=True)
@@ -131,9 +153,12 @@ def run_fit(
     # 4. burn-in
     t0 = time.time()
     key, sub = jax.random.split(key)
-    res = run_ensemble(log_like_batch, p0, nburn, sub, thin=max(nburn // 2, 1),
-                       store_chain=True)
-    p1 = res.final_state[0]
+    if resumed is None:
+        res = run_ensemble(log_like_batch, p0, nburn, sub,
+                           thin=max(nburn // 2, 1), store_chain=True)
+        p1 = res.final_state[0]
+    else:
+        p1 = p0
     timings["burn_s"] = time.time() - t0
 
     # 5. sampling

@@ -38,25 +38,32 @@ class EnsembleResult:
     final_state: tuple       # (positions, log_probs, key) device arrays
 
 
-def _sample_z(key, shape, a: float, dtype):
-    u = jax.random.uniform(key, shape, dtype=dtype)
+def _z_from_uniform(u, a: float, dtype):
+    """Inverse-CDF transform of g(z) prop. 1/sqrt(z) on [1/a, a]."""
     sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
     return (1.0 / sa + u * (sa - 1.0 / sa)) ** 2
 
 
-def _half_update(log_prob_batch, key, x_move, lp_move, x_fixed, a, ndim):
+def _sample_z(key, shape, a: float, dtype):
+    return _z_from_uniform(jax.random.uniform(key, shape, dtype=dtype),
+                           a, dtype)
+
+
+def _half_update(log_prob_batch, u3, x_move, lp_move, x_fixed, a, ndim):
     """Stretch-move update of one half against the fixed complementary
-    half.  Shapes: x_move (H, D), x_fixed (H, D)."""
-    kz, kp, ku = jax.random.split(key, 3)
+    half.  Shapes: x_move (H, D), x_fixed (H, D); u3 (3, H) uniforms."""
     H = x_move.shape[0]
     dtype = x_move.dtype
-    z = _sample_z(kz, (H,), a, dtype)
-    partner = jax.random.randint(kp, (H,), 0, x_fixed.shape[0])
+    z = _z_from_uniform(u3[0], a, dtype)
+    # uniform partner index from a uniform draw (exact up to float
+    # quantisation ~2^-24, negligible vs H)
+    partner = jnp.minimum((u3[1] * x_fixed.shape[0]).astype(jnp.int32),
+                          x_fixed.shape[0] - 1)
     xp = x_fixed[partner]                      # (H, D)
     y = xp + z[:, None] * (x_move - xp)
     lp_y = log_prob_batch(y)
     log_ratio = (ndim - 1.0) * jnp.log(z) + lp_y - lp_move
-    accept = jnp.log(jax.random.uniform(ku, (H,), dtype=dtype)) < log_ratio
+    accept = jnp.log(u3[2]) < log_ratio
     x_new = jnp.where(accept[:, None], y, x_move)
     lp_new = jnp.where(accept, lp_y, lp_move)
     return x_new, lp_new, accept
@@ -64,23 +71,58 @@ def _half_update(log_prob_batch, key, x_move, lp_move, x_fixed, a, ndim):
 
 def make_step(log_prob_batch, ndim: int, a: float = 2.0):
     """One full ensemble step (both half-updates).  ``log_prob_batch`` maps
-    (H, D) -> (H,) and must be vmap-compatible."""
+    (H, D) -> (H,) and must be vmap-compatible.  All per-step randomness
+    comes from ONE PRNG call (a (2, 3, H) uniform block) — threefry is a
+    measurable fraction of the step cost on TPU."""
 
     def step(state, key):
         x, lp, acc = state
         W = x.shape[0]
         H = W // 2
-        k1, k2 = jax.random.split(key)
+        dtype = x.dtype
+        u = jax.random.uniform(key, (2, 3, H), dtype=dtype)
         x0, x1 = x[:H], x[H:]
         lp0, lp1 = lp[:H], lp[H:]
-        x0, lp0, a0 = _half_update(log_prob_batch, k1, x0, lp0, x1, a, ndim)
-        x1, lp1, a1 = _half_update(log_prob_batch, k2, x1, lp1, x0, a, ndim)
+        x0, lp0, a0 = _half_update(log_prob_batch, u[0], x0, lp0, x1, a, ndim)
+        x1, lp1, a1 = _half_update(log_prob_batch, u[1], x1, lp1, x0, a, ndim)
         x = jnp.concatenate([x0, x1])
         lp = jnp.concatenate([lp0, lp1])
         acc = acc + jnp.concatenate([a0, a1]).astype(acc.dtype)
         return (x, lp, acc), None
 
     return step
+
+
+# compiled drivers are cached per (log-prob fn, schedule, shapes) — without
+# this every run_ensemble call re-jits (and on this host reloads) the whole
+# scan program, which dwarfs the actual device time for short phases
+_DRIVE_CACHE: dict = {}
+
+
+def _get_drive(log_prob_batch, n_saved: int, thin: int, a: float,
+               store_chain: bool, unroll_inner: int, W: int, D: int, dtype):
+    key = (id(log_prob_batch), n_saved, thin, a, store_chain, unroll_inner,
+           W, D, str(dtype))
+    drive = _DRIVE_CACHE.get(key)
+    if drive is not None:
+        return drive
+    step = make_step(log_prob_batch, D, a)
+
+    @jax.jit
+    def drive(p0, lp0, acc0, rkey):
+        def outer(state, k):
+            keys = jax.random.split(k, thin)
+            state, _ = jax.lax.scan(step, state, keys, unroll=unroll_inner)
+            x, lp, acc = state
+            out = (x, lp) if store_chain else None
+            return state, out
+
+        keys = jax.random.split(rkey, n_saved)
+        state, saved = jax.lax.scan(outer, (p0, lp0, acc0), keys)
+        return state, saved
+
+    _DRIVE_CACHE[key] = drive
+    return drive
 
 
 def run_ensemble(
@@ -101,29 +143,13 @@ def run_ensemble(
     W, D = p0.shape
     if W % 2:
         raise ValueError("need an even number of walkers")
-    if W < 2 * D + 2:
-        # emcee's own guidance; warn-level, not fatal
-        pass
     n_saved = n_steps // thin
-    step = make_step(log_prob_batch, D, a)
 
     lp0 = log_prob_batch(p0)
     acc0 = jnp.zeros((W,), dtype=p0.dtype)
-
-    @partial(jax.jit, static_argnames=("save",))
-    def drive(p0, lp0, acc0, key, save: bool):
-        def outer(state, k):
-            keys = jax.random.split(k, thin)
-            state, _ = jax.lax.scan(step, state, keys, unroll=unroll_inner)
-            x, lp, acc = state
-            out = (x, lp) if save else None
-            return state, out
-
-        keys = jax.random.split(key, n_saved)
-        state, saved = jax.lax.scan(outer, (p0, lp0, acc0), keys)
-        return state, saved
-
-    state, saved = drive(p0, lp0, acc0, key, store_chain)
+    drive = _get_drive(log_prob_batch, n_saved, thin, a, store_chain,
+                       unroll_inner, W, D, p0.dtype)
+    state, saved = drive(p0, lp0, acc0, key)
     x, lp, acc = state
     if store_chain:
         chain = np.asarray(saved[0])
