@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import dataclasses
 from collections import OrderedDict
-from functools import partial
+
 
 import numpy as np
 import jax

@@ -21,7 +21,7 @@ reference pays ~9.3 ms/eval on CPU for the same chain (SURVEY.md §6).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import numpy as np
 import jax

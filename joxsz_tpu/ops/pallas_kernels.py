@@ -23,7 +23,7 @@ The kernel is validated in interpreter mode against the jnp reference path
 
 from __future__ import annotations
 
-import functools
+
 
 import numpy as np
 import jax

@@ -82,6 +82,7 @@ def main(argv=None):
         max_prelim_rounds=rounds,
         chain_path=str(save / f"{cfg.name}_chain.hdf5"),
         state_path=str(save / f"{cfg.name}_state.npz"),
+        best_path=str(save / "fit.dat"),
         resume_from=args.resume,
     )
     res.print_summary([p[n].unit for n in p.thawed])

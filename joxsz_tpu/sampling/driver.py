@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .stretch import run_ensemble, generate_init_positions, EnsembleResult
+from .stretch import run_ensemble, generate_init_positions
 from .mle import find_mle
 from ..io.checkpoint import save_chain_hdf5, save_state, load_state
 
@@ -83,6 +83,7 @@ def run_fit(
     do_mle: bool = True,
     chain_path: str | None = None,
     state_path: str | None = None,
+    best_path: str | None = None,
     resume_from: str | None = None,
     log_like_batch=None,
     verbose: bool = True,
@@ -178,6 +179,24 @@ def run_fit(
               f"evals/s over {n_evals} evals")
 
     # 6. checkpoint
+    if best_path:
+        # reference side-channel: continuously updated best-fit file
+        # (fit.dat via AtomicWriteFile, joxsz_funcs.py:540-545); here one
+        # atomic write of the overall best sample per run
+        flat_lp = res.log_prob.reshape(-1)
+        flat_x = res.chain.reshape(-1, res.chain.shape[-1])
+        i_best = int(np.argmax(flat_lp))
+        best_ll = float(flat_lp[i_best])
+        lines = [f"likelihood = {max(best_ll, mle_ll):g}"]
+        best_vec = (flat_x[i_best] if best_ll >= mle_ll else mle_theta)
+        for nm, v in sorted(zip(param_names, best_vec)):
+            lines.append(f"{nm} = {float(v):g}")
+        import os
+        tmp = best_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.replace(tmp, best_path)
+
     if chain_path:
         save_chain_hdf5(chain_path, res.chain, res.log_prob,
                         res.acceptance_fraction, param_names, nburn, nthin)

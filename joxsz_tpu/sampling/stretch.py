@@ -23,7 +23,7 @@ runs (see ``joxsz_tpu.parallel``).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
