@@ -26,58 +26,158 @@ def find_mle(
     xtol: float = 1e-6,
     ftol: float = 1e-6,
     verbose: bool = False,
+    prefer_cpu: bool = True,
 ) -> tuple[np.ndarray, float]:
     """Maximise ``log_like`` from ``theta0``; returns (theta_hat, ll_hat).
 
     Mirrors mbproj2's strategy of repeating simplex fits until the
-    statistic stops improving, then adds a gradient polish."""
-    ll_jit = jax.jit(log_like)
-    grad_jit = jax.jit(jax.grad(log_like))
+    statistic stops improving, then adds a gradient polish.
 
-    def neg_ll(x):
-        v = float(ll_jit(jnp.asarray(x)))
-        return 1e30 if not np.isfinite(v) else -v
+    The optimiser is a host loop of single evaluations; on an accelerator
+    backend every call pays device round-trip latency, so by default the
+    objective is compiled for the local CPU device (the sampler still runs
+    on the accelerator)."""
+    import contextlib
 
-    best_x = np.asarray(theta0, dtype=float)
-    best_f = neg_ll(best_x)
-    if best_f >= 1e30:
-        raise ValueError("starting point has non-finite likelihood")
+    ctx = contextlib.nullcontext()
+    if prefer_cpu and jax.default_backend() != "cpu":
+        try:
+            ctx = jax.default_device(jax.local_devices(backend="cpu")[0])
+        except Exception:
+            pass
 
-    for it in range(max_restarts):
-        res = optimize.minimize(
-            neg_ll, best_x, method="Nelder-Mead",
-            options={"xatol": xtol, "fatol": ftol, "maxiter": 4000,
-                     "adaptive": True},
-        )
-        if verbose:
-            print(f"  simplex restart {it}: -ll {res.fun:.4f}")
-        if res.fun < best_f - 1e-4:
-            best_f, best_x = res.fun, res.x
-        else:
-            if res.fun < best_f:
+    with ctx:
+        ll_jit = jax.jit(log_like)
+        grad_jit = jax.jit(jax.grad(log_like))
+
+        def neg_ll(x):
+            v = float(ll_jit(jnp.asarray(x)))
+            return 1e30 if not np.isfinite(v) else -v
+
+        best_x = np.asarray(theta0, dtype=float)
+        best_f = neg_ll(best_x)
+        if best_f >= 1e30:
+            raise ValueError("starting point has non-finite likelihood")
+
+        for it in range(max_restarts):
+            res = optimize.minimize(
+                neg_ll, best_x, method="Nelder-Mead",
+                options={"xatol": xtol, "fatol": ftol, "maxiter": 4000,
+                         "adaptive": True},
+            )
+            if verbose:
+                print(f"  simplex restart {it}: -ll {res.fun:.4f}")
+            if res.fun < best_f - 1e-4:
                 best_f, best_x = res.fun, res.x
-            break
+            else:
+                if res.fun < best_f:
+                    best_f, best_x = res.fun, res.x
+                break
 
-    # gradient polish inside the box (guard against veto boundaries)
-    def neg_ll_grad(x):
-        xj = jnp.asarray(x)
-        v = float(ll_jit(xj))
-        if not np.isfinite(v):
-            return 1e30, np.zeros_like(x)
-        g = np.asarray(grad_jit(xj), dtype=float)
-        if not np.all(np.isfinite(g)):
-            return -v, np.zeros_like(x)
-        return -v, -g
+        # gradient polish inside the box (guard against veto boundaries)
+        def neg_ll_grad(x):
+            xj = jnp.asarray(x)
+            v = float(ll_jit(xj))
+            if not np.isfinite(v):
+                return 1e30, np.zeros_like(x)
+            g = np.asarray(grad_jit(xj), dtype=float)
+            if not np.all(np.isfinite(g)):
+                return -v, np.zeros_like(x)
+            return -v, -g
 
-    eps = 1e-9
-    bounds = [(l + eps, h - eps) for l, h in zip(lo, hi)]
-    res = optimize.minimize(
-        neg_ll_grad, np.clip(best_x, lo + eps, hi - eps), jac=True,
-        method="L-BFGS-B", bounds=bounds,
-        options={"maxiter": 500, "ftol": 1e-12},
-    )
-    if res.fun < best_f:
-        best_f, best_x = res.fun, res.x
+        eps = 1e-9
+        bounds = [(l + eps, h - eps) for l, h in zip(lo, hi)]
+        res = optimize.minimize(
+            neg_ll_grad, np.clip(best_x, lo + eps, hi - eps), jac=True,
+            method="L-BFGS-B", bounds=bounds,
+            options={"maxiter": 500, "ftol": 1e-12},
+        )
+        if res.fun < best_f:
+            best_f, best_x = res.fun, res.x
+        if verbose:
+            print(f"  MLE log-like: {-best_f:.4f}")
+        return np.asarray(best_x), -best_f
+
+
+def find_mle_multistart(
+    log_like,
+    theta0: np.ndarray,
+    lo: np.ndarray,
+    hi: np.ndarray,
+    key=None,
+    n_starts: int = 64,
+    n_steps: int = 800,
+    lr: float = 3e-3,
+    spread: float = 0.05,
+    verbose: bool = False,
+) -> tuple[np.ndarray, float]:
+    """Device-resident multi-start gradient MLE.
+
+    Fully accelerator-native alternative to the host simplex loop: a batch
+    of starting points is optimised in parallel with Adam inside one
+    ``lax.scan``; box bounds are enforced by a sigmoid reparametrisation,
+    and veto regions contribute value -inf but zero gradient (the veto
+    terms are parameter-independent constants where active), so starts can
+    slide along veto boundaries instead of dying.  Returns the best point
+    over all starts and steps."""
+    import optax
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    theta0 = np.asarray(theta0, dtype=float)
+    lo = np.asarray(lo, dtype=float)
+    hi = np.asarray(hi, dtype=float)
+    finite = np.isfinite(lo) & np.isfinite(hi)
+    # map theta -> unconstrained u (sigmoid for finite boxes)
+    eps = 1e-6
+    span = np.where(finite, hi - lo, 1.0)
+
+    def to_u(theta):
+        t = jnp.clip((theta - lo) / span, eps, 1 - eps)
+        return jnp.where(finite, jnp.log(t) - jnp.log1p(-t), theta)
+
+    def to_theta(u):
+        return jnp.where(finite, lo + span * jax.nn.sigmoid(u), u)
+
+    def obj(u):
+        ll = log_like(to_theta(u))
+        return -jnp.where(jnp.isfinite(ll), ll, -1e12)
+
+    grad_fn = jax.grad(obj)
+
+    u0 = to_u(jnp.asarray(theta0))
+    starts = u0[None, :] + spread * jax.random.normal(
+        key, (n_starts, theta0.size), dtype=u0.dtype)
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(starts):
+        def one(u_init):
+            state0 = opt.init(u_init)
+
+            def body(carry, _):
+                u, st, best_u, best_f = carry
+                g = grad_fn(u)
+                updates, st = opt.update(g, st)
+                u = optax.apply_updates(u, updates)
+                f = obj(u)
+                better = f < best_f
+                best_u = jnp.where(better, u, best_u)
+                best_f = jnp.where(better, f, best_f)
+                return (u, st, best_u, best_f), None
+
+            f0 = obj(u_init)
+            (u, _, best_u, best_f), _ = jax.lax.scan(
+                body, (u_init, state0, u_init, f0), None, length=n_steps)
+            return best_u, best_f
+
+        return jax.vmap(one)(starts)
+
+    best_us, best_fs = run(starts)
+    i = int(jnp.argmin(best_fs))
+    theta_hat = np.asarray(to_theta(best_us[i]))
+    ll_hat = -float(best_fs[i])
     if verbose:
-        print(f"  MLE log-like: {-best_f:.4f}")
-    return np.asarray(best_x), -best_f
+        print(f"  multistart MLE: ll {ll_hat:.4f} "
+              f"(best of {n_starts} starts)")
+    return theta_hat, ll_hat
