@@ -81,34 +81,29 @@ def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
 
     # full ensemble step batched across clusters: the half-updates operate
     # on (C, H, D) blocks so every cluster's half-batch is evaluated in a
-    # single call to log_prob_batch_cluster
+    # single call to log_prob_batch_cluster; one PRNG block per step
+    # (mirrors sampling.stretch.make_step)
+    H = W // 2
+
     def step_all(state, k):
         x, lp, acc = state
-        keys = jax.random.split(k, C)
-        H = W // 2
         dtype = x.dtype
+        u_all = jax.random.uniform(k, (2, C, 3, H), dtype=dtype)
+        sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
 
-        def half(carry, which):
-            x, lp, acc, keys = carry
-            # split halves
+        def half(x, lp, acc, u3, which):
             if which == 0:
-                xm, lm = x[:, :H], lp[:, :H]
-                xf = x[:, H:]
+                xm, lm, xf = x[:, :H], lp[:, :H], x[:, H:]
             else:
-                xm, lm = x[:, H:], lp[:, H:]
-                xf = x[:, :H]
-            ks = jax.vmap(lambda k: jax.random.split(k, 3))(keys)
-            kz, kp, ku = ks[:, 0], ks[:, 1], ks[:, 2]
-            sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
-            u = jax.vmap(lambda k: jax.random.uniform(k, (H,), dtype=dtype))(kz)
-            z = (1.0 / sa + u * (sa - 1.0 / sa)) ** 2
-            pidx = jax.vmap(lambda k: jax.random.randint(k, (H,), 0, W - H))(kp)
+                xm, lm, xf = x[:, H:], lp[:, H:], x[:, :H]
+            z = (1.0 / sa + u3[:, 0] * (sa - 1.0 / sa)) ** 2   # (C, H)
+            pidx = jnp.minimum((u3[:, 1] * (W - H)).astype(jnp.int32),
+                               W - H - 1)
             xp = jnp.take_along_axis(xf, pidx[:, :, None], axis=1)
             y = xp + z[:, :, None] * (xm - xp)
             lp_y = log_prob_batch_cluster(y)
             logr = (D - 1.0) * jnp.log(z) + lp_y - lm
-            uu = jax.vmap(lambda k: jax.random.uniform(k, (H,), dtype=dtype))(ku)
-            accept = jnp.log(uu) < logr
+            accept = jnp.log(u3[:, 2]) < logr
             xm = jnp.where(accept[:, :, None], y, xm)
             lm = jnp.where(accept, lp_y, lm)
             if which == 0:
@@ -119,11 +114,10 @@ def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
                 x = jnp.concatenate([x[:, :H], xm], axis=1)
                 lp = jnp.concatenate([lp[:, :H], lm], axis=1)
                 acc = acc.at[:, H:].add(accept.astype(dtype))
-            return (x, lp, acc, keys), None
+            return x, lp, acc
 
-        keys2 = jax.vmap(lambda k: jax.random.fold_in(k, 1))(keys)
-        (x, lp, acc, _), _ = half((x, lp, acc, keys), 0)
-        (x, lp, acc, _), _ = half((x, lp, acc, keys2), 1)
+        x, lp, acc = half(x, lp, acc, u_all[0], 0)
+        x, lp, acc = half(x, lp, acc, u_all[1], 1)
         return (x, lp, acc), None
 
     n_saved = max(n_steps // thin, 1)
