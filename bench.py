@@ -48,8 +48,9 @@ def main():
         log_like_batch = jax.jit(jax.vmap(sess.log_like))
 
     # large-ensemble throughput: the TPU-native scaling axis is the walker
-    # batch (SURVEY.md §2.2); 1024 walkers saturate the MXU matmuls
-    W = 1024
+    # batch (SURVEY.md §2.2); measured optimum on v5e is ~4096 walkers
+    # (scripts/tpu_scaling.py)
+    W = 4096 if on_tpu else 1024
     rng = np.random.default_rng(0)
     p0 = jnp.asarray(theta0[None] * (
         1 + 0.01 * rng.standard_normal((W, theta0.size))

@@ -26,8 +26,9 @@ from .geometry import (
 )
 from .ops.szkernel import build_sz_operator, SZOperator
 from .models import (
-    GNFWPressure, VikhlininDensity, UPPTemperature, SZData, XrayData,
-    CountRateTable, JointModel, build_reference_params,
+    GNFWPressure, KnotPressure, VikhlininDensity, UPPTemperature,
+    VikhlininTemperature, SZData, XrayData, CountRateTable, JointModel,
+    build_reference_params,
 )
 from .tablegen import TableSpec, generate_table, save_table
 
@@ -110,9 +111,22 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
     )
 
     # --- components + parameters -------------------------------------------
-    pressure = GNFWPressure("p")
-    density = VikhlininDensity("ne", mode="single")
-    temperature = UPPTemperature(pressure, density, "T")
+    if cfg.pressure_model == "gnfw":
+        pressure = GNFWPressure("p")
+    elif cfg.pressure_model == "knots":
+        knots = np.geomspace(geom.r_press_kpc[0], geom.r_press_kpc[-1],
+                             cfg.n_pressure_knots)
+        pressure = KnotPressure(knots, name="p")
+    else:
+        raise ValueError(f"unknown pressure_model {cfg.pressure_model!r}")
+    density = VikhlininDensity("ne", mode=cfg.density_mode)
+    if cfg.temperature_model == "upp":
+        temperature = UPPTemperature(pressure, density, "T")
+    elif cfg.temperature_model == "vikhlinin":
+        temperature = VikhlininTemperature("T")
+    else:
+        raise ValueError(
+            f"unknown temperature_model {cfg.temperature_model!r}")
 
     annuli = None
     bands = None

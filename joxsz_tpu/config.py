@@ -71,6 +71,11 @@ class JoXSZConfig:
     save_dir: str = "./"
     ci: int = 95                               # credible-interval level
     exclude_unphysical_mass: bool = True
+    # model selection (BASELINE config #4: alternative parametrizations)
+    pressure_model: str = "gnfw"               # gnfw|knots
+    n_pressure_knots: int = 7                  # for pressure_model="knots"
+    temperature_model: str = "upp"             # upp|vikhlinin
+    density_mode: str = "single"               # single|double (Vikhlinin)
     # numerics
     dtype: str = "float64"                     # float64|float32|bfloat16
     abel_scheme: str = "pyabel"                # pyabel|exact-linear

@@ -190,9 +190,10 @@ def build_reference_params(
     pars["log(r_c)"].val = 2.0
     pars[r"\epsilon"].maxval = 10.0
     pars.freeze(r"\alpha", 0.0)
-    if "c" in pars:
+    if "c" in pars:  # gNFW inner slope (absent for knot pressure)
         pars.freeze("c")
-    pars.thaw("log(T_X/T_{SZ})")
+    if "log(T_X/T_{SZ})" in pars:  # UPP temperature only
+        pars.thaw("log(T_X/T_{SZ})")
 
     # reorder the thawed list to the reference's sampling order
     # (density, Z, T-ratio, pressure, backscale, calibration):

@@ -3,9 +3,13 @@ from .profiles import (
     compute_profiles, compute_mass_profiles, compute_gas_fraction,
     posterior_predictive,
 )
+from .summary import (
+    integrated_autocorr_time, effective_samples, summary_dict, save_summary,
+)
 
 __all__ = [
     "equal_tailed", "cumulative_gas_mass", "ProfileSet", "make_profile_fns",
     "compute_profiles", "compute_mass_profiles", "compute_gas_fraction",
-    "posterior_predictive",
+    "posterior_predictive", "integrated_autocorr_time", "effective_samples",
+    "summary_dict", "save_summary",
 ]

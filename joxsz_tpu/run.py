@@ -89,6 +89,14 @@ def main(argv=None):
     (save / f"{cfg.name}_timings.json").write_text(
         json.dumps(res.timings, indent=2, default=float))
 
+    from .postproc import summary_dict, save_summary
+
+    save_summary(
+        str(save / f"{cfg.name}_summary.json"),
+        summary_dict(res.flat_chain, p.thawed,
+                     units=[p[n].unit for n in p.thawed], ci=cfg.ci,
+                     chain_3d=res.chain))
+
     if args.no_plots:
         return res
 

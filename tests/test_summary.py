@@ -1,0 +1,56 @@
+"""Autocorrelation-time estimator and summary export."""
+
+import numpy as np
+
+from joxsz_tpu.postproc.summary import (
+    autocorr_function, integrated_autocorr_time, effective_samples,
+    summary_dict, save_summary,
+)
+
+
+def _ar1_chain(rho, n_steps, n_walkers, ndim, rng):
+    x = np.zeros((n_steps, n_walkers, ndim))
+    x[0] = rng.standard_normal((n_walkers, ndim))
+    noise = rng.standard_normal((n_steps, n_walkers, ndim))
+    for t in range(1, n_steps):
+        x[t] = rho * x[t - 1] + np.sqrt(1 - rho**2) * noise[t]
+    return x
+
+
+def test_acf_white_noise():
+    rng = np.random.default_rng(0)
+    acf = autocorr_function(rng.standard_normal(4096))
+    assert np.isclose(acf[0], 1.0)
+    assert np.all(np.abs(acf[1:50]) < 0.1)
+
+
+def test_tau_ar1():
+    """AR(1) with coefficient rho has tau = (1+rho)/(1-rho)."""
+    rng = np.random.default_rng(1)
+    for rho in (0.5, 0.9):
+        chain = _ar1_chain(rho, 20000, 8, 1, rng)
+        tau = integrated_autocorr_time(chain)[0]
+        expected = (1 + rho) / (1 - rho)
+        assert abs(tau - expected) / expected < 0.25, (rho, tau, expected)
+
+
+def test_effective_samples_monotone():
+    rng = np.random.default_rng(2)
+    fast = _ar1_chain(0.2, 4000, 8, 1, rng)
+    slow = _ar1_chain(0.95, 4000, 8, 1, rng)
+    assert effective_samples(fast)[0] > effective_samples(slow)[0]
+
+
+def test_summary_roundtrip(tmp_path):
+    rng = np.random.default_rng(3)
+    chain = _ar1_chain(0.6, 500, 10, 3, rng)
+    flat = chain.reshape(-1, 3)
+    s = summary_dict(flat, ["a", "b", "c"], units=["u1", "u2", "u3"],
+                     chain_3d=chain)
+    assert set(s["parameters"]) == {"a", "b", "c"}
+    assert "autocorr_time" in s["parameters"]["a"]
+    path = tmp_path / "summary.json"
+    save_summary(str(path), s)
+    import json
+    loaded = json.loads(path.read_text())
+    assert loaded["parameters"]["b"]["unit"] == "u2"
