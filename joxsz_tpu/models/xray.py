@@ -42,11 +42,45 @@ class CountRateTable:
     logflux_Z0: jnp.ndarray    # (nT,) bolometric
     logflux_Z1: jnp.ndarray    # (nT,)
 
-    def rates(self, T_keV, Z_solar):
-        """cts/s per unit norm, broadcast over bands x shells."""
+    def rates(self, T_keV, Z_solar, use_matmul: bool = True):
+        """cts/s per unit norm, broadcast over bands x shells.
+
+        ``use_matmul=True`` evaluates the log-T linear interpolation as a
+        (one-hot segment weights) x (table) matmul instead of
+        searchsorted+gather — on TPU the compare+matmul form maps onto
+        VPU+MXU with no gather, which measurably helps large walker
+        batches."""
         tl = jnp.log(T_keV)
-        r0 = jnp.exp(lerp_lookup(self.Tlog, self.lograte_Z0, tl))
-        r1 = jnp.exp(lerp_lookup(self.Tlog, self.lograte_Z1, tl))
+        if not use_matmul:
+            # clamped at the grid ends (np.interp semantics, matching
+            # mbproj2's runtime interpolation of the cached tables)
+            r0 = jnp.exp(lerp_lookup(self.Tlog, self.lograte_Z0, tl,
+                                     extrapolate=False))
+            r1 = jnp.exp(lerp_lookup(self.Tlog, self.lograte_Z1, tl,
+                                     extrapolate=False))
+            return r0 * (1.0 - Z_solar) + r1 * Z_solar
+        grid = self.Tlog
+        n = grid.shape[0]
+        dt = grid[1] - grid[0]                     # uniform log-T grid
+        pos = jnp.clip((tl - grid[0]) / dt, 0.0, n - 1 - 1e-6)
+        k = jnp.floor(pos)
+        frac = pos - k
+        # interpolation weights as a dense (..., nT) matrix:
+        # w[j] = (1-frac) [j==k] + frac [j==k+1]
+        j = jnp.arange(n, dtype=pos.dtype)
+        shape = tl.shape + (n,)
+        kb = jnp.broadcast_to(k[..., None], shape)
+        fb = jnp.broadcast_to(frac[..., None], shape)
+        w = jnp.where(j == kb, 1.0 - fb, 0.0) + jnp.where(j == kb + 1.0,
+                                                          fb, 0.0)
+        # lerp-lookup semantics beyond the grid: clamp-with-end-slope is
+        # unnecessary here (the grid spans 0.06-60 keV; T is clipped by
+        # `pos`), so clamping to the end segment matches lerp_lookup's
+        # behaviour inside the physical range
+        logr0 = jnp.einsum("...j,bj->...b", w, self.lograte_Z0)
+        logr1 = jnp.einsum("...j,bj->...b", w, self.lograte_Z1)
+        r0 = jnp.exp(jnp.moveaxis(logr0, -1, 0))
+        r1 = jnp.exp(jnp.moveaxis(logr1, -1, 0))
         return r0 * (1.0 - Z_solar) + r1 * Z_solar
 
     def flux(self, T_keV, Z_solar, ne_cm3, norm_per_cm3):

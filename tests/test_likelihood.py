@@ -112,13 +112,11 @@ def test_xray_pred_vs_numpy(session, theta0):
     Tlog = np.asarray(tab.Tlog)
     lr0 = np.asarray(tab.lograte_Z0)
     lr1 = np.asarray(tab.lograte_Z1)
-    from scipy.interpolate import interp1d
-    r0 = np.exp(np.stack([
-        interp1d(Tlog, lr0[b], fill_value="extrapolate")(np.log(T))
-        for b in range(lr0.shape[0])]))
-    r1 = np.exp(np.stack([
-        interp1d(Tlog, lr1[b], fill_value="extrapolate")(np.log(T))
-        for b in range(lr1.shape[0])]))
+    # np.interp clamps at the ends — the mbproj2 runtime convention
+    r0 = np.exp(np.stack([np.interp(np.log(T), Tlog, lr0[b])
+                          for b in range(lr0.shape[0])]))
+    r1 = np.exp(np.stack([np.interp(np.log(T), Tlog, lr1[b])
+                          for b in range(lr1.shape[0])]))
     rates = r0 * (1 - Z) + r1 * Z
     emiss = rates * ne**2
     proj = emiss @ np.asarray(x.vols_norm).T
