@@ -1,10 +1,13 @@
 from .stretch import (
     run_ensemble, make_step, generate_init_positions, EnsembleResult,
 )
-from .mle import find_mle
+from .tempered import run_tempered_ensemble, default_betas, TemperedResult
+from .mle import find_mle, find_mle_multistart
 from .driver import run_fit, FitResult
 
 __all__ = [
     "run_ensemble", "make_step", "generate_init_positions",
-    "EnsembleResult", "find_mle", "run_fit", "FitResult",
+    "EnsembleResult", "run_tempered_ensemble", "default_betas",
+    "TemperedResult", "find_mle", "find_mle_multistart", "run_fit",
+    "FitResult",
 ]

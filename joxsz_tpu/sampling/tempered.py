@@ -1,0 +1,158 @@
+"""Parallel-tempered ensemble sampling (device-resident).
+
+Capability beyond the reference: the joint CL J1226 posterior is multimodal
+in the (log r_s, epsilon) subspace (observed: runs from different seeds
+settle in different basins), and a single-temperature stretch-move ensemble
+mixes between such basins only geologically.  Parallel tempering runs K
+replica ensembles at inverse temperatures beta_k (tempering ONLY the
+likelihood-veto surface: target_k = beta_k * log_prob), with stretch moves
+within each rung and state swaps between adjacent rungs:
+
+    accept swap of (x_i at beta_a, x_j at beta_b) with
+    ln U < (beta_a - beta_b) (logP(x_j) - logP(x_i))
+
+Everything — K x W stretch updates and the swap sweep — lives in one
+``lax.scan``; likelihood evaluations are batched (K*W/2 at a time).
+
+The cold rung (beta = 1) is the posterior chain; hotter rungs exist purely
+to ferry walkers between modes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class TemperedResult:
+    chain: np.ndarray            # cold-rung chain (n_saved, W, D)
+    log_prob: np.ndarray         # cold-rung log probs (n_saved, W)
+    acceptance_fraction: np.ndarray   # (K, W) within-rung acceptance
+    swap_acceptance: np.ndarray  # (K-1,) between-rung swap acceptance
+    final_state: tuple
+
+
+def default_betas(n_rungs: int, ratio: float = 0.6) -> np.ndarray:
+    """Geometric temperature ladder 1, r, r^2, ... (beta = 1 is cold)."""
+    return ratio ** np.arange(n_rungs)
+
+
+def run_tempered_ensemble(
+    log_prob_batch,
+    p0: jnp.ndarray,            # (K, W, D) or (W, D) replicated
+    betas,
+    n_steps: int,
+    key: jax.Array,
+    thin: int = 1,
+    a: float = 2.0,
+) -> TemperedResult:
+    betas = jnp.asarray(np.asarray(betas, dtype=float))
+    K = betas.shape[0]
+    p0 = jnp.asarray(p0)
+    if p0.ndim == 2:
+        p0 = jnp.broadcast_to(p0[None], (K,) + p0.shape)
+    _, W, D = p0.shape
+    if W % 2:
+        raise ValueError("need an even number of walkers")
+    H = W // 2
+    dtype = p0.dtype
+    betas = betas.astype(dtype)
+
+    def lp_all(x):  # (K, W, D) -> (K, W) untempered log-probs
+        return log_prob_batch(x.reshape(K * x.shape[1], D)).reshape(
+            K, x.shape[1])
+
+    def step(state, k):
+        x, lp, acc, sacc = state
+        ku, ks = jax.random.split(k)
+        u = jax.random.uniform(ku, (2, K, 3, H), dtype=dtype)
+        sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
+
+        def half(x, lp, acc, u3, which):
+            if which == 0:
+                xm, lm, xf = x[:, :H], lp[:, :H], x[:, H:]
+            else:
+                xm, lm, xf = x[:, H:], lp[:, H:], x[:, :H]
+            z = (1.0 / sa + u3[:, 0] * (sa - 1.0 / sa)) ** 2   # (K, H)
+            pidx = jnp.minimum((u3[:, 1] * H).astype(jnp.int32), H - 1)
+            xp = jnp.take_along_axis(xf, pidx[:, :, None], axis=1)
+            y = xp + z[:, :, None] * (xm - xp)
+            lp_y = lp_all(y)                                   # (K, H)
+            logr = ((D - 1.0) * jnp.log(z)
+                    + betas[:, None] * (lp_y - lm))
+            accept = jnp.log(u3[:, 2]) < logr
+            xm = jnp.where(accept[:, :, None], y, xm)
+            lm = jnp.where(accept, lp_y, lm)
+            if which == 0:
+                x = jnp.concatenate([xm, x[:, H:]], axis=1)
+                lp = jnp.concatenate([lm, lp[:, H:]], axis=1)
+                acc = acc.at[:, :H].add(accept.astype(dtype))
+            else:
+                x = jnp.concatenate([x[:, :H], xm], axis=1)
+                lp = jnp.concatenate([lp[:, :H], lm], axis=1)
+                acc = acc.at[:, H:].add(accept.astype(dtype))
+            return x, lp, acc
+
+        x, lp, acc = half(x, lp, acc, u[0], 0)
+        x, lp, acc = half(x, lp, acc, u[1], 1)
+
+        # swap sweep: pair each rung k with k+1, random walker pairing
+        kp, kw = jax.random.split(ks)
+        perm_u = jax.random.uniform(kp, (K - 1, W), dtype=dtype)
+        jidx = jnp.argsort(perm_u, axis=1)          # random permutation
+        u_sw = jax.random.uniform(kw, (K - 1, W), dtype=dtype)
+
+        def swap_pair(carry, kk):
+            x, lp, sacc = carry
+            # swap candidates between rung kk (colder) and kk+1
+            lp_c = lp[kk]
+            lp_h = lp[kk + 1][jidx[kk]]
+            x_h = x[kk + 1][jidx[kk]]
+            dbeta = betas[kk] - betas[kk + 1]
+            logr = dbeta * (lp_h - lp_c)
+            accept = jnp.log(u_sw[kk]) < logr       # (W,)
+            new_c_x = jnp.where(accept[:, None], x_h, x[kk])
+            new_c_lp = jnp.where(accept, lp_h, lp_c)
+            # scatter the swapped-out cold states into the hot rung
+            hot_x = x[kk + 1].at[jidx[kk]].set(
+                jnp.where(accept[:, None], x[kk], x_h))
+            hot_lp = lp[kk + 1].at[jidx[kk]].set(
+                jnp.where(accept, lp_c, lp_h))
+            x = x.at[kk].set(new_c_x).at[kk + 1].set(hot_x)
+            lp = lp.at[kk].set(new_c_lp).at[kk + 1].set(hot_lp)
+            sacc = sacc.at[kk].add(accept.mean())
+            return (x, lp, sacc), None
+
+        (x, lp, sacc), _ = jax.lax.scan(swap_pair, (x, lp, sacc),
+                                        jnp.arange(K - 1))
+        return (x, lp, acc, sacc), None
+
+    @jax.jit
+    def drive(x, lp, acc, sacc, rkey):
+        n_saved = max(n_steps // thin, 1)
+
+        def outer(state, k):
+            keys = jax.random.split(k, thin)
+            state, _ = jax.lax.scan(step, state, keys)
+            x, lp, _, _ = state
+            return state, (x[0], lp[0])    # cold rung only
+
+        keys = jax.random.split(rkey, n_saved)
+        state, saved = jax.lax.scan(outer, (x, lp, acc, sacc), keys)
+        return state, saved
+
+    lp0 = lp_all(p0)
+    acc0 = jnp.zeros((K, W), dtype=dtype)
+    sacc0 = jnp.zeros((K - 1,), dtype=dtype)
+    (x, lp, acc, sacc), (chain, logp) = drive(p0, lp0, acc0, sacc0, key)
+    return TemperedResult(
+        chain=np.asarray(chain),
+        log_prob=np.asarray(logp),
+        acceptance_fraction=np.asarray(acc) / float(n_steps),
+        swap_acceptance=np.asarray(sacc) / float(n_steps),
+        final_state=(x, lp),
+    )
