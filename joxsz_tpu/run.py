@@ -32,6 +32,9 @@ def main(argv=None):
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--resume", metavar="STATE_NPZ",
                     help="resume sampling from a saved state file")
+    ap.add_argument("--temper", type=int, default=0, metavar="K",
+                    help="parallel-temper the sampling phase with K rungs "
+                         "(multimodal posteriors)")
     args = ap.parse_args(argv)
 
     import jax
@@ -84,6 +87,7 @@ def main(argv=None):
         state_path=str(save / f"{cfg.name}_state.npz"),
         best_path=str(save / "fit.dat"),
         resume_from=args.resume,
+        n_temper_rungs=args.temper,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(

@@ -27,7 +27,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .stretch import run_ensemble, generate_init_positions
+from .stretch import run_ensemble, generate_init_positions, EnsembleResult
 from .mle import find_mle
 from ..io.checkpoint import save_chain_hdf5, save_state, load_state
 
@@ -86,6 +86,7 @@ def run_fit(
     best_path: str | None = None,
     resume_from: str | None = None,
     log_like_batch=None,
+    n_temper_rungs: int = 0,
     verbose: bool = True,
 ) -> FitResult:
     """Full fit; pass ``resume_from`` (a state .npz written by a previous
@@ -162,13 +163,32 @@ def run_fit(
         p1 = p0
     timings["burn_s"] = time.time() - t0
 
-    # 5. sampling
+    # 5. sampling (optionally parallel-tempered for multimodal posteriors)
     t0 = time.time()
     key, sub = jax.random.split(key)
-    res = run_ensemble(log_like_batch, p1, nsteps, sub, thin=nthin,
-                       store_chain=True)
+    if n_temper_rungs > 1:
+        from .tempered import run_tempered_ensemble, default_betas
+
+        res = run_tempered_ensemble(
+            log_like_batch, p1, default_betas(n_temper_rungs), nsteps, sub,
+            thin=nthin)
+        if verbose:
+            print(f"swap acceptance per rung boundary: "
+                  f"{np.round(res.swap_acceptance, 3)}")
+        # adapt the tempered result to the common interface
+        res = EnsembleResult(
+            chain=res.chain, log_prob=res.log_prob,
+            acceptance_fraction=res.acceptance_fraction[0],
+            final_state=(res.final_state[0][0], res.final_state[1][0],
+                         sub),
+        )
+    else:
+        res = run_ensemble(log_like_batch, p1, nsteps, sub, thin=nthin,
+                           store_chain=True)
     timings["sample_s"] = time.time() - t0
-    n_evals = (rounds * prelim_iterations + nburn + nsteps) * nwalkers
+    sample_mult = max(n_temper_rungs, 1)
+    n_evals = (rounds * prelim_iterations + nburn
+               + nsteps * sample_mult) * nwalkers
     total_s = (timings["prelim_s"] + timings["burn_s"] + timings["sample_s"])
     timings["likelihood_evals"] = n_evals
     timings["evals_per_s"] = n_evals / total_s if total_s > 0 else np.nan
