@@ -36,16 +36,10 @@ def main():
 
     theta0 = np.asarray(sess.params.thawed_values(),
                         dtype=np.float32 if on_tpu else np.float64)
-    if on_tpu:
-        # fused Pallas SZ core for the hot path
-        from joxsz_tpu.io.readers import read_conversion_table, read_xy
-
-        conv = read_conversion_table(cfg.sz.conversion_file)
-        flux = read_xy(cfg.sz.flux_file, 3)
-        log_like_batch = jax.jit(sess.model.log_like_batch_fused(
-            conv, flux, sess.sz_operator, use_pallas=True))
-    else:
-        log_like_batch = jax.jit(jax.vmap(sess.log_like))
+    # measured on v5e (docs/PERFORMANCE.md): after the gather-free table
+    # lookup, plain vmap+XLA is the fastest path at the optimal batch
+    # (the Pallas SZ core wins only at >=16k walkers)
+    log_like_batch = jax.jit(jax.vmap(sess.log_like))
 
     # large-ensemble throughput: the TPU-native scaling axis is the walker
     # batch (SURVEY.md §2.2); measured optimum on v5e is ~4096 walkers

@@ -185,15 +185,82 @@ def generate_table(spec: TableSpec, backend: str = "auto") -> dict:
 
 
 def _generate_with_xspec(spec, resp, band_masks, Tlog):
-    """Drive a real XSPEC binary (HEASOFT) to tabulate phabs*apec rates.
+    """Drive a real XSPEC binary (HEASOFT) to tabulate phabs*apec count
+    rates — the parity path for production tables (matches the reference's
+    use of XSPEC through mbproj2, /root/reference/joxsz_funcs.py:664-676).
 
-    Only usable where HEASOFT is installed; kept as the parity path for
-    production tables."""
+    For each band we load a fake spectrum bound to the real RMF/ARF,
+    restrict to the band's energy range, set ``model phabs(apec)`` with
+    norm = 1, step the temperature over the grid at Z = 0 and Z = 1, and
+    read the predicted model rate from ``tclout rate``.  Requires a
+    HEASOFT environment (not present in CI — the analytic backend covers
+    that); the emitted script is plain XSPEC/Tcl.
+    """
     if shutil.which("xspec") is None:
         raise RuntimeError("xspec binary not found on PATH")
-    raise NotImplementedError(
-        "XSPEC driver requires interactive HEASOFT; planned: emit a .xcm "
-        "script per (T, Z) computing 'show rates' with the band responses")
+    import tempfile
+
+    T_grid = np.exp(Tlog)
+    Z_grid = (0.0, 1.0)
+    n_band = len(spec.bands_eV)
+    rates = np.zeros((len(Z_grid), len(T_grid), n_band))
+
+    with tempfile.TemporaryDirectory() as td:
+        script = pathlib.Path(td) / "rates.xcm"
+        out_path = pathlib.Path(td) / "rates.dat"
+        lines = [
+            "query yes",
+            "abund angr",
+            # fake 1-count spectrum so XSPEC accepts the responses
+            f"fakeit none & {spec.rmf} & {spec.arf} & y & & "
+            f"{td}/fake.pha & 1.0",
+        ]
+        lines.append(f"set fp [open {out_path} w]")
+        for ib, (lo, hi) in enumerate(spec.bands_eV):
+            lines += [
+                "ignore **-**",
+                f"notice {lo/1000.0:.6f}-{hi/1000.0:.6f}",
+            ]
+            for iz, Z in enumerate(Z_grid):
+                for it, T in enumerate(T_grid):
+                    lines += [
+                        f"model phabs(apec) & {spec.NH_1022pcm2} & "
+                        f"{T:.6g} & {Z} & {spec.z} & 1.0 & /*",
+                        "tclout rate 1",
+                        # field 3 of tclout rate = predicted model rate
+                        f'puts $fp "{iz} {it} {ib} [lindex $xspec_tclout 2]"',
+                    ]
+        lines += ["close $fp", "exit"]
+        script.write_text("\n".join(lines) + "\n")
+        subprocess.run(["xspec", "-"], input=script.read_text(),
+                       capture_output=True, text=True, timeout=3600,
+                       check=True)
+        for row in out_path.read_text().split("\n"):
+            if not row.strip():
+                continue
+            iz, it, ib, r = row.split()
+            rates[int(iz), int(it), int(ib)] = float(r)
+
+    rates = np.clip(rates, 1e-300, None)
+    bolo = np.array([
+        [sp.bolometric_flux_per_norm(T, Z, spec.z) for T in T_grid]
+        for Z in Z_grid
+    ])
+    bolo = np.clip(bolo, 1e-300, None)
+    return {
+        "Tlog": Tlog,
+        "lograte_Z0": np.log(rates[0]).T,
+        "lograte_Z1": np.log(rates[1]).T,
+        "logflux_Z0": np.log(bolo[0]),
+        "logflux_Z1": np.log(bolo[1]),
+        "bands_eV": np.asarray(spec.bands_eV, dtype=float),
+        "meta": np.bytes_(json.dumps({
+            "z": spec.z, "NH_1022pcm2": spec.NH_1022pcm2,
+            "rmf": os.path.basename(spec.rmf),
+            "arf": os.path.basename(spec.arf),
+            "backend": "xspec", "model": "phabs(apec)",
+        }).encode()),
+    }
 
 
 def save_table(path: str, table: dict):
