@@ -35,6 +35,10 @@ def main(argv=None):
     ap.add_argument("--temper", type=int, default=0, metavar="K",
                     help="parallel-temper the sampling phase with K rungs "
                          "(multimodal posteriors)")
+    ap.add_argument("--walkers", type=int, default=None,
+                    help="override the walker count (large ensembles are "
+                         "effectively free on TPU and stabilise multimodal "
+                         "posteriors; see docs/PERFORMANCE.md)")
     args = ap.parse_args(argv)
 
     import jax
@@ -61,6 +65,8 @@ def main(argv=None):
         cfg.dtype = "float32"
     if args.seed is not None:
         cfg.mcmc.seed = args.seed
+    if args.walkers is not None:
+        cfg.mcmc.nwalkers = args.walkers
 
     print(f"backend: {jax.default_backend()}; dtype {cfg.dtype}")
     t0 = time.time()

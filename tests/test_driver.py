@@ -1,0 +1,58 @@
+"""Fit-driver integration tests on a cheap synthetic posterior: phase
+structure, checkpoint outputs, resume, tempered path."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from joxsz_tpu.sampling.driver import run_fit
+
+
+def _make_problem(ndim=4):
+    mu = jnp.asarray(np.linspace(-1, 1, ndim))
+
+    def log_like(x):
+        return -0.5 * jnp.sum((x - mu) ** 2) * 50.0
+
+    lo = np.full(ndim, -10.0)
+    hi = np.full(ndim, 10.0)
+    names = [f"p{i}" for i in range(ndim)]
+    return log_like, np.zeros(ndim), lo, hi, names, np.asarray(mu)
+
+
+def test_run_fit_end_to_end(tmp_path):
+    log_like, t0, lo, hi, names, mu = _make_problem()
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=200,
+                  nsteps=400, nthin=2, seed=0, prelim_iterations=100,
+                  max_prelim_rounds=2,
+                  chain_path=str(tmp_path / "c.hdf5"),
+                  state_path=str(tmp_path / "s.npz"),
+                  best_path=str(tmp_path / "fit.dat"), verbose=False)
+    assert res.chain.shape == (200, 16, 4)
+    # MLE should be at mu
+    assert np.allclose(res.mle_theta, mu, atol=1e-3)
+    # posterior centred on mu with sd ~ 1/sqrt(50)
+    med = np.median(res.flat_chain, axis=0)
+    assert np.allclose(med, mu, atol=0.1)
+    assert (tmp_path / "c.hdf5").exists()
+    assert (tmp_path / "s.npz").exists()
+    best = (tmp_path / "fit.dat").read_text()
+    assert best.startswith("likelihood =")
+    assert res.timings["evals_per_s"] > 0
+
+    # resume continues from the state without MLE/burn phases
+    res2 = run_fit(log_like, t0, lo, hi, names, nsteps=100, nthin=2,
+                   resume_from=str(tmp_path / "s.npz"), verbose=False)
+    assert res2.chain.shape[0] == 50
+    assert res2.timings["prelim_rounds"] == 0
+
+
+def test_run_fit_tempered(tmp_path):
+    log_like, t0, lo, hi, names, mu = _make_problem(3)
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=100,
+                  nsteps=300, nthin=3, seed=1, prelim_iterations=50,
+                  max_prelim_rounds=1, n_temper_rungs=3, verbose=False)
+    assert res.chain.shape == (100, 16, 3)
+    med = np.median(res.flat_chain, axis=0)
+    assert np.allclose(med, mu, atol=0.15)
