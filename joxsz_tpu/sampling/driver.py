@@ -87,6 +87,7 @@ def run_fit(
     resume_from: str | None = None,
     log_like_batch=None,
     n_temper_rungs: int = 0,
+    checkpoint_every: int = 500,
     verbose: bool = True,
 ) -> FitResult:
     """Full fit; pass ``resume_from`` (a state .npz written by a previous
@@ -182,6 +183,41 @@ def run_fit(
             final_state=(res.final_state[0][0], res.final_state[1][0],
                          sub),
         )
+    elif chain_path and nsteps > 2 * checkpoint_every * nthin:
+        # incremental persistence (the reference's HDF backend writes the
+        # chain as it goes, SURVEY.md §5.4): sample in chunks, flushing the
+        # accumulated chain + resume state after each chunk
+        chunks = []
+        lps = []
+        state_x = p1
+        acc_total = None
+        done = 0
+        while done < nsteps:
+            n = min(checkpoint_every * nthin, nsteps - done)
+            key, sub = jax.random.split(key)
+            r = run_ensemble(log_like_batch, state_x, n, sub, thin=nthin,
+                             store_chain=True)
+            chunks.append(r.chain)
+            lps.append(r.log_prob)
+            acc_total = (r.acceptance_fraction * n if acc_total is None
+                         else acc_total + r.acceptance_fraction * n)
+            state_x = r.final_state[0]
+            done += n
+            save_chain_hdf5(chain_path, np.concatenate(chunks),
+                            np.concatenate(lps),
+                            acc_total / done, param_names, nburn, nthin)
+            if state_path:
+                save_state(state_path, np.asarray(state_x),
+                           np.asarray(r.final_state[1]),
+                           np.asarray(jax.random.key_data(sub)),
+                           {"param_names": param_names, "nburn": nburn,
+                            "nthin": nthin, "seed": seed,
+                            "steps_done": done})
+        res = EnsembleResult(
+            chain=np.concatenate(chunks), log_prob=np.concatenate(lps),
+            acceptance_fraction=acc_total / done,
+            final_state=(state_x, r.final_state[1], key),
+        )
     else:
         res = run_ensemble(log_like_batch, p1, nsteps, sub, thin=nthin,
                            store_chain=True)
@@ -194,9 +230,24 @@ def run_fit(
     timings["evals_per_s"] = n_evals / total_s if total_s > 0 else np.nan
 
     if verbose:
-        print(f"acceptance fraction: {np.mean(res.acceptance_fraction):.3f}")
+        acc = float(np.mean(res.acceptance_fraction))
+        print(f"acceptance fraction: {acc:.3f}")
+        if acc < 0.05:
+            print("WARNING: very low acceptance — the posterior may be "
+                  "much narrower than the walker cloud (check initspread) "
+                  "or strongly multimodal (try --temper)")
         print(f"throughput: {timings['evals_per_s']:.0f} likelihood "
               f"evals/s over {n_evals} evals")
+        if res.chain.shape[0] >= 64:
+            from ..postproc.summary import integrated_autocorr_time
+
+            tau = integrated_autocorr_time(res.chain)
+            worst = float(np.max(tau)) * nthin
+            if nsteps < 20 * worst:
+                print(f"WARNING: longest autocorrelation time ~{worst:.0f} "
+                      f"steps; chain of {nsteps} steps may be "
+                      "under-converged (consider more steps or more "
+                      "walkers)")
 
     # 6. checkpoint
     if best_path:
