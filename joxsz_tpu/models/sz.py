@@ -106,3 +106,26 @@ def sz_log_like(pars: dict, sz: SZData, pressure, temperature) -> jnp.ndarray:
 def sz_integrated_y(pars: dict, sz: SZData, pressure) -> jnp.ndarray:
     """Integrated Compton parameter (arcmin^2), reference 'integ' output."""
     return sz.integ_w @ pressure(pars, sz.r_press_kpc)
+
+
+def sz_outputs(pars: dict, sz: SZData, pressure, temperature,
+               output: str = "ll") -> jnp.ndarray:
+    """Named-output selector mirroring the reference's
+    ``get_sz_like(output=...)`` API (/root/reference/joxsz_funcs.py:439-493):
+    'll' | 'chisq' | 'pp' | 'bright' | 'integ'."""
+    if output == "pp":
+        return pressure(pars, sz.r_press_kpc)
+    if output == "bright":
+        return sz_brightness(pars, sz, pressure, temperature)
+    if output == "integ":
+        return sz_integrated_y(pars, sz, pressure)
+    if output == "ll":
+        return sz_log_like(pars, sz, pressure, temperature)
+    if output == "chisq":
+        # flux chi^2 only, excluding any integrated-Y prior term (the
+        # reference computes chisq before that addition)
+        prof = sz_brightness(pars, sz, pressure, temperature)
+        resid = (sz.flux - sz.G @ prof) / sz.flux_err
+        return jnp.nansum(resid * resid)
+    raise ValueError(
+        "output must be one of 'll', 'chisq', 'pp', 'bright', 'integ'")
