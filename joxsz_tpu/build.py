@@ -138,17 +138,38 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
         edges_logkpc = annuli.edges_logkpc
         bands = [load_band(cfg.xray.fg_template, cfg.xray.bg_template, b)
                  for b in cfg.xray.bands_eV]
+        expect = {"z": cfg.redshift, "NH_1022pcm2": cfg.xray.NH_1022pcm2,
+                  "bands_eV": tuple(cfg.xray.bands_eV)}
         table_path = cfg.xray.table_path
         if table_path is None or not pathlib.Path(table_path).exists():
+            # no explicit table: use (or create) a config-keyed artifact;
+            # the metadata check below guards against a stale/mismatched
+            # file silently providing wrong-physics rates
             repo = pathlib.Path(__file__).resolve().parents[1]
-            table_path = str(repo / "data" / "tables" / "cl1226_ctrate.npz")
-            if not pathlib.Path(table_path).exists():
-                spec = TableSpec(
-                    rmf=cfg.xray.rmf, arf=cfg.xray.arf,
-                    bands_eV=tuple(cfg.xray.bands_eV), z=cfg.redshift,
-                    NH_1022pcm2=cfg.xray.NH_1022pcm2)
+            spec = TableSpec(
+                rmf=cfg.xray.rmf, arf=cfg.xray.arf,
+                bands_eV=tuple(cfg.xray.bands_eV), z=cfg.redshift,
+                NH_1022pcm2=cfg.xray.NH_1022pcm2)
+            key = hashlib.sha256(repr(spec).encode()).hexdigest()[:12]
+            candidates = [
+                repo / "data" / "tables" / f"ctrate_{key}.npz",
+                repo / "data" / "tables" / "cl1226_ctrate.npz",
+            ]
+            table_path = None
+            for cand in candidates:
+                if cand.exists():
+                    try:
+                        CountRateTable.from_npz(str(cand), dtype=dtype,
+                                                expect=expect)
+                        table_path = str(cand)
+                        break
+                    except ValueError:
+                        continue
+            if table_path is None:
+                table_path = str(candidates[0])
                 save_table(table_path, generate_table(spec))
-        table = CountRateTable.from_npz(table_path, dtype=dtype)
+        table = CountRateTable.from_npz(table_path, dtype=dtype,
+                                        expect=expect)
         xray_data = XrayData.build(bands, annuli, table, dtype=dtype)
 
     params = build_reference_params(

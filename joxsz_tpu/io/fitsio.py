@@ -125,10 +125,29 @@ def _parse_header(buf: bytes, pos: int) -> tuple[dict, int]:
                 break
             if card[8:10] != "= ":
                 continue
-            val = card[10:].split("/")[0].strip()
-            if val.startswith("'"):
-                header[key] = val.strip("'").strip()
-            elif val in ("T", "F"):
+            raw = card[10:]
+            stripped = raw.lstrip()
+            if stripped.startswith("'"):
+                # quoted string: ends at the next single quote that is not
+                # doubled ('' escapes a literal quote); the '/' comment
+                # delimiter only applies OUTSIDE the quotes
+                body = stripped[1:]
+                out = []
+                i = 0
+                while i < len(body):
+                    ch = body[i]
+                    if ch == "'":
+                        if i + 1 < len(body) and body[i + 1] == "'":
+                            out.append("'")
+                            i += 2
+                            continue
+                        break
+                    out.append(ch)
+                    i += 1
+                header[key] = "".join(out).rstrip()
+                continue
+            val = raw.split("/")[0].strip()
+            if val in ("T", "F"):
                 header[key] = val == "T"
             else:
                 try:

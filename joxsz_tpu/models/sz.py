@@ -53,10 +53,10 @@ class SZData:
     sep: int = dataclasses.field(metadata=dict(static=True))
     calc_integ: bool = dataclasses.field(
         default=False, metadata=dict(static=True))
-    integ_mu: float = dataclasses.field(
-        default=0.0, metadata=dict(static=True))
-    integ_sig: float = dataclasses.field(
-        default=1.0, metadata=dict(static=True))
+    # per-cluster scalars are DATA leaves (not static) so clusters with
+    # different integrated-Y priors can be stacked/vmapped together
+    integ_mu: float = 0.0
+    integ_sig: float = 1.0
 
     @classmethod
     def build(cls, op: SZOperator, conv_table, flux_data,

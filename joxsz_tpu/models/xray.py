@@ -94,8 +94,39 @@ class CountRateTable:
         return f * ne_cm3**2 * norm_per_cm3
 
     @classmethod
-    def from_npz(cls, path: str, dtype=jnp.float64) -> "CountRateTable":
+    def from_npz(cls, path: str, dtype=jnp.float64,
+                 expect: dict | None = None) -> "CountRateTable":
+        """Load a table artifact.  Pass ``expect={'z':..,
+        'NH_1022pcm2':.., 'bands_eV':..}`` to validate the stored
+        generation metadata against the fit configuration — a table built
+        for a different redshift/column/band-set silently produces wrong
+        X-ray physics otherwise."""
         d = np.load(path)
+        if expect is not None:
+            import json as _json
+
+            meta = _json.loads(bytes(d["meta"]).decode()) if "meta" in d \
+                else {}
+            errs = []
+            for key, tol in (("z", 1e-6), ("NH_1022pcm2", 1e-9)):
+                want = expect.get(key)
+                got = meta.get(key)
+                if want is not None and got is not None and \
+                        abs(float(want) - float(got)) > tol:
+                    errs.append(f"{key}: table {got} != config {want}")
+            want_bands = expect.get("bands_eV")
+            if want_bands is not None and "bands_eV" in d:
+                got_bands = np.asarray(d["bands_eV"], dtype=float)
+                if got_bands.shape != np.asarray(want_bands, float).shape \
+                        or not np.allclose(got_bands,
+                                           np.asarray(want_bands, float)):
+                    errs.append("bands_eV differ between table and config")
+            if errs:
+                raise ValueError(
+                    f"count-rate table {path} was generated for a "
+                    f"different setup: {'; '.join(errs)}. Regenerate with "
+                    "python -m joxsz_tpu.tablegen.generate or point "
+                    "xray.table_path at the right artifact.")
         asx = lambda a: jnp.asarray(a, dtype=dtype)
         return cls(
             Tlog=asx(d["Tlog"]),
@@ -125,7 +156,9 @@ class XrayData:
                                  # values, float32-safe (raw vols ~1e69 cm^3
                                  # and the norm ~1e-71 both overflow f32)
     midpt_kpc: jnp.ndarray       # (n_shell,)
-    norm_per_cm3: float = dataclasses.field(metadata=dict(static=True))
+    # data leaf (differs per cluster via D_A(z)); host code reads it with
+    # float(...) where a scalar is needed
+    norm_per_cm3: float = 1.0
     table: CountRateTable = dataclasses.field(default=None)
 
     @classmethod

@@ -71,9 +71,16 @@ def make_sz_core(op, conv_table, flux, flux_err, dtype=jnp.float32,
     GT = _pad_to(np.asarray(op.G.T, dtype=np.float64), (PIX, ND))
     t_tab, v_tab = conv_table
     n_tab = len(t_tab)
-    flux_p = _pad_to(np.asarray(flux, dtype=np.float64), (ND,))
-    # weight 0 on padded entries kills their residuals
-    w_p = _pad_to(1.0 / np.asarray(flux_err, dtype=np.float64), (ND,))
+    # NaN flux/error entries are dropped from chi^2 (the reference's
+    # nansum, joxsz_funcs.py:479): zero their weight and value so the
+    # plain-sum kernel reproduces nansum semantics
+    flux64 = np.asarray(flux, dtype=np.float64)
+    err64 = np.asarray(flux_err, dtype=np.float64)
+    valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
+    flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
+    # weight 0 on padded/invalid entries kills their residuals
+    w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
+                  (ND,))
 
     LT_j = jnp.asarray(LT, dtype=dtype)
     GT_j = jnp.asarray(GT, dtype=dtype)

@@ -81,31 +81,24 @@ def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
 
     # full ensemble step batched across clusters: the half-updates operate
     # on (C, H, D) blocks so every cluster's half-batch is evaluated in a
-    # single call to log_prob_batch_cluster; one PRNG block per step
-    # (mirrors sampling.stretch.make_step)
+    # single call to log_prob_batch_cluster; one PRNG block per step and
+    # the shared stretch primitive (sampling.stretch.stretch_half_update)
+    from ..sampling.stretch import stretch_half_update
+
     H = W // 2
 
     def step_all(state, k):
         x, lp, acc = state
         dtype = x.dtype
         u_all = jax.random.uniform(k, (2, C, 3, H), dtype=dtype)
-        sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
 
         def half(x, lp, acc, u3, which):
             if which == 0:
                 xm, lm, xf = x[:, :H], lp[:, :H], x[:, H:]
             else:
                 xm, lm, xf = x[:, H:], lp[:, H:], x[:, :H]
-            z = (1.0 / sa + u3[:, 0] * (sa - 1.0 / sa)) ** 2   # (C, H)
-            pidx = jnp.minimum((u3[:, 1] * (W - H)).astype(jnp.int32),
-                               W - H - 1)
-            xp = jnp.take_along_axis(xf, pidx[:, :, None], axis=1)
-            y = xp + z[:, :, None] * (xm - xp)
-            lp_y = log_prob_batch_cluster(y)
-            logr = (D - 1.0) * jnp.log(z) + lp_y - lm
-            accept = jnp.log(u3[:, 2]) < logr
-            xm = jnp.where(accept[:, :, None], y, xm)
-            lm = jnp.where(accept, lp_y, lm)
+            xm, lm, accept = stretch_half_update(
+                log_prob_batch_cluster, u3, xm, lm, xf, a, D)
             if which == 0:
                 x = jnp.concatenate([xm, x[:, H:]], axis=1)
                 lp = jnp.concatenate([lm, lp[:, H:]], axis=1)

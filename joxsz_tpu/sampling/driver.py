@@ -98,12 +98,24 @@ def run_fit(
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 
+    if nsteps % nthin:
+        new_nsteps = nsteps - nsteps % nthin
+        if verbose:
+            print(f"note: nsteps rounded down to {new_nsteps} "
+                  f"(multiple of thin={nthin})")
+        nsteps = new_nsteps
+
     if log_like_batch is None:
         log_like_batch = jax.jit(jax.vmap(log_like))
 
     resumed = None
     if resume_from is not None:
         resumed = load_state(resume_from)
+        # continue the saved PRNG stream (folded once so a double-resume
+        # from the same file still decorrelates from the original run's
+        # consumed keys)
+        key = jax.random.fold_in(
+            jax.random.wrap_key_data(jnp.asarray(resumed["key"])), 1)
         if verbose:
             print(f"resuming from {resume_from} "
                   f"({resumed['positions'].shape[0]} walkers)")
@@ -157,8 +169,9 @@ def run_fit(
     t0 = time.time()
     key, sub = jax.random.split(key)
     if resumed is None:
+        # only the final burn-in state matters; save a single snapshot
         res = run_ensemble(log_like_batch, p0, nburn, sub,
-                           thin=max(nburn // 2, 1), store_chain=True)
+                           thin=max(nburn, 1), store_chain=True)
         p1 = res.final_state[0]
     else:
         p1 = p0
@@ -183,7 +196,7 @@ def run_fit(
             final_state=(res.final_state[0][0], res.final_state[1][0],
                          sub),
         )
-    elif chain_path and nsteps > 2 * checkpoint_every * nthin:
+    elif chain_path and nsteps // nthin > checkpoint_every:
         # incremental persistence (the reference's HDF backend writes the
         # chain as it goes, SURVEY.md §5.4): sample in chunks, flushing the
         # accumulated chain + resume state after each chunk
@@ -207,9 +220,11 @@ def run_fit(
                             np.concatenate(lps),
                             acc_total / done, param_names, nburn, nthin)
             if state_path:
+                # save an unconsumed key (see the final-state note below)
+                key, ksave = jax.random.split(key)
                 save_state(state_path, np.asarray(state_x),
                            np.asarray(r.final_state[1]),
-                           np.asarray(jax.random.key_data(sub)),
+                           np.asarray(jax.random.key_data(ksave)),
                            {"param_names": param_names, "nburn": nburn,
                             "nthin": nthin, "seed": seed,
                             "steps_done": done})
@@ -272,9 +287,13 @@ def run_fit(
         save_chain_hdf5(chain_path, res.chain, res.log_prob,
                         res.acceptance_fraction, param_names, nburn, nthin)
     if state_path:
-        x, lp, k = res.final_state
+        x, lp, _ = res.final_state
+        # persist an UNCONSUMED key (the final_state key was already used
+        # to drive this run's proposals — saving it verbatim would make a
+        # resumed run replay the same random stream)
+        key, ksave = jax.random.split(key)
         save_state(state_path, np.asarray(x), np.asarray(lp),
-                   np.asarray(jax.random.key_data(k)),
+                   np.asarray(jax.random.key_data(ksave)),
                    {"param_names": param_names, "nburn": nburn,
                     "nthin": nthin, "seed": seed})
 

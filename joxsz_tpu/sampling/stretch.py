@@ -49,24 +49,39 @@ def _sample_z(key, shape, a: float, dtype):
                            a, dtype)
 
 
-def _half_update(log_prob_batch, u3, x_move, lp_move, x_fixed, a, ndim):
-    """Stretch-move update of one half against the fixed complementary
-    half.  Shapes: x_move (H, D), x_fixed (H, D); u3 (3, H) uniforms."""
-    H = x_move.shape[0]
+def stretch_half_update(lp_fn, u3, x_move, lp_move, x_fixed, a, ndim,
+                        beta=None):
+    """Stretch-move update of one half-ensemble against the fixed
+    complementary half — the SINGLE implementation shared by the plain,
+    tempered, and multi-cluster samplers.
+
+    Shapes support arbitrary leading batch axes (temperature rungs,
+    clusters): x_move (..., H, D), x_fixed (..., Hf, D), u3 (..., 3, H).
+    ``lp_fn`` maps the proposal block (..., H, D) -> (..., H) UNtempered
+    log-probs; ``beta`` (broadcastable to (..., H)) scales the log-prob
+    difference for tempered rungs."""
     dtype = x_move.dtype
-    z = _z_from_uniform(u3[0], a, dtype)
+    z = _z_from_uniform(u3[..., 0, :], a, dtype)          # (..., H)
+    Hf = x_fixed.shape[-2]
     # uniform partner index from a uniform draw (exact up to float
-    # quantisation ~2^-24, negligible vs H)
-    partner = jnp.minimum((u3[1] * x_fixed.shape[0]).astype(jnp.int32),
-                          x_fixed.shape[0] - 1)
-    xp = x_fixed[partner]                      # (H, D)
-    y = xp + z[:, None] * (x_move - xp)
-    lp_y = log_prob_batch(y)
-    log_ratio = (ndim - 1.0) * jnp.log(z) + lp_y - lp_move
-    accept = jnp.log(u3[2]) < log_ratio
-    x_new = jnp.where(accept[:, None], y, x_move)
+    # quantisation ~2^-24, negligible vs Hf)
+    pidx = jnp.minimum((u3[..., 1, :] * Hf).astype(jnp.int32), Hf - 1)
+    xp = jnp.take_along_axis(x_fixed, pidx[..., None], axis=-2)
+    y = xp + z[..., None] * (x_move - xp)
+    lp_y = lp_fn(y)
+    dlp = lp_y - lp_move
+    if beta is not None:
+        dlp = beta * dlp
+    log_ratio = (ndim - 1.0) * jnp.log(z) + dlp
+    accept = jnp.log(u3[..., 2, :]) < log_ratio
+    x_new = jnp.where(accept[..., None], y, x_move)
     lp_new = jnp.where(accept, lp_y, lp_move)
     return x_new, lp_new, accept
+
+
+def _half_update(log_prob_batch, u3, x_move, lp_move, x_fixed, a, ndim):
+    return stretch_half_update(log_prob_batch, u3, x_move, lp_move,
+                               x_fixed, a, ndim)
 
 
 def make_step(log_prob_batch, ndim: int, a: float = 2.0):
@@ -95,16 +110,23 @@ def make_step(log_prob_batch, ndim: int, a: float = 2.0):
 
 # compiled drivers are cached per (log-prob fn, schedule, shapes) — without
 # this every run_ensemble call re-jits (and on this host reloads) the whole
-# scan program, which dwarfs the actual device time for short phases
-_DRIVE_CACHE: dict = {}
+# scan program, which dwarfs the actual device time for short phases.
+# Bounded LRU (keyed by the function OBJECT, not id(), so entries cannot
+# alias after garbage collection); old entries drop off so long-lived
+# sessions scanning many models don't pin compiled programs forever.
+from collections import OrderedDict
+
+_DRIVE_CACHE: OrderedDict = OrderedDict()
+_DRIVE_CACHE_MAX = 32
 
 
 def _get_drive(log_prob_batch, n_saved: int, thin: int, a: float,
                store_chain: bool, unroll_inner: int, W: int, D: int, dtype):
-    key = (id(log_prob_batch), n_saved, thin, a, store_chain, unroll_inner,
+    key = (log_prob_batch, n_saved, thin, a, store_chain, unroll_inner,
            W, D, str(dtype))
     drive = _DRIVE_CACHE.get(key)
     if drive is not None:
+        _DRIVE_CACHE.move_to_end(key)
         return drive
     step = make_step(log_prob_batch, D, a)
 
@@ -122,6 +144,8 @@ def _get_drive(log_prob_batch, n_saved: int, thin: int, a: float,
         return state, saved
 
     _DRIVE_CACHE[key] = drive
+    if len(_DRIVE_CACHE) > _DRIVE_CACHE_MAX:
+        _DRIVE_CACHE.popitem(last=False)
     return drive
 
 
@@ -143,6 +167,11 @@ def run_ensemble(
     W, D = p0.shape
     if W % 2:
         raise ValueError("need an even number of walkers")
+    if n_steps % thin:
+        # emcee v3 semantics: iterations must divide by thin — silently
+        # dropping the remainder would skew acceptance/throughput accounting
+        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
+                         f"thin ({thin})")
     n_saved = n_steps // thin
 
     lp0 = log_prob_batch(p0)

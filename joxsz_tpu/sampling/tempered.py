@@ -66,27 +66,20 @@ def run_tempered_ensemble(
         return log_prob_batch(x.reshape(K * x.shape[1], D)).reshape(
             K, x.shape[1])
 
+    from .stretch import stretch_half_update
+
     def step(state, k):
         x, lp, acc, sacc = state
         ku, ks = jax.random.split(k)
         u = jax.random.uniform(ku, (2, K, 3, H), dtype=dtype)
-        sa = jnp.sqrt(jnp.asarray(a, dtype=dtype))
 
         def half(x, lp, acc, u3, which):
             if which == 0:
                 xm, lm, xf = x[:, :H], lp[:, :H], x[:, H:]
             else:
                 xm, lm, xf = x[:, H:], lp[:, H:], x[:, :H]
-            z = (1.0 / sa + u3[:, 0] * (sa - 1.0 / sa)) ** 2   # (K, H)
-            pidx = jnp.minimum((u3[:, 1] * H).astype(jnp.int32), H - 1)
-            xp = jnp.take_along_axis(xf, pidx[:, :, None], axis=1)
-            y = xp + z[:, :, None] * (xm - xp)
-            lp_y = lp_all(y)                                   # (K, H)
-            logr = ((D - 1.0) * jnp.log(z)
-                    + betas[:, None] * (lp_y - lm))
-            accept = jnp.log(u3[:, 2]) < logr
-            xm = jnp.where(accept[:, :, None], y, xm)
-            lm = jnp.where(accept, lp_y, lm)
+            xm, lm, accept = stretch_half_update(
+                lp_all, u3, xm, lm, xf, a, D, beta=betas[:, None])
             if which == 0:
                 x = jnp.concatenate([xm, x[:, H:]], axis=1)
                 lp = jnp.concatenate([lm, lp[:, H:]], axis=1)

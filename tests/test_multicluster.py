@@ -27,11 +27,15 @@ def _perturbed_clusters(sess, n=3):
     sz_list, xr_list = [], []
     for c in range(n):
         f = 1.0 + 0.1 * c
+        # differing per-cluster scalars (integ prior, norm) must also
+        # stack — they are data leaves, not static metadata
         sz = dataclasses.replace(sess.model.sz_data,
-                                 flux=sess.model.sz_data.flux * f)
+                                 flux=sess.model.sz_data.flux * f,
+                                 integ_mu=1e-3 * f)
         xr = dataclasses.replace(
             sess.model.xray_data,
-            counts_filled=sess.model.xray_data.counts_filled * f)
+            counts_filled=sess.model.xray_data.counts_filled * f,
+            norm_per_cm3=sess.model.xray_data.norm_per_cm3 * f)
         sz_list.append(sz)
         xr_list.append(xr)
     return sz_list, xr_list
