@@ -39,6 +39,8 @@ def main(argv=None):
                     help="override the walker count (large ensembles are "
                          "effectively free on TPU and stabilise multimodal "
                          "posteriors; see docs/PERFORMANCE.md)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="shard the sampling walkers over an N-device mesh")
     args = ap.parse_args(argv)
 
     import jax
@@ -82,6 +84,13 @@ def main(argv=None):
     else:
         prelim, rounds = m.prelim_iterations, 10
 
+    mesh = None
+    if args.mesh:
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.mesh, axis_names=("walker",))
+        print(f"sampling sharded over {args.mesh} devices")
+
     p = sess.params
     save = pathlib.Path(cfg.save_dir)
     res = run_fit(
@@ -94,6 +103,7 @@ def main(argv=None):
         best_path=str(save / "fit.dat"),
         resume_from=args.resume,
         n_temper_rungs=args.temper,
+        mesh=mesh,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(

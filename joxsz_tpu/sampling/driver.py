@@ -88,6 +88,7 @@ def run_fit(
     log_like_batch=None,
     n_temper_rungs: int = 0,
     checkpoint_every: int = 500,
+    mesh=None,
     verbose: bool = True,
 ) -> FitResult:
     """Full fit; pass ``resume_from`` (a state .npz written by a previous
@@ -232,6 +233,19 @@ def run_fit(
             chain=np.concatenate(chunks), log_prob=np.concatenate(lps),
             acceptance_fraction=acc_total / done,
             final_state=(state_x, r.final_state[1], key),
+        )
+    elif mesh is not None:
+        # walker-sharded sampling over a device mesh (multi-chip); the
+        # program is identical to the single-device path (tested bit-exact)
+        # — the mesh is a layout annotation
+        from ..parallel.sharded import run_sharded_ensemble
+
+        out = run_sharded_ensemble(log_like_batch, p1, nsteps, sub, mesh,
+                                   thin=nthin)
+        res = EnsembleResult(
+            chain=out["chain"], log_prob=out["log_prob"],
+            acceptance_fraction=out["acceptance_fraction"],
+            final_state=(out["final"][0], out["final"][1], sub),
         )
     else:
         res = run_ensemble(log_like_batch, p1, nsteps, sub, thin=nthin,
