@@ -40,8 +40,10 @@ def save_chain_hdf5(
         g.attrs["ndim"] = chain.shape[2]
         g.attrs["has_blobs"] = False
         g.attrs["iteration"] = chain.shape[0]
-        g.create_dataset("chain", data=chain)
-        g.create_dataset("log_prob", data=log_prob)
+        g.create_dataset("chain", data=chain, compression="gzip",
+                         compression_opts=4)
+        g.create_dataset("log_prob", data=log_prob, compression="gzip",
+                         compression_opts=4)
         g.create_dataset("accepted", data=acceptance * chain.shape[0])
         # reference-compatible metadata (joxsz_funcs.py:637-650)
         g.attrs["param_names"] = np.array(

@@ -1,0 +1,161 @@
+"""Hamiltonian Monte Carlo on the joint posterior (device-resident).
+
+The fused likelihood is differentiable end-to-end (matmuls, lerps,
+elementwise physics; the -inf vetoes are flat outside their boundaries),
+which enables gradient-based sampling — something the reference's
+black-box scipy pipeline could never do.  This module provides vmapped
+multi-chain HMC:
+
+  * leapfrog integration with a diagonal mass matrix,
+  * vetoed regions handled by rejection (a trajectory entering a -inf
+    region has infinite energy error and is rejected; gradients at valid
+    points are finite),
+  * dual-averaging step-size adaptation (Hoffman & Gelman 2014) toward a
+    target acceptance during warmup,
+  * all chains advance as one batched lax.scan — chains play the role
+    walkers play for the stretch sampler.
+
+For heavily multimodal targets combine with tempering; HMC shines on the
+smooth, correlated core of the posterior where the stretch move's
+isotropic proposals mix slowly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class HMCResult:
+    chain: np.ndarray             # (n_saved, n_chains, ndim)
+    log_prob: np.ndarray          # (n_saved, n_chains)
+    acceptance_fraction: np.ndarray
+    step_size: float
+    final_state: tuple
+
+
+def _leapfrog(grad_fn, x, p, eps, inv_mass, n_steps):
+    """n_steps leapfrog steps; returns (x', p')."""
+
+    def body(_, carry):
+        x, p = carry
+        p = p + 0.5 * eps * grad_fn(x)
+        x = x + eps * inv_mass * p
+        p = p + 0.5 * eps * grad_fn(x)
+        return (x, p)
+
+    return jax.lax.fori_loop(0, n_steps, body, (x, p))
+
+
+def run_hmc(
+    log_prob,                      # scalar theta -> log prob
+    p0: jnp.ndarray,               # (n_chains, D)
+    n_steps: int,
+    key: jax.Array,
+    n_warmup: int = 500,
+    n_leapfrog: int = 16,
+    target_accept: float = 0.8,
+    init_step_size: float = 0.01,
+    mass_diag: np.ndarray | None = None,
+    thin: int = 1,
+) -> HMCResult:
+    """Batched HMC with dual-averaging warmup.
+
+    ``mass_diag`` is the diagonal of the mass matrix (defaults to the
+    inverse variance of the initial chain cloud — a cheap preconditioner
+    for badly scaled parameters)."""
+    p0 = jnp.asarray(p0)
+    C, D = p0.shape
+    dtype = p0.dtype
+
+    safe_lp = lambda x: jnp.where(jnp.isfinite(log_prob(x)),
+                                  log_prob(x), -jnp.inf)
+    lp_b = jax.vmap(safe_lp)
+    grad_one = jax.grad(lambda x: jnp.where(jnp.isfinite(log_prob(x)),
+                                            log_prob(x), -1e12))
+    grad_b = jax.vmap(grad_one)
+
+    if mass_diag is None:
+        var = jnp.var(p0, axis=0) + 1e-12
+        mass_diag = 1.0 / var
+    mass = jnp.asarray(mass_diag, dtype=dtype)
+    inv_mass = 1.0 / mass
+
+    def hmc_step(x, lp, eps, k):
+        kp, ku = jax.random.split(k)
+        p = jax.random.normal(kp, x.shape, dtype=dtype) * jnp.sqrt(mass)
+        x_new, p_new = _leapfrog(grad_b, x, p, eps, inv_mass, n_leapfrog)
+        lp_new = lp_b(x_new)
+        ke0 = 0.5 * jnp.sum(p * p * inv_mass, axis=-1)
+        ke1 = 0.5 * jnp.sum(p_new * p_new * inv_mass, axis=-1)
+        log_ratio = (lp_new - ke1) - (lp - ke0)
+        log_ratio = jnp.where(jnp.isnan(log_ratio), -jnp.inf, log_ratio)
+        u = jnp.log(jax.random.uniform(ku, (x.shape[0],), dtype=dtype))
+        accept = u < log_ratio
+        x = jnp.where(accept[:, None], x_new, x)
+        lp = jnp.where(accept, lp_new, lp)
+        a_prob = jnp.mean(jnp.minimum(jnp.exp(log_ratio), 1.0))
+        return x, lp, accept, a_prob
+
+    # --- warmup with dual averaging ----------------------------------------
+    mu = jnp.log(10.0 * init_step_size)
+    gamma, t0, kappa = 0.05, 10.0, 0.75
+
+    @jax.jit
+    def warmup(x, lp, rkey):
+        def body(carry, kt):
+            x, lp, log_eps, log_eps_bar, h_bar = carry
+            k, t = kt
+            eps = jnp.exp(log_eps)
+            x, lp, _, a_prob = hmc_step(x, lp, eps, k)
+            h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
+                     + (target_accept - a_prob) / (t + t0))
+            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
+            w = t ** (-kappa)
+            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            return (x, lp, log_eps, log_eps_bar, h_bar), None
+
+        keys = jax.random.split(rkey, n_warmup)
+        ts = jnp.arange(1, n_warmup + 1, dtype=dtype)
+        (x, lp, _, log_eps_bar, _), _ = jax.lax.scan(
+            body, (x, lp, jnp.log(init_step_size),
+                   jnp.log(init_step_size), 0.0), (keys, ts))
+        return x, lp, jnp.exp(log_eps_bar)
+
+    # --- sampling -----------------------------------------------------------
+    @jax.jit
+    def sample(x, lp, eps, rkey):
+        n_saved = max(n_steps // thin, 1)
+
+        def outer(carry, k):
+            x, lp, acc = carry
+
+            def inner(c, kk):
+                x, lp, acc = c
+                x, lp, accepted, _ = hmc_step(x, lp, eps, kk)
+                return (x, lp, acc + accepted.astype(dtype)), None
+
+            keys = jax.random.split(k, thin)
+            (x, lp, acc), _ = jax.lax.scan(inner, (x, lp, acc), keys)
+            return (x, lp, acc), (x, lp)
+
+        keys = jax.random.split(rkey, n_saved)
+        (x, lp, acc), saved = jax.lax.scan(
+            outer, (x, lp, jnp.zeros(x.shape[0], dtype=dtype)), keys)
+        return (x, lp, acc), saved
+
+    k1, k2 = jax.random.split(key)
+    lp0 = lp_b(p0)
+    x, lp, eps = warmup(p0, lp0, k1)
+    (x, lp, acc), (chain, logp) = sample(x, lp, eps, k2)
+    return HMCResult(
+        chain=np.asarray(chain),
+        log_prob=np.asarray(logp),
+        acceptance_fraction=np.asarray(acc) / float(n_steps),
+        step_size=float(eps),
+        final_state=(x, lp),
+    )

@@ -48,6 +48,24 @@ def test_run_fit_end_to_end(tmp_path):
     assert res2.timings["prelim_rounds"] == 0
 
 
+def test_run_fit_chunked_checkpointing(tmp_path):
+    """Sampling longer than checkpoint_every saved steps must flush the
+    chain incrementally and still return the full chain."""
+    log_like, t0, lo, hi, names, mu = _make_problem(3)
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=100,
+                  nsteps=400, nthin=2, seed=3, prelim_iterations=50,
+                  max_prelim_rounds=1, checkpoint_every=50,
+                  chain_path=str(tmp_path / "c.hdf5"),
+                  state_path=str(tmp_path / "s.npz"), verbose=False)
+    assert res.chain.shape == (200, 16, 3)
+    from joxsz_tpu.io.checkpoint import load_chain_hdf5
+    on_disk = load_chain_hdf5(str(tmp_path / "c.hdf5"))
+    assert on_disk["chain"].shape == (200, 16, 3)
+    assert np.array_equal(on_disk["chain"], res.chain)
+    med = np.median(res.flat_chain, axis=0)
+    assert np.allclose(med, mu, atol=0.15)
+
+
 def test_run_fit_tempered(tmp_path):
     log_like, t0, lo, hi, names, mu = _make_problem(3)
     res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=100,
