@@ -95,7 +95,8 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
                         integ_w=d["integ_w"], y_prefactor=float(d["y_pref"]),
                         n_pix=int(d["n_pix"]), n_press=int(d["n_press"]))
     if op is None:
-        op = build_sz_operator(geom, beam_2d, filt, flux[0])
+        op = build_sz_operator(geom, beam_2d, filt, flux[0],
+                               abel_scheme=cfg.abel_scheme)
         if use_cache:
             cache.parent.mkdir(parents=True, exist_ok=True)
             np.savez_compressed(

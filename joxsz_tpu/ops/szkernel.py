@@ -86,6 +86,7 @@ def build_sz_operator(
     beam_2d: np.ndarray,
     filt: np.ndarray,
     data_radii_arcsec: np.ndarray,
+    abel_scheme: str = "pyabel",
 ) -> SZOperator:
     """Compose the full linear SZ chain into dense operators.
 
@@ -99,7 +100,7 @@ def build_sz_operator(
     sep = geom.sep
     c_y = compton_y_prefactor()
 
-    A = forward_abel_matrix(r_pp)                      # (n, n)
+    A = forward_abel_matrix(r_pp, scheme=abel_scheme)  # (n, n)
     S = mirrored_interp_matrix(r_pp, geom.dist_kpc.ravel(),
                                kind="cubic", fill_value=(0.0, 0.0))  # (side^2, n)
     # pressure basis -> y values at all map pixels, all basis columns at once
