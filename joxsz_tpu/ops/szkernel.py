@@ -151,11 +151,11 @@ def build_sz_operator(
     w_y0 = w_y0_on_y @ (c_y * A)
 
     # integrated Compton parameter: 2*pi*simpson((y0, y...)*theta, theta)
-    # on the arcmin angular grid (/root/reference/joxsz_funcs.py:481-483)
-    theta_arcmin = np.arange(
-        0.0, r_pp[-1] / geom.kpc_per_arcsec / 60.0 + geom.step_arcsec / 60.0,
-        geom.step_arcsec / 60.0,
-    )
+    # on the arcmin angular grid (/root/reference/joxsz_funcs.py:481-483).
+    # Constructed with an explicit count (n+1 points matching [y0, y...]):
+    # the reference's float-endpoint arange is off-by-one for some
+    # kpc/arcsec values, which would break its own simps broadcast.
+    theta_arcmin = np.arange(n + 1) * (geom.step_arcsec / 60.0)
     sw = _simpson_weights(theta_arcmin) * theta_arcmin * 2.0 * np.pi
     # value vector is [y(0), y_1..y_n]; fold onto pressure basis
     integ_w = sw[0] * w_y0 + sw[1:] @ (c_y * A)

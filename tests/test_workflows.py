@@ -1,0 +1,100 @@
+"""Workflow-level tests: new-cluster configuration (auto table
+generation + metadata guards), named SZ outputs, knot-pressure mass veto
+via autodiff, multistart MLE."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from joxsz_tpu.config import JoXSZConfig
+from joxsz_tpu.build import build_session
+
+
+def test_new_cluster_config_gets_own_table(ref_data, tmp_path):
+    """A config with a different redshift must NOT silently reuse the
+    bundled CL J1226 table: a fresh config-keyed artifact is generated
+    with matching metadata."""
+    import joxsz_tpu.build as build_mod
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.redshift = 0.45            # different cluster
+    cfg.xray.table_path = None     # let the build pick/create a table
+    # (keeping the explicit cl1226 table_path instead raises a clear
+    # mismatch error — covered by test_table_mismatch_raises)
+    sess = build_session(cfg, use_cache=False)
+    # session builds and the likelihood is finite
+    ll = float(jax.jit(sess.log_like)(jnp.asarray(
+        sess.params.thawed_values())))
+    assert np.isfinite(ll)
+    # the generated artifact records the new redshift
+    import glob, json, pathlib
+    repo = pathlib.Path(build_mod.__file__).resolve().parents[1]
+    tables = glob.glob(str(repo / "data" / "tables" / "ctrate_*.npz"))
+    metas = [json.loads(bytes(np.load(t)["meta"]).decode()) for t in tables]
+    assert any(abs(m["z"] - 0.45) < 1e-9 for m in metas)
+
+
+def test_table_mismatch_raises(ref_data):
+    from joxsz_tpu.models.xray import CountRateTable
+    import pathlib
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    path = repo / "data" / "tables" / "cl1226_ctrate.npz"
+    with pytest.raises(ValueError, match="different setup"):
+        CountRateTable.from_npz(str(path), expect={"z": 0.3,
+                                                   "NH_1022pcm2": 0.0183})
+
+
+def test_sz_outputs_named(ref_data):
+    from joxsz_tpu.models import sz_outputs
+
+    sess = build_session(JoXSZConfig.cl1226(str(ref_data)), sz_only=True)
+    pars = sess.params.unpack(jnp.asarray(sess.params.thawed_values()))
+    m = sess.model
+    pp = np.asarray(sz_outputs(pars, m.sz_data, m.pressure, m.temperature,
+                               "pp"))
+    bright = np.asarray(sz_outputs(pars, m.sz_data, m.pressure,
+                                   m.temperature, "bright"))
+    chisq = float(sz_outputs(pars, m.sz_data, m.pressure, m.temperature,
+                             "chisq"))
+    ll = float(sz_outputs(pars, m.sz_data, m.pressure, m.temperature, "ll"))
+    integ = float(sz_outputs(pars, m.sz_data, m.pressure, m.temperature,
+                             "integ"))
+    assert pp.shape == (313,) and np.all(pp > 0)
+    assert bright.shape == (86,)
+    assert np.isclose(ll, -chisq / 2)
+    assert integ > 0
+    with pytest.raises(ValueError):
+        sz_outputs(pars, m.sz_data, m.pressure, m.temperature, "nope")
+
+
+def test_knot_pressure_mass_veto_ad(ref_data):
+    """The HSE-mass monotonicity veto must work through the autodiff
+    derivative of the knot pressure (no analytic derivative available)."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.pressure_model = "knots"
+    cfg.n_pressure_knots = 5
+    sess = build_session(cfg)
+    assert sess.model.exclude_unphysical_mass
+    theta = jnp.asarray(sess.params.thawed_values())
+    ll = float(jax.jit(sess.log_like)(theta))
+    assert np.isfinite(ll) or ll == -np.inf  # evaluates without error
+    # gradient flows through the AD derivative too
+    g = np.asarray(jax.jit(jax.grad(sess.log_like))(theta))
+    assert g.shape == theta.shape
+
+
+def test_multistart_mle_improves():
+    from joxsz_tpu.sampling.mle import find_mle_multistart
+
+    mu = np.array([1.0, -2.0, 0.5])
+
+    def lp(x):
+        return -0.5 * jnp.sum((x - jnp.asarray(mu)) ** 2) * 20.0
+
+    theta, ll = find_mle_multistart(
+        lp, np.zeros(3), np.full(3, -10.0), np.full(3, 10.0),
+        n_starts=16, n_steps=400, lr=0.05)
+    assert np.allclose(theta, mu, atol=0.05)
+    assert ll > -0.1
