@@ -61,13 +61,17 @@ def run_hmc(
     target_accept: float = 0.8,
     init_step_size: float = 0.01,
     mass_diag: np.ndarray | None = None,
+    adapt_mass: bool = False,
     thin: int = 1,
 ) -> HMCResult:
     """Batched HMC with dual-averaging warmup.
 
     ``mass_diag`` is the diagonal of the mass matrix (defaults to the
-    inverse variance of the initial chain cloud — a cheap preconditioner
-    for badly scaled parameters)."""
+    inverse variance of the initial chain cloud).  With ``adapt_mass`` the
+    warmup runs in two windows: after the first, the mass is re-estimated
+    from the cross-chain position variance (the chains are independent, so
+    their spread estimates the posterior covariance diagonal cheaply) and
+    the step size is re-adapted in the second window."""
     p0 = jnp.asarray(p0)
     C, D = p0.shape
     dtype = p0.dtype
@@ -82,10 +86,10 @@ def run_hmc(
     if mass_diag is None:
         var = jnp.var(p0, axis=0) + 1e-12
         mass_diag = 1.0 / var
-    mass = jnp.asarray(mass_diag, dtype=dtype)
-    inv_mass = 1.0 / mass
+    mass0 = jnp.asarray(mass_diag, dtype=dtype)
 
-    def hmc_step(x, lp, eps, k):
+    def hmc_step(x, lp, eps, mass, k):
+        inv_mass = 1.0 / mass
         kp, ku = jax.random.split(k)
         p = jax.random.normal(kp, x.shape, dtype=dtype) * jnp.sqrt(mass)
         x_new, p_new = _leapfrog(grad_b, x, p, eps, inv_mass, n_leapfrog)
@@ -105,13 +109,15 @@ def run_hmc(
     mu = jnp.log(10.0 * init_step_size)
     gamma, t0, kappa = 0.05, 10.0, 0.75
 
-    @jax.jit
-    def warmup(x, lp, rkey):
+    from functools import partial
+
+    @partial(jax.jit, static_argnums=(4,))
+    def warmup(x, lp, mass, rkey, n):
         def body(carry, kt):
             x, lp, log_eps, log_eps_bar, h_bar = carry
             k, t = kt
             eps = jnp.exp(log_eps)
-            x, lp, _, a_prob = hmc_step(x, lp, eps, k)
+            x, lp, _, a_prob = hmc_step(x, lp, eps, mass, k)
             h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
                      + (target_accept - a_prob) / (t + t0))
             log_eps = mu - jnp.sqrt(t) / gamma * h_bar
@@ -119,8 +125,8 @@ def run_hmc(
             log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
             return (x, lp, log_eps, log_eps_bar, h_bar), None
 
-        keys = jax.random.split(rkey, n_warmup)
-        ts = jnp.arange(1, n_warmup + 1, dtype=dtype)
+        keys = jax.random.split(rkey, n)
+        ts = jnp.arange(1, n + 1, dtype=dtype)
         (x, lp, _, log_eps_bar, _), _ = jax.lax.scan(
             body, (x, lp, jnp.log(init_step_size),
                    jnp.log(init_step_size), 0.0), (keys, ts))
@@ -128,7 +134,7 @@ def run_hmc(
 
     # --- sampling -----------------------------------------------------------
     @jax.jit
-    def sample(x, lp, eps, rkey):
+    def sample(x, lp, eps, mass, rkey):
         n_saved = max(n_steps // thin, 1)
 
         def outer(carry, k):
@@ -136,7 +142,7 @@ def run_hmc(
 
             def inner(c, kk):
                 x, lp, acc = c
-                x, lp, accepted, _ = hmc_step(x, lp, eps, kk)
+                x, lp, accepted, _ = hmc_step(x, lp, eps, mass, kk)
                 return (x, lp, acc + accepted.astype(dtype)), None
 
             keys = jax.random.split(k, thin)
@@ -148,10 +154,19 @@ def run_hmc(
             outer, (x, lp, jnp.zeros(x.shape[0], dtype=dtype)), keys)
         return (x, lp, acc), saved
 
-    k1, k2 = jax.random.split(key)
+    k1, k1b, k2 = jax.random.split(key, 3)
     lp0 = lp_b(p0)
-    x, lp, eps = warmup(p0, lp0, k1)
-    (x, lp, acc), (chain, logp) = sample(x, lp, eps, k2)
+    mass = mass0
+    if adapt_mass and n_warmup >= 100:
+        n1 = n_warmup // 2
+        x, lp, _ = warmup(p0, lp0, mass, k1, n1)
+        # window 2: re-estimate the posterior scale from the (independent)
+        # chains' spread, then re-adapt the step size against it
+        mass = 1.0 / (jnp.var(x, axis=0) + 1e-12)
+        x, lp, eps = warmup(x, lp, mass, k1b, n_warmup - n1)
+    else:
+        x, lp, eps = warmup(p0, lp0, mass, k1, n_warmup)
+    (x, lp, acc), (chain, logp) = sample(x, lp, eps, mass, k2)
     return HMCResult(
         chain=np.asarray(chain),
         log_prob=np.asarray(logp),

@@ -47,6 +47,29 @@ def test_step_size_adaptation():
     assert res.step_size > 0
 
 
+def test_mass_adaptation_helps_badly_scaled_target():
+    """On a target with 100x scale differences the windowed mass
+    re-estimation must improve over the identity-ish initial mass."""
+    scales = jnp.asarray([0.05, 0.5, 5.0, 50.0])
+
+    def lp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    # start cloud with the WRONG scale everywhere
+    p0 = jax.random.normal(jax.random.PRNGKey(5), (32, 4),
+                           dtype=jnp.float64)
+    outs = {}
+    for adapt in (False, True):
+        res = run_hmc(lp, p0, n_steps=1200, key=jax.random.PRNGKey(6),
+                      n_warmup=600, n_leapfrog=16, thin=2,
+                      adapt_mass=adapt)
+        flat = res.chain[100:].reshape(-1, 4)
+        # per-dimension std estimate quality (ratio to truth)
+        outs[adapt] = np.abs(np.log(flat.std(axis=0) / np.asarray(scales)))
+    # adaptation should reduce the worst-dimension bias substantially
+    assert outs[True].max() < outs[False].max() * 0.8, outs
+
+
 @pytest.mark.slow
 def test_hmc_on_joint_posterior(ref_data):
     """HMC must run on the real (vetoed) posterior and agree with the
