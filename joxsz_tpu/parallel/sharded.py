@@ -70,12 +70,22 @@ def run_sharded_ensemble(log_prob_batch, p0, n_steps, key, mesh,
     }
 
 
+_MC_DRIVE_CACHE: dict = {}
+
+
 def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
                       thin: int = 1, a: float = 2.0):
     """Batched independent ensembles: p0 (C, W, D); the log-prob callable
     maps (C, W, D) -> (C, W) (e.g. vmap of per-cluster batched
-    likelihoods).  State is sharded over ('cluster', 'walker')."""
+    likelihoods).  State is sharded over ('cluster', 'walker').
+
+    Compiled drivers are cached per (fn, schedule, shapes) like the
+    single-cluster sampler — repeat calls reuse the program."""
     C, W, D = p0.shape
+    cache_key = (log_prob_batch_cluster, n_steps, thin, a, C, W, D, mesh)
+    cached = _MC_DRIVE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(p0, key)
     sh3 = NamedSharding(mesh, P("cluster", "walker"))
     sh2 = NamedSharding(mesh, P("cluster", "walker"))
 
@@ -127,12 +137,18 @@ def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
         state, _ = jax.lax.scan(outer, (x, lp, acc), keys)
         return state, None
 
-    x = jax.device_put(jnp.asarray(p0), sh3)
-    lp = log_prob_batch_cluster(x)
-    acc = jnp.zeros((C, W), dtype=x.dtype)
-    (x, lp, acc), _ = drive(x, lp, acc, key)
-    return {
-        "positions": np.asarray(x),
-        "log_prob": np.asarray(lp),
-        "acceptance_fraction": np.asarray(acc) / float(n_steps),
-    }
+    def runner(p0_in, key_in):
+        x = jax.device_put(jnp.asarray(p0_in), sh3)
+        lp = log_prob_batch_cluster(x)
+        acc = jnp.zeros((C, W), dtype=x.dtype)
+        (x, lp, acc), _ = drive(x, lp, acc, key_in)
+        return {
+            "positions": np.asarray(x),
+            "log_prob": np.asarray(lp),
+            "acceptance_fraction": np.asarray(acc) / float(n_steps),
+        }
+
+    _MC_DRIVE_CACHE[cache_key] = runner
+    if len(_MC_DRIVE_CACHE) > 16:
+        _MC_DRIVE_CACHE.pop(next(iter(_MC_DRIVE_CACHE)))
+    return runner(p0, key)
