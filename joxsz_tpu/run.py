@@ -41,6 +41,9 @@ def main(argv=None):
                          "posteriors; see docs/PERFORMANCE.md)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="shard the sampling walkers over an N-device mesh")
+    ap.add_argument("--fused", action="store_true",
+                    help="use the fused (Pallas on TPU) batched likelihood "
+                         "for the sampling phases")
     args = ap.parse_args(argv)
 
     import jax
@@ -91,6 +94,19 @@ def main(argv=None):
         mesh = make_mesh(args.mesh, axis_names=("walker",))
         print(f"sampling sharded over {args.mesh} devices")
 
+    ll_batch = None
+    if args.fused:
+        import jax as _jax
+        from .io.readers import read_conversion_table, read_xy
+
+        conv = read_conversion_table(cfg.sz.conversion_file)
+        flux = read_xy(cfg.sz.flux_file, 3)
+        use_pallas = _jax.default_backend() != "cpu"
+        ll_batch = _jax.jit(sess.model.log_like_batch_fused(
+            conv, flux, sess.sz_operator, use_pallas=use_pallas))
+        print(f"fused batched likelihood "
+              f"({'pallas' if use_pallas else 'jnp'} SZ core)")
+
     p = sess.params
     save = pathlib.Path(cfg.save_dir)
     res = run_fit(
@@ -104,6 +120,7 @@ def main(argv=None):
         resume_from=args.resume,
         n_temper_rungs=args.temper,
         mesh=mesh,
+        log_like_batch=ll_batch,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(
