@@ -41,6 +41,25 @@ def _perturbed_clusters(sess, n=3):
     return sz_list, xr_list
 
 
+def test_flat_matches_nested(sess):
+    """The widened-GEMM flat path must equal the nested-vmap reference."""
+    sz_list, xr_list = _perturbed_clusters(sess, 3)
+    sz_stack = stack_sz_data(sz_list)
+    xr_stack = stack_xray_data(xr_list)
+    flat = jax.jit(make_multicluster_log_like(sess.model, sz_stack,
+                                              xr_stack, flatten=True))
+    nested = jax.jit(make_multicluster_log_like(sess.model, sz_stack,
+                                                xr_stack, flatten=False))
+    theta0 = sess.params.thawed_values()
+    rng = np.random.default_rng(7)
+    thetas = jnp.asarray(np.stack([
+        theta0[None] * (1 + 0.02 * rng.standard_normal((5, theta0.size)))
+        for _ in range(3)]))
+    a = np.asarray(flat(thetas))
+    b = np.asarray(nested(thetas))
+    assert np.allclose(a, b, rtol=1e-10, equal_nan=True), np.abs(a - b).max()
+
+
 def test_stacked_matches_per_cluster(sess):
     sz_list, xr_list = _perturbed_clusters(sess, 3)
     sz_stack = stack_sz_data(sz_list)
