@@ -180,4 +180,10 @@ def find_mle_multistart(
     if verbose:
         print(f"  multistart MLE: ll {ll_hat:.4f} "
               f"(best of {n_starts} starts)")
-    return theta_hat, ll_hat
+    # simplex polish from the best batched result (Adam plateaus before
+    # the simplex's terminal precision on ill-conditioned directions)
+    theta_hat, ll_hat2 = find_mle(log_like, theta_hat, lo, hi,
+                                  max_restarts=2, verbose=False)
+    if verbose and ll_hat2 > ll_hat:
+        print(f"  polish: ll {ll_hat2:.4f}")
+    return np.asarray(theta_hat), max(ll_hat, ll_hat2)
