@@ -1,0 +1,316 @@
+"""Pallas TPU mega-kernel: the ENTIRE joint likelihood for a walker tile.
+
+The profiled sampling step at W=4096 spends ~82 us in the two likelihood
+matmul fusions and ~150 us in the long chain of small fusions around them
+(docs/PERFORMANCE.md).  This kernel collapses the whole joint likelihood —
+parameter unpack, priors, gNFW pressure, Vikhlinin density, HSE-mass
+monotonicity veto, SZ operator matmuls + conversion, X-ray table lerp +
+shell projection + Cash — into ONE VMEM-resident program per walker tile,
+eliminating the fusion-chain latency.
+
+Specialisation: the kernel is generated for the flagship reference model
+(gNFW pressure + single-mode Vikhlinin density + UPP temperature, the 13
+thawed parameters of SURVEY.md §2.4).  Other model configurations use the
+general XLA path; the builder returns None when the configuration does not
+match.
+
+Correctness: `tests/test_pallas_joint.py` requires agreement (f32
+tolerances) with `vmap(model.log_like)` in interpreter mode, including the
+veto structure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+try:
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PLTPU = True
+except Exception:  # pragma: no cover
+    pltpu = None
+    _HAVE_PLTPU = False
+
+from .pallas_kernels import _pad_to, _round_up
+
+
+_REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
+               "log(T_X/T_{SZ})", "Z", "P_0", "a", "b", "r_p",
+               "backscale", "calibration"]
+
+
+def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
+    """Build ``ll(thetas) -> (B,)`` as one pallas_call per walker tile.
+
+    Returns None when the session's configuration does not match the
+    flagship specialisation or Pallas is unavailable.
+    """
+    if not _HAVE_PLTPU:
+        return None
+    p = sess.params
+    if p.thawed != _REF_THAWED or sess.model.xray_data is None:
+        return None
+    if sess.model.sz_data.calc_integ:
+        return None
+
+    sz = sess.model.sz_data
+    xr = sess.model.xray_data
+    op = sess.sz_operator
+    f64 = np.float64
+
+    # ---- static scalars -----------------------------------------------------
+    alpha = float(p[r"\alpha"].val)          # frozen (0.0)
+    gamma = float(p[r"\gamma"].val)          # frozen (3.0)
+    c_gnfw = float(p["c"].val)               # frozen (0.014)
+    from .. import constants as K
+
+    mass_C = float(K.keV_erg * K.kpc_cm
+                   / (K.mu_gas * K.mu_g * K.G_cgs) / K.solar_mass_g)
+
+    # ---- SZ constants ---------------------------------------------------------
+    r_pp = np.asarray(sz.r_press_kpc, dtype=f64)       # (313,)
+    n_press = r_pp.size
+    sep = sz.sep
+    NP = _round_up(n_press, 128)                       # 384
+    r_pad = _pad_to(r_pp, (NP,))
+    r_pad[n_press:] = 1.0                              # keep powers finite
+    press_mask = np.zeros(NP); press_mask[:n_press] = 1.0
+
+    n_pix = op.n_pix                                   # 86
+    PIX = _round_up(n_pix, 128)                        # 128
+    LT = _pad_to(np.asarray(op.L.T, dtype=f64), (NP, PIX))
+    n_data = np.asarray(sz.flux).shape[0]
+    ND = _round_up(n_data, 128)
+    GT = _pad_to(np.asarray(op.G.T, dtype=f64), (PIX, ND))
+    flux64 = np.asarray(sz.flux, dtype=f64)
+    err64 = np.asarray(sz.flux_err, dtype=f64)
+    valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
+    flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
+    w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
+                  (ND,))
+    w_T0 = _pad_to(np.asarray(op.w_T0, dtype=f64), (NP,))
+    conv_T = [float(v) for v in np.asarray(sz.conv_T)]
+    conv_val = [float(v) for v in np.asarray(sz.conv_val)]
+    n_conv = len(conv_T)
+
+    # ---- X-ray constants (native small dims; Mosaic pads lanes itself) -------
+    midpt = np.asarray(xr.midpt_kpc, dtype=f64)        # (15,)
+    n_sh = midpt.size
+    counts_mask = np.asarray(xr.counts_mask, dtype=f64)     # (10, 15)
+    counts_filled = np.asarray(xr.counts_filled, dtype=f64)
+    n_band = counts_mask.shape[0]
+    exps = np.asarray(xr.exposures, dtype=f64)
+    ascl = np.asarray(xr.areascales, dtype=f64)
+    areas = np.asarray(xr.areas, dtype=f64)
+    backr = np.asarray(xr.backrates, dtype=f64)
+    sig_c = exps * ascl                                # (10, 15)
+    bg_c = backr * exps * areas
+    volsT = np.asarray(xr.vols_norm, dtype=f64).T.copy()    # (shell, ann)
+
+    Tlog = np.asarray(xr.table.Tlog, dtype=f64)
+    nT = Tlog.size                                      # 64
+    t0g = float(Tlog[0])
+    dtg = float(Tlog[1] - Tlog[0])
+    LR0 = np.asarray(xr.table.lograte_Z0, dtype=f64)    # (10, nT)
+    LR1 = np.asarray(xr.table.lograte_Z1, dtype=f64)
+
+    # ---- priors ---------------------------------------------------------------
+    lo = np.where(np.isfinite(p.lo), p.lo, -1e30)
+    hi = np.where(np.isfinite(p.hi), p.hi, 1e30)
+    D = len(_REF_THAWED)
+    Dp = _round_up(D, 128)
+    lo_p = _pad_to(lo, (Dp,)); lo_p[D:] = -1e30
+    hi_p = _pad_to(hi, (Dp,)); hi_p[D:] = 1e30
+    isg_p = _pad_to(p.is_gauss.astype(f64), (Dp,))
+    mu_p = _pad_to(p.mu, (Dp,))
+    sg_p = _pad_to(np.where(p.is_gauss, p.sigma, 1.0), (Dp,))
+    sg_p[D:] = 1.0
+
+    f32 = jnp.float32
+    const_arrays = [
+        ("r", r_pad[None, :]), ("pmask", press_mask[None, :]),
+        ("LT", LT), ("GT", GT),
+        ("flux", flux_p[None, :]), ("wres", w_p[None, :]),
+        ("wT0", w_T0[None, :]),
+        ("mid", midpt[None, :]), ("volsT", volsT),
+        ("LR0", LR0), ("LR1", LR1),
+        ("sig", sig_c), ("bg", bg_c), ("cmask", counts_mask),
+        ("cts", counts_filled),
+        ("plo", lo_p[None, :]), ("phi", hi_p[None, :]),
+        ("pisg", isg_p[None, :]), ("pmu", mu_p[None, :]),
+        ("psg", sg_p[None, :]),
+    ]
+    const_vals = [jnp.asarray(a, f32) for _, a in const_arrays]
+    const_shapes = [tuple(a.shape) for _, a in const_arrays]
+
+    NEG = float("-inf")  # python scalar: kernels must not capture arrays
+
+    def kernel(th_ref, r_ref, pm_ref, lt_ref, gt_ref, fx_ref, wr_ref,
+               wt0_ref, mid_ref, vt_ref, lr0_ref, lr1_ref, sg_ref, bg_ref,
+               cm_ref, ct_ref, plo_ref, phi_ref, pig_ref, pmu_ref, psg_ref,
+               out_ref):
+        th = th_ref[:]                        # (B, Dp)
+        B = th.shape[0]
+
+        def col(i):
+            return th[:, i:i + 1]             # (B, 1)
+
+        log_n0, beta, log_rc, log_rs, eps = (col(0), col(1), col(2),
+                                             col(3), col(4))
+        tratio, Z, P0, a_, b_ = col(5), col(6), col(7), col(8), col(9)
+        rp_, bscale, cal = col(10), col(11), col(12)
+
+        # ---- priors ----------------------------------------------------------
+        inside = jnp.all((th >= plo_ref[:]) & (th <= phi_ref[:]),
+                         axis=1, keepdims=True)          # (B,1)
+        zres = (th - pmu_ref[:]) / psg_ref[:]
+        gauss = -0.5 * jnp.sum(pig_ref[:] * zres * zres, axis=1,
+                               keepdims=True)
+        total = jnp.where(inside, gauss, NEG)
+        total = jnp.where(log_rc > log_rs, NEG, total)   # r_c <= r_s veto
+
+        r = r_ref[:]                          # (1, NP)
+        pmask = pm_ref[:]
+
+        # ---- gNFW pressure + derivative --------------------------------------
+        x = r / rp_                            # (B, NP)
+        xa = x ** a_
+        press = P0 / (x ** c_gnfw * (1.0 + xa) ** ((b_ - c_gnfw) / a_))
+        dpress = (-P0 * (c_gnfw + b_ * xa)
+                  / (rp_ * x ** (c_gnfw + 1.0)
+                     * (1.0 + xa) ** ((b_ - c_gnfw + a_) / a_)))
+
+        # ---- Vikhlinin density ------------------------------------------------
+        rc = 10.0 ** log_rc
+        rs = 10.0 ** log_rs
+        n0 = 10.0 ** log_n0
+        xc = r / rc
+        xs = r / rs
+        ne2 = (n0 * n0 * xc ** (-alpha)
+               / ((1.0 + xc * xc) ** (3.0 * beta - alpha / 2.0)
+                  * (1.0 + xs ** gamma) ** (eps / gamma)))
+        ne = jnp.sqrt(ne2)
+
+        # ---- HSE mass monotonicity veto ---------------------------------------
+        m = -dpress * r * r / ne * mass_C      # (B, NP)
+        # np.gradient(m) > 0 over the real grid == central differences
+        # m[i+1] > m[i-1] at interior points plus one-sided edges
+        idx = jax.lax.broadcasted_iota(jnp.int32, (B, NP - 2), 1)
+        interior_ok = (m[:, 2:] > m[:, :-2]) | (idx > n_press - 3)
+        edge_lo = m[:, 1:2] > m[:, 0:1]
+        edge_hi = m[:, n_press - 1:n_press] > m[:, n_press - 2:n_press - 1]
+        mono = (jnp.all(interior_ok, axis=1, keepdims=True)
+                & edge_lo & edge_hi)
+        total = jnp.where(mono, total, NEG)
+
+        # ---- SZ ----------------------------------------------------------------
+        pp = press * pmask
+        raw = jnp.dot(pp, lt_ref[:], preferred_element_type=jnp.float32)
+        t_sz_full = press / ne                 # (B, NP)
+        t0 = jnp.sum(t_sz_full * wt0_ref[:], axis=1, keepdims=True)
+        pixidx = jax.lax.broadcasted_iota(jnp.int32, (B, PIX), 1)
+        t_shift = jnp.concatenate([t0, t_sz_full[:, : PIX - 1]], axis=1)
+        t_all = jnp.where(pixidx <= sep, t_shift, 1.0)
+
+        cidx = jnp.zeros_like(t_all, dtype=jnp.int32)
+        for k in range(1, n_conv - 1):
+            cidx = cidx + (t_all >= conv_T[k]).astype(jnp.int32)
+        x0 = jnp.zeros_like(t_all); x1 = jnp.zeros_like(t_all)
+        y0 = jnp.zeros_like(t_all); y1 = jnp.zeros_like(t_all)
+        for k in range(n_conv - 1):
+            s = (cidx == k).astype(t_all.dtype)
+            x0 += s * conv_T[k]; x1 += s * conv_T[k + 1]
+            y0 += s * conv_val[k]; y1 += s * conv_val[k + 1]
+        conv = y0 + (t_all - x0) / (x1 - x0) * (y1 - y0)
+
+        prof = raw * conv * cal
+        model = jnp.dot(prof, gt_ref[:], preferred_element_type=jnp.float32)
+        resid = (fx_ref[:] - model) * wr_ref[:]
+        total = total - 0.5 * jnp.sum(resid * resid, axis=1, keepdims=True)
+
+        # ---- X-ray -------------------------------------------------------------
+        midr = mid_ref[:]                      # (1, n_sh)
+        xm = midr / rp_
+        press_m = P0 / (xm ** c_gnfw
+                        * (1.0 + xm ** a_) ** ((b_ - c_gnfw) / a_))
+        xcm = midr / rc; xsm = midr / rs
+        ne2m = (n0 * n0 * xcm ** (-alpha)
+                / ((1.0 + xcm * xcm) ** (3.0 * beta - alpha / 2.0)
+                   * (1.0 + xsm ** gamma) ** (eps / gamma)))
+        nem = jnp.sqrt(ne2m)                   # (B, n_sh)
+        Tm = press_m / nem * 10.0 ** tratio
+        tl = jnp.log(jnp.maximum(Tm, 1e-30))
+        pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
+        kf = jnp.floor(pos)
+        frac = pos - kf                        # (B, n_sh)
+
+        # table lerp by 64-segment accumulation (no gathers/reshapes):
+        # value_at(kf) and value_at(kf+1) per band
+        ne2m_w = nem * nem
+        cash = jnp.zeros((B, 1), dtype=th.dtype)
+        okmin = jnp.ones((B, 1), dtype=jnp.bool_)
+        kf_i = kf.astype(jnp.int32)
+        onehot = [(kf_i == k).astype(th.dtype) for k in range(nT)]
+        for b in range(n_band):
+            l0a = jnp.zeros_like(frac); l0b = jnp.zeros_like(frac)
+            l1a = jnp.zeros_like(frac); l1b = jnp.zeros_like(frac)
+            for k in range(nT):
+                s = onehot[k]
+                l0a += s * lr0_ref[b, k]
+                l1a += s * lr1_ref[b, k]
+                kn = min(k + 1, nT - 1)
+                l0b += s * lr0_ref[b, kn]
+                l1b += s * lr1_ref[b, kn]
+            l0 = l0a + frac * (l0b - l0a)
+            l1 = l1a + frac * (l1b - l1a)
+            rates = jnp.exp(l0) * (1.0 - Z) + jnp.exp(l1) * Z   # (B, n_sh)
+            emiss = rates * ne2m_w
+            proj = jnp.dot(emiss, vt_ref[:],
+                           preferred_element_type=jnp.float32)  # (B, n_ann)
+            pred = proj * sg_ref[b:b + 1, :] + bscale * bg_ref[b:b + 1, :]
+            okmin = okmin & jnp.all(pred > 0.0, axis=1, keepdims=True)
+            safe = jnp.where(pred > 0.0, pred, 1.0)
+            cash = cash + jnp.sum(
+                cm_ref[b:b + 1, :] * (ct_ref[b:b + 1, :] * jnp.log(safe)
+                                      - safe),
+                axis=1, keepdims=True)
+        total = total + jnp.where(okmin, cash, NEG)
+
+        total = jnp.where(jnp.isnan(total), NEG, total)
+        out_ref[:] = total
+
+    mid_box = jnp.asarray(
+        0.5 * (np.clip(lo, -10, 10) + np.clip(hi, -10, 10)), f32)
+
+    @jax.jit
+    def joint_ll(thetas):
+        Bt = thetas.shape[0]
+        Bp = _round_up(Bt, block_b)
+        th_p = jnp.zeros((Bp, Dp), dtype=f32)
+        th_p = th_p.at[:Bt, :D].set(thetas.astype(f32))
+        # padded walkers stay inside the box so their (discarded) rows stay
+        # finite through the math
+        th_p = th_p.at[Bt:, :D].set(mid_box[None, :])
+
+        grid = (Bp // block_b,)
+        in_specs = [pl.BlockSpec((block_b, Dp), lambda i: (i, 0),
+                                 memory_space=pltpu.VMEM)]
+        for shp in const_shapes:
+            in_specs.append(pl.BlockSpec(shp, lambda i: (0, 0),
+                                         memory_space=pltpu.VMEM))
+        out = pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((Bp, 1), f32),
+            grid_spec=pl.GridSpec(
+                grid=grid,
+                in_specs=in_specs,
+                out_specs=pl.BlockSpec((block_b, 1), lambda i: (i, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            interpret=interpret,
+        )(th_p, *const_vals)
+        return out[:Bt, 0]
+
+    return joint_ll
