@@ -41,12 +41,9 @@ _REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
                "backscale", "calibration"]
 
 
-def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
-    """Build ``ll(thetas) -> (B,)`` as one pallas_call per walker tile.
-
-    Returns None when the session's configuration does not match the
-    flagship specialisation or Pallas is unavailable.
-    """
+def _build_spec(sess):
+    """Constants + scalar closure data for the flagship joint-likelihood
+    kernel body; returns None when the configuration doesn't match."""
     if not _HAVE_PLTPU:
         return None
     p = sess.params
@@ -147,11 +144,14 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
 
     NEG = float("-inf")  # python scalar: kernels must not capture arrays
 
-    def kernel(th_ref, r_ref, pm_ref, lt_ref, gt_ref, fx_ref, wr_ref,
-               wt0_ref, mid_ref, vt_ref, lr0_ref, lr1_ref, sg_ref, bg_ref,
-               cm_ref, ct_ref, plo_ref, phi_ref, pig_ref, pmu_ref, psg_ref,
-               out_ref):
-        th = th_ref[:]                        # (B, Dp)
+    def ll_body(th, r_ref, pm_ref, lt_ref, gt_ref, fx_ref, wr_ref,
+                wt0_ref, mid_ref, vt_ref, lr0_ref, lr1_ref, sg_ref, bg_ref,
+                cm_ref, ct_ref, plo_ref, phi_ref, pig_ref, pmu_ref,
+                psg_ref):
+        """Joint log-likelihood of a (B, Dp) parameter block -> (B, 1).
+
+        Pure function of the block plus the constant refs; shared by the
+        batched-likelihood kernel and the fused step-loop kernel."""
         B = th.shape[0]
 
         def col(i):
@@ -279,10 +279,34 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
         total = total + jnp.where(okmin, cash, NEG)
 
         total = jnp.where(jnp.isnan(total), NEG, total)
-        out_ref[:] = total
+        return total
+
+    def kernel(th_ref, *refs):
+        const_refs = refs[:-1]
+        out_ref = refs[-1]
+        out_ref[:] = ll_body(th_ref[:], *const_refs)
 
     mid_box = jnp.asarray(
         0.5 * (np.clip(lo, -10, 10) + np.clip(hi, -10, 10)), f32)
+
+    return dict(kernel=kernel, ll_body=ll_body, const_vals=const_vals,
+                const_shapes=const_shapes, mid_box=mid_box, D=D, Dp=Dp)
+
+
+def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
+    """Build ``ll(thetas) -> (B,)`` as one pallas_call per walker tile.
+
+    Returns None when the session's configuration does not match the
+    flagship specialisation or Pallas is unavailable."""
+    spec = _build_spec(sess)
+    if spec is None:
+        return None
+    kernel = spec["kernel"]
+    const_vals = spec["const_vals"]
+    const_shapes = spec["const_shapes"]
+    mid_box = spec["mid_box"]
+    D, Dp = spec["D"], spec["Dp"]
+    f32 = jnp.float32
 
     @jax.jit
     def joint_ll(thetas):
@@ -314,3 +338,115 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
         return out[:Bt, 0]
 
     return joint_ll
+
+
+def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
+                     interpret: bool = False):
+    """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
+    ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
+    partner selection and acceptance all VMEM-resident.
+
+    This amortises the per-invocation pallas overhead (~0.7 ms on this
+    backend, see docs/PERFORMANCE.md) over n_inner steps — the route to
+    running the 190M evals/s kernel throughput inside the sampler.
+
+    The random stream is the TPU hardware PRNG seeded per invocation (a
+    different, validated-distribution stream from the threefry path; use
+    distinct seeds per call).  Returns
+    ``step_block(x, lp, acc, seed) -> (x, lp, acc)`` with x (W, D), or
+    None when the configuration doesn't match the specialisation.
+    """
+    spec = _build_spec(sess)
+    if spec is None:
+        return None
+    ll_body = spec["ll_body"]
+    const_vals = spec["const_vals"]
+    const_shapes = spec["const_shapes"]
+    D, Dp = spec["D"], spec["Dp"]
+    W = n_walkers
+    if W % 2:
+        raise ValueError("need an even number of walkers")
+    H = W // 2
+    f32 = jnp.float32
+    sa = float(np.sqrt(a))
+    inv24 = float(2.0 ** -24)
+
+    def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
+        const_refs = refs[:-3]
+        xo_ref, lpo_ref, acco_ref = refs[-3:]
+        if not interpret:
+            pltpu.prng_seed(seed_ref[0])
+        xo_ref[:] = x0_ref[:]
+        lpo_ref[:] = lp0_ref[:]
+        acco_ref[:] = acc0_ref[:]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)  # partner cols
+
+        def random_bits(i, which):
+            if not interpret:
+                return pltpu.prng_random_bits((H, 4))
+            # interpret-mode fallback (prng_* has no CPU lowering): a
+            # deterministic integer hash — adequate for mechanics tests,
+            # NOT for production randomness
+            idx = jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 0) * 4                 + jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 1)
+            v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
+                 + jnp.uint32(i) * jnp.uint32(40503)
+                 + jnp.uint32(which) * jnp.uint32(10007))
+            v = v ^ (v >> 15); v = v * jnp.uint32(2246822519)
+            v = v ^ (v >> 13); v = v * jnp.uint32(3266489917)
+            return v ^ (v >> 16)
+
+        def half(i, base, fixed_base, which):
+            xm = xo_ref[base:base + H, :]
+            lm = lpo_ref[base:base + H, :]
+            xf = xo_ref[fixed_base:fixed_base + H, :]
+            bits = random_bits(i, which)
+            u = (bits >> 8).astype(f32) * inv24          # [0,1)
+            z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
+            pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
+            onehot = (row == pidx).astype(f32)           # (H, H)
+            xp = jnp.dot(onehot, xf, preferred_element_type=f32)
+            y = xp + z * (xm - xp)
+            lp_y = ll_body(y, *const_refs)
+            # log(u)=-inf when u==0 -> always accept (correct MH limit)
+            logu = jnp.log(u[:, 2:3])
+            accept = logu < (D - 1.0) * jnp.log(z) + lp_y - lm
+            xo_ref[base:base + H, :] = jnp.where(accept, y, xm)
+            lpo_ref[base:base + H, :] = jnp.where(accept, lp_y, lm)
+            acco_ref[base:base + H, :] = (acco_ref[base:base + H, :]
+                                          + accept.astype(f32))
+
+        def body(i, carry):
+            half(i, 0, H, 0)
+            half(i, H, 0, 1)
+            return carry
+
+        jax.lax.fori_loop(0, n_inner, body, 0)
+
+    @jax.jit
+    def step_block(x, lp, acc, seed):
+        xp = jnp.zeros((W, Dp), dtype=f32).at[:, :D].set(x.astype(f32))
+        lpp = lp.astype(f32).reshape(W, 1)
+        accp = acc.astype(f32).reshape(W, 1)
+        seed_arr = jnp.asarray([seed], dtype=jnp.int32).reshape(1)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),        # seed
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # x0
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # lp0
+            pl.BlockSpec(memory_space=pltpu.VMEM),        # acc0
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in const_shapes]
+        x_out, lp_out, acc_out = pl.pallas_call(
+            kernel,
+            out_shape=[
+                jax.ShapeDtypeStruct((W, Dp), f32),
+                jax.ShapeDtypeStruct((W, 1), f32),
+                jax.ShapeDtypeStruct((W, 1), f32),
+            ],
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            interpret=interpret,
+        )(seed_arr, xp, lpp, accp, *const_vals)
+        return x_out[:, :D], lp_out[:, 0], acc_out[:, 0]
+
+    return step_block
