@@ -367,6 +367,7 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     if W % 2:
         raise ValueError("need an even number of walkers")
     H = W // 2
+    ll_tile = 256   # likelihood evaluated in (ll_tile, .) row blocks
     f32 = jnp.float32
     sa = float(np.sqrt(a))
     inv24 = float(2.0 ** -24)
@@ -401,13 +402,23 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             lm = lpo_ref[base:base + H, :]
             xf = xo_ref[fixed_base:fixed_base + H, :]
             bits = random_bits(i, which)
-            u = (bits >> 8).astype(f32) * inv24          # [0,1)
+            # hardware bits are int32: arithmetic >> keeps the sign, so mask
+            # to the low 24 bits to get a non-negative value (Mosaic has no
+            # uint32->f32 cast); u is then uniform on [0,1)
+            u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
             z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
             pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
             onehot = (row == pidx).astype(f32)           # (H, H)
             xp = jnp.dot(onehot, xf, preferred_element_type=f32)
             y = xp + z * (xm - xp)
-            lp_y = ll_body(y, *const_refs)
+            # evaluate the likelihood in row tiles so the (tile, 384)
+            # intermediates bound VMEM instead of (H, 384)
+            if H > ll_tile:
+                lp_parts = [ll_body(y[t:t + ll_tile], *const_refs)
+                            for t in range(0, H, ll_tile)]
+                lp_y = jnp.concatenate(lp_parts, axis=0)
+            else:
+                lp_y = ll_body(y, *const_refs)
             # log(u)=-inf when u==0 -> always accept (correct MH limit)
             logu = jnp.log(u[:, 2:3])
             accept = logu < (D - 1.0) * jnp.log(z) + lp_y - lm
