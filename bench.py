@@ -36,31 +36,47 @@ def main():
 
     theta0 = np.asarray(sess.params.thawed_values(),
                         dtype=np.float32 if on_tpu else np.float64)
-    # measured on v5e (docs/PERFORMANCE.md): after the gather-free table
-    # lookup, plain vmap+XLA is the fastest path at the optimal batch
-    # (the Pallas SZ core wins only at >=16k walkers)
-    log_like_batch = jax.jit(jax.vmap(sess.log_like))
 
-    # large-ensemble throughput: the TPU-native scaling axis is the walker
-    # batch (SURVEY.md §2.2); measured optimum on v5e is ~4096 walkers
-    # (scripts/tpu_scaling.py)
-    W = 4096 if on_tpu else 1024
+    # fastest measured production sampler (docs/PERFORMANCE.md): the fused
+    # Pallas step-loop kernel — whole MCMC steps (proposal + joint
+    # likelihood + accept, hardware PRNG) VMEM-resident, 100 steps per
+    # invocation.  XLA scan sampler as the fallback / CPU path.
+    step = None
+    W = 2048 if on_tpu else 1024
+    n_steps = 200
     rng = np.random.default_rng(0)
     p0 = jnp.asarray(theta0[None] * (
         1 + 0.01 * rng.standard_normal((W, theta0.size))
     ).astype(theta0.dtype))
+    if on_tpu:
+        try:
+            from joxsz_tpu.ops.pallas_joint import (make_joint_core,
+                                                    make_step_kernel)
 
-    # ONE compiled program (the remote-TPU compile path is expensive):
-    # warm-up call compiles it, the timed call reuses it verbatim.
-    n_steps = 200
-    t0 = time.time()
-    res = run_ensemble(log_like_batch, p0, n_steps, jax.random.PRNGKey(0),
-                       thin=n_steps)
-    compile_s = time.time() - t0
-    t0 = time.time()
-    res = run_ensemble(log_like_batch, res.final_state[0], n_steps,
-                       jax.random.PRNGKey(1), thin=n_steps)
-    wall = time.time() - t0
+            core = make_joint_core(sess, block_b=256)
+            step = make_step_kernel(sess, n_inner=100, n_walkers=W)
+        except Exception:
+            step = None
+
+    if step is not None:
+        lp0 = core(p0)
+        x, lp, acc = step(p0, lp0, jnp.zeros(W), 1)   # compile + warm
+        jax.block_until_ready(x)
+        t0 = time.time()
+        for i in range(n_steps // 100):
+            x, lp, acc = step(x, lp, acc, 2 + i)
+        jax.block_until_ready(x)
+        wall = time.time() - t0
+    else:
+        log_like_batch = jax.jit(jax.vmap(sess.log_like))
+        # ONE compiled program (the remote-TPU compile path is expensive):
+        # warm-up call compiles it, the timed call reuses it verbatim.
+        res = run_ensemble(log_like_batch, p0, n_steps,
+                           jax.random.PRNGKey(0), thin=n_steps)
+        t0 = time.time()
+        res = run_ensemble(log_like_batch, res.final_state[0], n_steps,
+                           jax.random.PRNGKey(1), thin=n_steps)
+        wall = time.time() - t0
     evals = n_steps * W
     evals_per_s = evals / wall
 

@@ -113,6 +113,36 @@ def _build_spec(sess):
     LR0 = np.asarray(xr.table.lograte_Z0, dtype=f64)    # (10, nT)
     LR1 = np.asarray(xr.table.lograte_Z1, dtype=f64)
 
+    # ---- hat-basis matmul formulation of the X-ray table lerp ---------------
+    # Linear interpolation is linear in the table values:
+    #   lerp(pos)[b] = sum_k max(0, 1-|pos-k|) * LR[b, k]
+    # so the whole (band, shell) lookup collapses to ONE MXU matmul of a
+    # sparse hat-activation matrix against a precomputed table operator,
+    # replacing the O(nT*band) chain of tiny VPU FMAs that dominated the
+    # kernel's runtime.  Lane layout: shells j get 128-aligned groups
+    # (KG lanes each, k = lane index in group; k >= nT is disabled via an
+    # off-grid KV so the hat is exactly zero there).
+    KG = _round_up(nT, 128)                            # 128
+    NSK = n_sh * KG                                    # 1920
+    NBS = n_band * n_sh                                # 150 flat (band, shell)
+    kv = np.full((1, NSK), -1e9)
+    for j in range(n_sh):
+        kv[0, j * KG: j * KG + nT] = np.arange(nT)
+    M0 = np.zeros((NSK, NBS))
+    M1 = np.zeros((NSK, NBS))
+    for j in range(n_sh):
+        for b in range(n_band):
+            M0[j * KG: j * KG + nT, b * n_sh + j] = LR0[b]
+            M1[j * KG: j * KG + nT, b * n_sh + j] = LR1[b]
+    # block-diagonal shell->annulus projection per band (150, 150)
+    VB = np.zeros((NBS, NBS))
+    for b in range(n_band):
+        VB[b * n_sh:(b + 1) * n_sh, b * n_sh:(b + 1) * n_sh] = volsT
+    sig_flat = sig_c.reshape(1, NBS)                   # (1, 150) band-major
+    bg_flat = bg_c.reshape(1, NBS)
+    cm_flat = counts_mask.reshape(1, NBS)
+    ct_flat = counts_filled.reshape(1, NBS)
+
     # ---- priors ---------------------------------------------------------------
     lo = np.where(np.isfinite(p.lo), p.lo, -1e30)
     hi = np.where(np.isfinite(p.hi), p.hi, 1e30)
@@ -131,10 +161,10 @@ def _build_spec(sess):
         ("LT", LT), ("GT", GT),
         ("flux", flux_p[None, :]), ("wres", w_p[None, :]),
         ("wT0", w_T0[None, :]),
-        ("mid", midpt[None, :]), ("volsT", volsT),
-        ("LR0", LR0), ("LR1", LR1),
-        ("sig", sig_c), ("bg", bg_c), ("cmask", counts_mask),
-        ("cts", counts_filled),
+        ("mid", midpt[None, :]), ("KV", kv),
+        ("M0", M0), ("M1", M1), ("VB", VB),
+        ("sigf", sig_flat), ("bgf", bg_flat), ("cmf", cm_flat),
+        ("ctf", ct_flat),
         ("plo", lo_p[None, :]), ("phi", hi_p[None, :]),
         ("pisg", isg_p[None, :]), ("pmu", mu_p[None, :]),
         ("psg", sg_p[None, :]),
@@ -145,9 +175,9 @@ def _build_spec(sess):
     NEG = float("-inf")  # python scalar: kernels must not capture arrays
 
     def ll_body(th, r_ref, pm_ref, lt_ref, gt_ref, fx_ref, wr_ref,
-                wt0_ref, mid_ref, vt_ref, lr0_ref, lr1_ref, sg_ref, bg_ref,
-                cm_ref, ct_ref, plo_ref, phi_ref, pig_ref, pmu_ref,
-                psg_ref):
+                wt0_ref, mid_ref, kv_ref, m0_ref, m1_ref, vb_ref, sgf_ref,
+                bgf_ref, cmf_ref, ctf_ref, plo_ref, phi_ref, pig_ref,
+                pmu_ref, psg_ref):
         """Joint log-likelihood of a (B, Dp) parameter block -> (B, 1).
 
         Pure function of the block plus the constant refs; shared by the
@@ -243,39 +273,27 @@ def _build_spec(sess):
         Tm = press_m / nem * 10.0 ** tratio
         tl = jnp.log(jnp.maximum(Tm, 1e-30))
         pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
-        kf = jnp.floor(pos)
-        frac = pos - kf                        # (B, n_sh)
 
-        # table lerp by 64-segment accumulation (no gathers/reshapes):
-        # value_at(kf) and value_at(kf+1) per band
+        # hat-basis matmul lerp (see _build_spec): expand pos to the
+        # 128-aligned (B, n_sh*KG) lane layout, form the hat activations,
+        # contract against the table operators on the MXU
         ne2m_w = nem * nem
-        cash = jnp.zeros((B, 1), dtype=th.dtype)
-        okmin = jnp.ones((B, 1), dtype=jnp.bool_)
-        kf_i = kf.astype(jnp.int32)
-        onehot = [(kf_i == k).astype(th.dtype) for k in range(nT)]
-        for b in range(n_band):
-            l0a = jnp.zeros_like(frac); l0b = jnp.zeros_like(frac)
-            l1a = jnp.zeros_like(frac); l1b = jnp.zeros_like(frac)
-            for k in range(nT):
-                s = onehot[k]
-                l0a += s * lr0_ref[b, k]
-                l1a += s * lr1_ref[b, k]
-                kn = min(k + 1, nT - 1)
-                l0b += s * lr0_ref[b, kn]
-                l1b += s * lr1_ref[b, kn]
-            l0 = l0a + frac * (l0b - l0a)
-            l1 = l1a + frac * (l1b - l1a)
-            rates = jnp.exp(l0) * (1.0 - Z) + jnp.exp(l1) * Z   # (B, n_sh)
-            emiss = rates * ne2m_w
-            proj = jnp.dot(emiss, vt_ref[:],
-                           preferred_element_type=jnp.float32)  # (B, n_ann)
-            pred = proj * sg_ref[b:b + 1, :] + bscale * bg_ref[b:b + 1, :]
-            okmin = okmin & jnp.all(pred > 0.0, axis=1, keepdims=True)
-            safe = jnp.where(pred > 0.0, pred, 1.0)
-            cash = cash + jnp.sum(
-                cm_ref[b:b + 1, :] * (ct_ref[b:b + 1, :] * jnp.log(safe)
-                                      - safe),
-                axis=1, keepdims=True)
+        pos_e = jnp.concatenate(
+            [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
+             for j in range(n_sh)], axis=1)             # (B, NSK)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - kv_ref[:]))
+        l0f = jnp.dot(hat, m0_ref[:], preferred_element_type=jnp.float32)
+        l1f = jnp.dot(hat, m1_ref[:], preferred_element_type=jnp.float32)
+        rates = jnp.exp(l0f) * (1.0 - Z) + jnp.exp(l1f) * Z   # (B, NBS)
+        ne2_e = jnp.concatenate([ne2m_w] * n_band, axis=1)    # (B, NBS)
+        emiss = rates * ne2_e
+        proj = jnp.dot(emiss, vb_ref[:],
+                       preferred_element_type=jnp.float32)    # (B, NBS)
+        pred = proj * sgf_ref[:] + bscale * bgf_ref[:]
+        okmin = jnp.all(pred > 0.0, axis=1, keepdims=True)
+        safe = jnp.where(pred > 0.0, pred, 1.0)
+        cash = jnp.sum(cmf_ref[:] * (ctf_ref[:] * jnp.log(safe) - safe),
+                       axis=1, keepdims=True)
         total = total + jnp.where(okmin, cash, NEG)
 
         total = jnp.where(jnp.isnan(total), NEG, total)
@@ -341,20 +359,26 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
 
 
 def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
-                     interpret: bool = False):
+                     interpret: bool = False, vmem_limit_mb: int = 96,
+                     thin: int | None = None):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
 
     This amortises the per-invocation pallas overhead (~0.7 ms on this
     backend, see docs/PERFORMANCE.md) over n_inner steps — the route to
-    running the 190M evals/s kernel throughput inside the sampler.
+    running the mega-kernel likelihood throughput inside the sampler.
 
     The random stream is the TPU hardware PRNG seeded per invocation (a
     different, validated-distribution stream from the threefry path; use
-    distinct seeds per call).  Returns
-    ``step_block(x, lp, acc, seed) -> (x, lp, acc)`` with x (W, D), or
-    None when the configuration doesn't match the specialisation.
+    distinct seeds per call).
+
+    Returns ``step_block(x, lp, acc, seed)`` with x (W, D); without
+    ``thin`` the result is ``(x, lp, acc)``; with ``thin`` the kernel also
+    records the walker ensemble every ``thin`` steps VMEM-resident and the
+    result is ``(x, lp, acc, chain (n_inner//thin, W, D),
+    chain_lp (n_inner//thin, W))``.  Returns None when the configuration
+    doesn't match the specialisation.
     """
     spec = _build_spec(sess)
     if spec is None:
@@ -367,14 +391,23 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     if W % 2:
         raise ValueError("need an even number of walkers")
     H = W // 2
+    n_keep = 0
+    if thin is not None:
+        if thin <= 0 or n_inner % thin:
+            raise ValueError("n_inner must be a positive multiple of thin")
+        n_keep = n_inner // thin
     ll_tile = 256   # likelihood evaluated in (ll_tile, .) row blocks
     f32 = jnp.float32
     sa = float(np.sqrt(a))
     inv24 = float(2.0 ** -24)
 
     def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
-        const_refs = refs[:-3]
-        xo_ref, lpo_ref, acco_ref = refs[-3:]
+        if n_keep:
+            const_refs = refs[:-5]
+            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref = refs[-5:]
+        else:
+            const_refs = refs[:-3]
+            xo_ref, lpo_ref, acco_ref = refs[-3:]
         if not interpret:
             pltpu.prng_seed(seed_ref[0])
         xo_ref[:] = x0_ref[:]
@@ -430,6 +463,13 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
         def body(i, carry):
             half(i, 0, H, 0)
             half(i, H, 0, 1)
+            if n_keep:
+                # record the ensemble every `thin` steps
+                @pl.when((i + 1) % thin == 0)
+                def _():
+                    k = (i + 1) // thin - 1
+                    cx_ref[pl.ds(k, 1)] = xo_ref[:][None]
+                    clp_ref[pl.ds(k, 1)] = lpo_ref[:][None]
             return carry
 
         jax.lax.fori_loop(0, n_inner, body, 0)
@@ -447,17 +487,34 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             pl.BlockSpec(memory_space=pltpu.VMEM),        # lp0
             pl.BlockSpec(memory_space=pltpu.VMEM),        # acc0
         ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in const_shapes]
-        x_out, lp_out, acc_out = pl.pallas_call(
+        kwargs = {}
+        if not interpret:
+            # the default 16MB scoped-vmem budget OOMs past W=512; v5e has
+            # 128MB VMEM per core, so raise the ceiling for large ensembles
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+        out_shape = [
+            jax.ShapeDtypeStruct((W, Dp), f32),
+            jax.ShapeDtypeStruct((W, 1), f32),
+            jax.ShapeDtypeStruct((W, 1), f32),
+        ]
+        if n_keep:
+            out_shape += [
+                jax.ShapeDtypeStruct((n_keep, W, Dp), f32),
+                jax.ShapeDtypeStruct((n_keep, W, 1), f32),
+            ]
+        outs = pl.pallas_call(
             kernel,
-            out_shape=[
-                jax.ShapeDtypeStruct((W, Dp), f32),
-                jax.ShapeDtypeStruct((W, 1), f32),
-                jax.ShapeDtypeStruct((W, 1), f32),
-            ],
+            out_shape=out_shape,
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
             interpret=interpret,
+            **kwargs,
         )(seed_arr, xp, lpp, accp, *const_vals)
+        x_out, lp_out, acc_out = outs[:3]
+        if n_keep:
+            return (x_out[:, :D], lp_out[:, 0], acc_out[:, 0],
+                    outs[3][:, :, :D], outs[4][:, :, 0])
         return x_out[:, :D], lp_out[:, 0], acc_out[:, 0]
 
     return step_block

@@ -44,6 +44,10 @@ def main(argv=None):
     ap.add_argument("--fused", action="store_true",
                     help="use the fused (Pallas on TPU) batched likelihood "
                          "for the sampling phases")
+    ap.add_argument("--step-kernel", action="store_true",
+                    help="run prelim/burn/sampling through the fused Pallas "
+                         "step-loop kernel (whole MCMC steps on-chip; "
+                         "TPU only, flagship configuration only)")
     args = ap.parse_args(argv)
 
     import jax
@@ -107,6 +111,21 @@ def main(argv=None):
         print(f"fused batched likelihood "
               f"({'pallas' if use_pallas else 'jnp'} SZ core)")
 
+    step_sampler = None
+    if args.step_kernel:
+        if jax.default_backend() == "cpu":
+            print("note: --step-kernel needs the TPU hardware PRNG; "
+                  "falling back to the XLA sampler on CPU")
+        else:
+            from .sampling.kernel import make_kernel_sampler
+
+            step_sampler = make_kernel_sampler(sess)
+            if step_sampler is None:
+                print("note: configuration outside the step-kernel "
+                      "specialisation; falling back to the XLA sampler")
+            else:
+                print("sampling via the fused Pallas step-loop kernel")
+
     p = sess.params
     save = pathlib.Path(cfg.save_dir)
     res = run_fit(
@@ -121,6 +140,7 @@ def main(argv=None):
         n_temper_rungs=args.temper,
         mesh=mesh,
         log_like_batch=ll_batch,
+        step_sampler=step_sampler,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(

@@ -89,13 +89,17 @@ def run_fit(
     n_temper_rungs: int = 0,
     checkpoint_every: int = 500,
     mesh=None,
+    step_sampler=None,
     verbose: bool = True,
 ) -> FitResult:
     """Full fit; pass ``resume_from`` (a state .npz written by a previous
     run) to skip MLE/init/preliminary/burn-in and continue sampling from
     the saved walker positions — a capability the reference lacks
     (SURVEY.md §5.4: write-side only).  ``log_like_batch`` may override the
-    batched likelihood (e.g. the fused Pallas path)."""
+    batched likelihood (e.g. the fused Pallas path).  ``step_sampler`` (a
+    sampling.kernel.KernelSampler) routes the prelim/burn/sampling phases
+    through the fused Pallas step-loop kernel; it is ignored for the
+    tempered and mesh-sharded paths."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 
@@ -106,8 +110,14 @@ def run_fit(
                   f"(multiple of thin={nthin})")
         nsteps = new_nsteps
 
+    if step_sampler is not None and (n_temper_rungs > 1 or mesh is not None):
+        if verbose:
+            print("note: step-kernel sampler ignored for tempered/mesh runs")
+        step_sampler = None
+
     if log_like_batch is None:
-        log_like_batch = jax.jit(jax.vmap(log_like))
+        log_like_batch = (step_sampler.log_prob_batch if step_sampler
+                          is not None else jax.jit(jax.vmap(log_like)))
 
     resumed = None
     if resume_from is not None:
@@ -153,10 +163,14 @@ def run_fit(
     rounds = 0
     while resumed is None and rounds < max_prelim_rounds:
         key, sub = jax.random.split(key)
-        res = run_ensemble(log_like_batch, p0, prelim_iterations, sub,
-                           thin=prelim_iterations, store_chain=True)
+        if step_sampler is not None:
+            res = step_sampler.run(p0, prelim_iterations, sub,
+                                   store_chain=False)
+        else:
+            res = run_ensemble(log_like_batch, p0, prelim_iterations, sub,
+                               thin=prelim_iterations, store_chain=True)
         p0 = res.final_state[0]
-        newbest = float(np.max(res.log_prob[-1]))
+        newbest = float(np.max(np.asarray(res.final_state[1])))
         rounds += 1
         if verbose:
             print(f"preliminary round {rounds}: best ll {newbest:.2f}")
@@ -171,8 +185,11 @@ def run_fit(
     key, sub = jax.random.split(key)
     if resumed is None:
         # only the final burn-in state matters; save a single snapshot
-        res = run_ensemble(log_like_batch, p0, nburn, sub,
-                           thin=max(nburn, 1), store_chain=True)
+        if step_sampler is not None:
+            res = step_sampler.run(p0, nburn, sub, store_chain=False)
+        else:
+            res = run_ensemble(log_like_batch, p0, nburn, sub,
+                               thin=max(nburn, 1), store_chain=True)
         p1 = res.final_state[0]
     else:
         p1 = p0
@@ -209,8 +226,11 @@ def run_fit(
         while done < nsteps:
             n = min(checkpoint_every * nthin, nsteps - done)
             key, sub = jax.random.split(key)
-            r = run_ensemble(log_like_batch, state_x, n, sub, thin=nthin,
-                             store_chain=True)
+            if step_sampler is not None:
+                r = step_sampler.run(state_x, n, sub, thin=nthin)
+            else:
+                r = run_ensemble(log_like_batch, state_x, n, sub, thin=nthin,
+                                 store_chain=True)
             chunks.append(r.chain)
             lps.append(r.log_prob)
             acc_total = (r.acceptance_fraction * n if acc_total is None
@@ -247,6 +267,8 @@ def run_fit(
             acceptance_fraction=out["acceptance_fraction"],
             final_state=(out["final"][0], out["final"][1], sub),
         )
+    elif step_sampler is not None:
+        res = step_sampler.run(p1, nsteps, sub, thin=nthin)
     else:
         res = run_ensemble(log_like_batch, p1, nsteps, sub, thin=nthin,
                            store_chain=True)

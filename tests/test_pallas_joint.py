@@ -8,7 +8,7 @@ import jax.numpy as jnp
 
 from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
-from joxsz_tpu.ops.pallas_joint import make_joint_core
+from joxsz_tpu.ops.pallas_joint import make_joint_core, make_step_kernel
 
 
 @pytest.fixture(scope="module")
@@ -56,9 +56,95 @@ def test_joint_kernel_vetoes(sess32):
     assert out[1] == -np.inf and out[2] == -np.inf
 
 
+def test_step_kernel_mechanics(sess32):
+    """Interpreter-mode mechanics of the fused step-loop kernel: stored
+    log-probs match recomputation, walkers stay in-box, acceptance counts
+    are sane.  (Posterior correctness is validated on hardware —
+    scripts/tpu_step_kernel_bench.py — since the interpret fallback PRNG
+    is a plain hash.)"""
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(1)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = core(x0)
+    assert np.all(np.isfinite(np.asarray(lp0)))
+
+    step = make_step_kernel(sess32, n_inner=6, n_walkers=W, interpret=True)
+    x, lp, acc = step(x0, lp0, jnp.zeros(W), 3)
+    lp_re = core(x)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_re),
+                               rtol=2e-5, atol=1e-2)
+    assert np.all(np.asarray(acc) >= 0) and np.all(np.asarray(acc) <= 6)
+
+
+def test_step_kernel_chain_recording(sess32):
+    """The thin-recording variant returns snapshots whose last frame is
+    the final state and whose log-probs match recomputation."""
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(2)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = core(x0)
+
+    step = make_step_kernel(sess32, n_inner=6, n_walkers=W, interpret=True,
+                            thin=2)
+    x, lp, acc, chain, chain_lp = step(x0, lp0, jnp.zeros(W), 7)
+    assert chain.shape == (3, W, theta0.size)
+    assert chain_lp.shape == (3, W)
+    np.testing.assert_array_equal(np.asarray(chain[-1]), np.asarray(x))
+    np.testing.assert_array_equal(np.asarray(chain_lp[-1]), np.asarray(lp))
+    for k in range(3):
+        lp_re = core(jnp.asarray(chain[k]))
+        np.testing.assert_allclose(np.asarray(chain_lp[k]),
+                                   np.asarray(lp_re), rtol=2e-5, atol=1e-2)
+
+
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
     cfg.pressure_model = "knots"
     sess = build_session(cfg)
     assert make_joint_core(sess) is None
+
+
+def test_kernel_sampler_mechanics(sess32):
+    """KernelSampler chunking/accounting in interpret mode: chain shapes,
+    final-state consistency, acceptance normalisation."""
+    from joxsz_tpu.sampling.kernel import make_kernel_sampler
+    import joxsz_tpu.sampling.kernel as kmod
+
+    ks = make_kernel_sampler(sess32, interpret=True)
+    assert ks is not None
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(3)
+    p0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+
+    # force multi-chunk scheduling to exercise the remainder kernel
+    old = kmod._CHAIN_VMEM_BYTES
+    kmod._CHAIN_VMEM_BYTES = W * (128 + 1) * 4 * 3   # max_keep = 3
+    try:
+        res = ks.run(p0, 8 * 2, jax.random.PRNGKey(0), thin=2)
+    finally:
+        kmod._CHAIN_VMEM_BYTES = old
+    assert res.chain.shape == (8, W, theta0.size)
+    assert res.log_prob.shape == (8, W)
+    np.testing.assert_array_equal(res.chain[-1],
+                                  np.asarray(res.final_state[0]))
+    assert np.all(res.acceptance_fraction >= 0)
+    assert np.all(res.acceptance_fraction <= 1)
+    # stored log-probs match recomputation on every frame
+    for k in range(8):
+        lp_re = ks.log_prob_batch(jnp.asarray(res.chain[k]))
+        np.testing.assert_allclose(res.log_prob[k], np.asarray(lp_re),
+                                   rtol=2e-5, atol=1e-2)
+
+    # no-chain phase path
+    res2 = ks.run(p0, 10, jax.random.PRNGKey(1), store_chain=False)
+    assert res2.chain.shape[0] == 0
+    assert np.asarray(res2.final_state[0]).shape == (W, theta0.size)
