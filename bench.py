@@ -43,7 +43,7 @@ def main():
     # invocation.  XLA scan sampler as the fallback / CPU path.
     step = None
     W = 2048 if on_tpu else 1024
-    n_steps = 200
+    n_steps = 1000 if on_tpu else 200
     rng = np.random.default_rng(0)
     p0 = jnp.asarray(theta0[None] * (
         1 + 0.01 * rng.standard_normal((W, theta0.size))
@@ -54,7 +54,7 @@ def main():
                                                     make_step_kernel)
 
             core = make_joint_core(sess, block_b=256)
-            step = make_step_kernel(sess, n_inner=100, n_walkers=W)
+            step = make_step_kernel(sess, n_inner=500, n_walkers=W)
         except Exception:
             step = None
 
@@ -63,7 +63,7 @@ def main():
         x, lp, acc = step(p0, lp0, jnp.zeros(W), 1)   # compile + warm
         jax.block_until_ready(x)
         t0 = time.time()
-        for i in range(n_steps // 100):
+        for i in range(n_steps // 500):
             x, lp, acc = step(x, lp, acc, 2 + i)
         jax.block_until_ready(x)
         wall = time.time() - t0

@@ -122,9 +122,29 @@ def make_profile_fns(model, cosmo: Cosmology, r_kpc,
     return jax.jit(jax.vmap(thermo)), jax.jit(jax.vmap(hse_mass))
 
 
+# cap on posterior samples used for profile BANDS: the per-sample profile
+# matrices ((N, n_radii) x 7 quantities) cross device->host; beyond ~1e5
+# samples the percentile bands are converged to far below line width while
+# the transfer cost keeps growing linearly (the reference itself uses its
+# full 30k samples, joxsz_plots.py:117).  Deterministic stride keeps
+# walker/time coverage uniform.
+_MAX_BAND_SAMPLES = 131072
+
+
+def _band_subsample(flat_chain: np.ndarray,
+                    max_samples: int | None) -> np.ndarray:
+    if max_samples and len(flat_chain) > max_samples:
+        stride = -(-len(flat_chain) // max_samples)
+        return flat_chain[::stride]
+    return flat_chain
+
+
 def compute_profiles(model, cosmo: Cosmology, r_kpc, flat_chain: np.ndarray,
-                     ci: float = 95.0, batch: int = 4096) -> ProfileSet:
+                     ci: float = 95.0, batch: int = 4096,
+                     max_samples: int | None = _MAX_BAND_SAMPLES
+                     ) -> ProfileSet:
     """Equal-tailed bands of all thermodynamic profiles over the chain."""
+    flat_chain = _band_subsample(flat_chain, max_samples)
     thermo_fn, _ = make_profile_fns(model, cosmo, r_kpc)
     outs = [[] for _ in range(7)]
     for i in range(0, len(flat_chain), batch):
@@ -145,10 +165,12 @@ def compute_profiles(model, cosmo: Cosmology, r_kpc, flat_chain: np.ndarray,
 def compute_mass_profiles(model, cosmo: Cosmology, r_kpc,
                           flat_chain: np.ndarray, delta: float = 500.0,
                           ci: float = 95.0, batch: int = 4096,
-                          n_bisect: int = 60):
+                          n_bisect: int = 60,
+                          max_samples: int | None = _MAX_BAND_SAMPLES):
     """HSE mass bands + overdensity radius/mass (vectorised bisection on
     M(r) - M_Delta(r) = 0, replacing the reference's per-sample
     scipy.optimize.newton at joxsz_plots.py:335)."""
+    flat_chain = _band_subsample(flat_chain, max_samples)
     _, mass_fn = make_profile_fns(model, cosmo, r_kpc)
     r = jnp.asarray(r_kpc)
     lo0 = float(r_kpc[0])
@@ -194,8 +216,11 @@ def compute_mass_profiles(model, cosmo: Cosmology, r_kpc,
 
 def compute_gas_fraction(model, cosmo: Cosmology, r_kpc,
                          flat_chain: np.ndarray, ci: float = 95.0,
-                         batch: int = 4096) -> np.ndarray:
+                         batch: int = 4096,
+                         max_samples: int | None = _MAX_BAND_SAMPLES
+                         ) -> np.ndarray:
     """f_gas = M_gas / M_HSE bands (reference frac_gas_prof)."""
+    flat_chain = _band_subsample(flat_chain, max_samples)
     r = jnp.asarray(r_kpc)
 
     def fgas_one(theta):
@@ -211,9 +236,11 @@ def compute_gas_fraction(model, cosmo: Cosmology, r_kpc,
 
 
 def posterior_predictive(model, flat_chain: np.ndarray, ci: float = 95.0,
-                         batch: int = 4096):
+                         batch: int = 4096,
+                         max_samples: int | None = _MAX_BAND_SAMPLES):
     """Bands of the X-ray predicted count profiles and the SZ brightness
     profile over the chain (reference best_fit_prof)."""
+    flat_chain = _band_subsample(flat_chain, max_samples)
     sz_fn = jax.jit(jax.vmap(model.sz_profile)) \
         if model.sz_data is not None else None
     x_fn = jax.jit(jax.vmap(model.xray_profiles)) \
