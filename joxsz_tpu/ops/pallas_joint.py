@@ -41,9 +41,100 @@ _REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
                "backscale", "calibration"]
 
 
+def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
+    """Ordered list of padded float64 const arrays for ONE cluster, given
+    its SZ/X-ray data and linear SZ operators.  ``spec`` carries the
+    shared statics (dims, conv/table grids, priors) that are BAKED into
+    the kernel body — per-cluster values of those must match and are
+    validated here (the multi-cluster kernel requires a common instrument
+    configuration, like the flat-batch path)."""
+    f64 = np.float64
+    NP, PIX, ND = spec["NP"], spec["PIX"], spec["ND"]
+    n_press, n_sh, n_band, nT = (spec["n_press"], spec["n_sh"],
+                                 spec["n_band"], spec["nT"])
+    KG, NSK, NBS = spec["KG"], spec["NSK"], spec["NBS"]
+
+    r_pp = np.asarray(sz.r_press_kpc, dtype=f64)
+    if r_pp.shape != (n_press,) or not np.allclose(r_pp, spec["r_pp"]):
+        raise ValueError("pressure radial grid differs across the stack")
+    if int(sz.sep) != spec["sep"]:
+        raise ValueError("map geometry (sep) differs across the stack")
+    if not (np.allclose(np.asarray(sz.conv_T, dtype=f64), spec["conv_T"])
+            and np.allclose(np.asarray(sz.conv_val, dtype=f64),
+                            spec["conv_val"])):
+        raise ValueError("y->mJy conversion tables differ across the stack "
+                         "(baked into the kernel body)")
+    Tlog = np.asarray(xr.table.Tlog, dtype=f64)
+    if Tlog.shape != (nT,) or not np.allclose(Tlog, spec["Tlog"]):
+        raise ValueError("count-rate log-T grids differ across the stack")
+
+    r_pad = _pad_to(r_pp, (NP,))
+    r_pad[n_press:] = 1.0                              # keep powers finite
+    press_mask = np.zeros(NP); press_mask[:n_press] = 1.0
+
+    LT = _pad_to(np.asarray(L, dtype=f64).T, (NP, PIX))
+    GT = _pad_to(np.asarray(G, dtype=f64).T, (PIX, ND))
+    flux64 = np.asarray(sz.flux, dtype=f64)
+    err64 = np.asarray(sz.flux_err, dtype=f64)
+    valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
+    flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
+    w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
+                  (ND,))
+    w_T0 = _pad_to(np.asarray(w_T0_raw, dtype=f64), (NP,))
+
+    midpt = np.asarray(xr.midpt_kpc, dtype=f64)        # (15,)
+    counts_mask = np.asarray(xr.counts_mask, dtype=f64)     # (10, 15)
+    counts_filled = np.asarray(xr.counts_filled, dtype=f64)
+    exps = np.asarray(xr.exposures, dtype=f64)
+    sig_c = exps * np.asarray(xr.areascales, dtype=f64)
+    bg_c = (np.asarray(xr.backrates, dtype=f64) * exps
+            * np.asarray(xr.areas, dtype=f64))
+    volsT = np.asarray(xr.vols_norm, dtype=f64).T.copy()    # (shell, ann)
+    LR0 = np.asarray(xr.table.lograte_Z0, dtype=f64)    # (10, nT)
+    LR1 = np.asarray(xr.table.lograte_Z1, dtype=f64)
+
+    # hat-basis table operators + block-diagonal projection (see the
+    # _build_spec docstring for the formulation)
+    kv = np.full((1, NSK), -1e9)
+    for j in range(n_sh):
+        kv[0, j * KG: j * KG + nT] = np.arange(nT)
+    M0 = np.zeros((NSK, NBS))
+    M1 = np.zeros((NSK, NBS))
+    for j in range(n_sh):
+        for b in range(n_band):
+            M0[j * KG: j * KG + nT, b * n_sh + j] = LR0[b]
+            M1[j * KG: j * KG + nT, b * n_sh + j] = LR1[b]
+    VB = np.zeros((NBS, NBS))
+    for b in range(n_band):
+        VB[b * n_sh:(b + 1) * n_sh, b * n_sh:(b + 1) * n_sh] = volsT
+
+    return [
+        r_pad[None, :], press_mask[None, :],
+        LT, GT,
+        flux_p[None, :], w_p[None, :],
+        w_T0[None, :],
+        midpt[None, :], kv,
+        M0, M1, VB,
+        sig_c.reshape(1, NBS), bg_c.reshape(1, NBS),
+        counts_mask.reshape(1, NBS), counts_filled.reshape(1, NBS),
+        spec["lo_p"][None, :], spec["hi_p"][None, :],
+        spec["isg_p"][None, :], spec["mu_p"][None, :],
+        spec["sg_p"][None, :],
+    ]
+
+
 def _build_spec(sess):
     """Constants + scalar closure data for the flagship joint-likelihood
-    kernel body; returns None when the configuration doesn't match."""
+    kernel body; returns None when the configuration doesn't match.
+
+    The hat-basis X-ray formulation: linear interpolation is linear in the
+    table values, so the whole (band, shell) count-rate lookup collapses
+    to ONE MXU matmul of sparse hat activations ``max(0, 1-|pos-k|)``
+    against a precomputed (n_sh*KG, n_band*n_sh) table operator — replacing
+    the O(nT*band) chain of tiny VPU FMAs that previously dominated the
+    kernel's runtime.  Lane layout: shells j get 128-aligned groups (KG
+    lanes each, k = lane index in group; k >= nT is disabled via an
+    off-grid KV so the hat is exactly zero there)."""
     if not _HAVE_PLTPU:
         return None
     p = sess.params
@@ -66,82 +157,29 @@ def _build_spec(sess):
     mass_C = float(K.keV_erg * K.kpc_cm
                    / (K.mu_gas * K.mu_g * K.G_cgs) / K.solar_mass_g)
 
-    # ---- SZ constants ---------------------------------------------------------
+    # ---- shared dims / grids (validated per cluster in _cluster_arrays) ----
     r_pp = np.asarray(sz.r_press_kpc, dtype=f64)       # (313,)
     n_press = r_pp.size
-    sep = sz.sep
+    sep = int(sz.sep)
     NP = _round_up(n_press, 128)                       # 384
-    r_pad = _pad_to(r_pp, (NP,))
-    r_pad[n_press:] = 1.0                              # keep powers finite
-    press_mask = np.zeros(NP); press_mask[:n_press] = 1.0
-
     n_pix = op.n_pix                                   # 86
     PIX = _round_up(n_pix, 128)                        # 128
-    LT = _pad_to(np.asarray(op.L.T, dtype=f64), (NP, PIX))
     n_data = np.asarray(sz.flux).shape[0]
     ND = _round_up(n_data, 128)
-    GT = _pad_to(np.asarray(op.G.T, dtype=f64), (PIX, ND))
-    flux64 = np.asarray(sz.flux, dtype=f64)
-    err64 = np.asarray(sz.flux_err, dtype=f64)
-    valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
-    flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
-    w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
-                  (ND,))
-    w_T0 = _pad_to(np.asarray(op.w_T0, dtype=f64), (NP,))
     conv_T = [float(v) for v in np.asarray(sz.conv_T)]
     conv_val = [float(v) for v in np.asarray(sz.conv_val)]
     n_conv = len(conv_T)
 
-    # ---- X-ray constants (native small dims; Mosaic pads lanes itself) -------
     midpt = np.asarray(xr.midpt_kpc, dtype=f64)        # (15,)
     n_sh = midpt.size
-    counts_mask = np.asarray(xr.counts_mask, dtype=f64)     # (10, 15)
-    counts_filled = np.asarray(xr.counts_filled, dtype=f64)
-    n_band = counts_mask.shape[0]
-    exps = np.asarray(xr.exposures, dtype=f64)
-    ascl = np.asarray(xr.areascales, dtype=f64)
-    areas = np.asarray(xr.areas, dtype=f64)
-    backr = np.asarray(xr.backrates, dtype=f64)
-    sig_c = exps * ascl                                # (10, 15)
-    bg_c = backr * exps * areas
-    volsT = np.asarray(xr.vols_norm, dtype=f64).T.copy()    # (shell, ann)
-
+    n_band = np.asarray(xr.counts_mask).shape[0]
     Tlog = np.asarray(xr.table.Tlog, dtype=f64)
     nT = Tlog.size                                      # 64
     t0g = float(Tlog[0])
     dtg = float(Tlog[1] - Tlog[0])
-    LR0 = np.asarray(xr.table.lograte_Z0, dtype=f64)    # (10, nT)
-    LR1 = np.asarray(xr.table.lograte_Z1, dtype=f64)
-
-    # ---- hat-basis matmul formulation of the X-ray table lerp ---------------
-    # Linear interpolation is linear in the table values:
-    #   lerp(pos)[b] = sum_k max(0, 1-|pos-k|) * LR[b, k]
-    # so the whole (band, shell) lookup collapses to ONE MXU matmul of a
-    # sparse hat-activation matrix against a precomputed table operator,
-    # replacing the O(nT*band) chain of tiny VPU FMAs that dominated the
-    # kernel's runtime.  Lane layout: shells j get 128-aligned groups
-    # (KG lanes each, k = lane index in group; k >= nT is disabled via an
-    # off-grid KV so the hat is exactly zero there).
     KG = _round_up(nT, 128)                            # 128
     NSK = n_sh * KG                                    # 1920
     NBS = n_band * n_sh                                # 150 flat (band, shell)
-    kv = np.full((1, NSK), -1e9)
-    for j in range(n_sh):
-        kv[0, j * KG: j * KG + nT] = np.arange(nT)
-    M0 = np.zeros((NSK, NBS))
-    M1 = np.zeros((NSK, NBS))
-    for j in range(n_sh):
-        for b in range(n_band):
-            M0[j * KG: j * KG + nT, b * n_sh + j] = LR0[b]
-            M1[j * KG: j * KG + nT, b * n_sh + j] = LR1[b]
-    # block-diagonal shell->annulus projection per band (150, 150)
-    VB = np.zeros((NBS, NBS))
-    for b in range(n_band):
-        VB[b * n_sh:(b + 1) * n_sh, b * n_sh:(b + 1) * n_sh] = volsT
-    sig_flat = sig_c.reshape(1, NBS)                   # (1, 150) band-major
-    bg_flat = bg_c.reshape(1, NBS)
-    cm_flat = counts_mask.reshape(1, NBS)
-    ct_flat = counts_filled.reshape(1, NBS)
 
     # ---- priors ---------------------------------------------------------------
     lo = np.where(np.isfinite(p.lo), p.lo, -1e30)
@@ -155,33 +193,28 @@ def _build_spec(sess):
     sg_p = _pad_to(np.where(p.is_gauss, p.sigma, 1.0), (Dp,))
     sg_p[D:] = 1.0
 
+    spec = dict(
+        NP=NP, PIX=PIX, ND=ND, KG=KG, NSK=NSK, NBS=NBS,
+        n_press=n_press, n_sh=n_sh, n_band=n_band, nT=nT, sep=sep,
+        r_pp=r_pp, conv_T=np.asarray(conv_T), conv_val=np.asarray(conv_val),
+        Tlog=Tlog, lo_p=lo_p, hi_p=hi_p, isg_p=isg_p, mu_p=mu_p, sg_p=sg_p,
+        D=D, Dp=Dp,
+    )
+
     f32 = jnp.float32
-    const_arrays = [
-        ("r", r_pad[None, :]), ("pmask", press_mask[None, :]),
-        ("LT", LT), ("GT", GT),
-        ("flux", flux_p[None, :]), ("wres", w_p[None, :]),
-        ("wT0", w_T0[None, :]),
-        ("mid", midpt[None, :]), ("KV", kv),
-        ("M0", M0), ("M1", M1), ("VB", VB),
-        ("sigf", sig_flat), ("bgf", bg_flat), ("cmf", cm_flat),
-        ("ctf", ct_flat),
-        ("plo", lo_p[None, :]), ("phi", hi_p[None, :]),
-        ("pisg", isg_p[None, :]), ("pmu", mu_p[None, :]),
-        ("psg", sg_p[None, :]),
-    ]
-    const_vals = [jnp.asarray(a, f32) for _, a in const_arrays]
-    const_shapes = [tuple(a.shape) for _, a in const_arrays]
+    const_list = _cluster_arrays(spec, sz, xr, op.L, op.G, op.w_T0)
+    const_vals = [jnp.asarray(a, f32) for a in const_list]
+    const_shapes = [tuple(a.shape) for a in const_list]
 
     NEG = float("-inf")  # python scalar: kernels must not capture arrays
 
-    def ll_body(th, r_ref, pm_ref, lt_ref, gt_ref, fx_ref, wr_ref,
-                wt0_ref, mid_ref, kv_ref, m0_ref, m1_ref, vb_ref, sgf_ref,
-                bgf_ref, cmf_ref, ctf_ref, plo_ref, phi_ref, pig_ref,
-                pmu_ref, psg_ref):
+    def ll_body(th, r, pmask, LT, GT, flux_v, wres, wT0, midr, KV, M0v,
+                M1v, VBv, sigf, bgf, cmf, ctf, plo, phi, pig, pmu, psg):
         """Joint log-likelihood of a (B, Dp) parameter block -> (B, 1).
 
-        Pure function of the block plus the constant refs; shared by the
-        batched-likelihood kernel and the fused step-loop kernel."""
+        Pure function of the block plus the constant VALUES (callers load
+        them from VMEM refs once, outside any step loop); shared by the
+        batched-likelihood, step-loop, and multi-cluster kernels."""
         B = th.shape[0]
 
         def col(i):
@@ -193,16 +226,12 @@ def _build_spec(sess):
         rp_, bscale, cal = col(10), col(11), col(12)
 
         # ---- priors ----------------------------------------------------------
-        inside = jnp.all((th >= plo_ref[:]) & (th <= phi_ref[:]),
+        inside = jnp.all((th >= plo) & (th <= phi),
                          axis=1, keepdims=True)          # (B,1)
-        zres = (th - pmu_ref[:]) / psg_ref[:]
-        gauss = -0.5 * jnp.sum(pig_ref[:] * zres * zres, axis=1,
-                               keepdims=True)
+        zres = (th - pmu) / psg
+        gauss = -0.5 * jnp.sum(pig * zres * zres, axis=1, keepdims=True)
         total = jnp.where(inside, gauss, NEG)
         total = jnp.where(log_rc > log_rs, NEG, total)   # r_c <= r_s veto
-
-        r = r_ref[:]                          # (1, NP)
-        pmask = pm_ref[:]
 
         # ---- gNFW pressure + derivative --------------------------------------
         x = r / rp_                            # (B, NP)
@@ -237,9 +266,9 @@ def _build_spec(sess):
 
         # ---- SZ ----------------------------------------------------------------
         pp = press * pmask
-        raw = jnp.dot(pp, lt_ref[:], preferred_element_type=jnp.float32)
+        raw = jnp.dot(pp, LT, preferred_element_type=jnp.float32)
         t_sz_full = press / ne                 # (B, NP)
-        t0 = jnp.sum(t_sz_full * wt0_ref[:], axis=1, keepdims=True)
+        t0 = jnp.sum(t_sz_full * wT0, axis=1, keepdims=True)
         pixidx = jax.lax.broadcasted_iota(jnp.int32, (B, PIX), 1)
         t_shift = jnp.concatenate([t0, t_sz_full[:, : PIX - 1]], axis=1)
         t_all = jnp.where(pixidx <= sep, t_shift, 1.0)
@@ -256,12 +285,11 @@ def _build_spec(sess):
         conv = y0 + (t_all - x0) / (x1 - x0) * (y1 - y0)
 
         prof = raw * conv * cal
-        model = jnp.dot(prof, gt_ref[:], preferred_element_type=jnp.float32)
-        resid = (fx_ref[:] - model) * wr_ref[:]
+        model = jnp.dot(prof, GT, preferred_element_type=jnp.float32)
+        resid = (flux_v - model) * wres
         total = total - 0.5 * jnp.sum(resid * resid, axis=1, keepdims=True)
 
         # ---- X-ray -------------------------------------------------------------
-        midr = mid_ref[:]                      # (1, n_sh)
         xm = midr / rp_
         press_m = P0 / (xm ** c_gnfw
                         * (1.0 + xm ** a_) ** ((b_ - c_gnfw) / a_))
@@ -281,18 +309,18 @@ def _build_spec(sess):
         pos_e = jnp.concatenate(
             [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
              for j in range(n_sh)], axis=1)             # (B, NSK)
-        hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - kv_ref[:]))
-        l0f = jnp.dot(hat, m0_ref[:], preferred_element_type=jnp.float32)
-        l1f = jnp.dot(hat, m1_ref[:], preferred_element_type=jnp.float32)
+        hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
+        l0f = jnp.dot(hat, M0v, preferred_element_type=jnp.float32)
+        l1f = jnp.dot(hat, M1v, preferred_element_type=jnp.float32)
         rates = jnp.exp(l0f) * (1.0 - Z) + jnp.exp(l1f) * Z   # (B, NBS)
         ne2_e = jnp.concatenate([ne2m_w] * n_band, axis=1)    # (B, NBS)
         emiss = rates * ne2_e
-        proj = jnp.dot(emiss, vb_ref[:],
+        proj = jnp.dot(emiss, VBv,
                        preferred_element_type=jnp.float32)    # (B, NBS)
-        pred = proj * sgf_ref[:] + bscale * bgf_ref[:]
+        pred = proj * sigf + bscale * bgf
         okmin = jnp.all(pred > 0.0, axis=1, keepdims=True)
         safe = jnp.where(pred > 0.0, pred, 1.0)
-        cash = jnp.sum(cmf_ref[:] * (ctf_ref[:] * jnp.log(safe) - safe),
+        cash = jnp.sum(cmf * (ctf * jnp.log(safe) - safe),
                        axis=1, keepdims=True)
         total = total + jnp.where(okmin, cash, NEG)
 
@@ -302,13 +330,14 @@ def _build_spec(sess):
     def kernel(th_ref, *refs):
         const_refs = refs[:-1]
         out_ref = refs[-1]
-        out_ref[:] = ll_body(th_ref[:], *const_refs)
+        out_ref[:] = ll_body(th_ref[:], *[r[:] for r in const_refs])
 
     mid_box = jnp.asarray(
         0.5 * (np.clip(lo, -10, 10) + np.clip(hi, -10, 10)), f32)
 
     return dict(kernel=kernel, ll_body=ll_body, const_vals=const_vals,
-                const_shapes=const_shapes, mid_box=mid_box, D=D, Dp=Dp)
+                const_shapes=const_shapes, mid_box=mid_box, D=D, Dp=Dp,
+                spec=spec)
 
 
 def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
@@ -430,6 +459,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             v = v ^ (v >> 13); v = v * jnp.uint32(3266489917)
             return v ^ (v >> 16)
 
+        const_vals_in = [r[:] for r in const_refs]   # loaded ONCE
+
         def half(i, base, fixed_base, which):
             xm = xo_ref[base:base + H, :]
             lm = lpo_ref[base:base + H, :]
@@ -447,11 +478,11 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             # evaluate the likelihood in row tiles so the (tile, 384)
             # intermediates bound VMEM instead of (H, 384)
             if H > ll_tile:
-                lp_parts = [ll_body(y[t:t + ll_tile], *const_refs)
+                lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
                             for t in range(0, H, ll_tile)]
                 lp_y = jnp.concatenate(lp_parts, axis=0)
             else:
-                lp_y = ll_body(y, *const_refs)
+                lp_y = ll_body(y, *const_vals_in)
             # log(u)=-inf when u==0 -> always accept (correct MH limit)
             logu = jnp.log(u[:, 2:3])
             accept = logu < (D - 1.0) * jnp.log(z) + lp_y - lm
@@ -516,5 +547,193 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             return (x_out[:, :D], lp_out[:, 0], acc_out[:, 0],
                     outs[3][:, :, :D], outs[4][:, :, 0])
         return x_out[:, :D], lp_out[:, 0], acc_out[:, 0]
+
+    return step_block
+
+
+def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
+                                  n_walkers: int, a: float = 2.0,
+                                  interpret: bool = False,
+                                  vmem_limit_mb: int = 96,
+                                  thin: int | None = None):
+    """Cluster-grid fused sampler for multi-cluster batched fits
+    (BASELINE config #5): grid dimension = cluster; each grid step runs
+    ``n_inner`` full stretch-move ensemble steps for ONE cluster's
+    ``n_walkers``-walker ensemble against that cluster's constants
+    (operators, flux, counts, tables), Mosaic-pipelining the next
+    cluster's constant DMA behind the current cluster's compute.
+
+    This replaces the flat widened-GEMM XLA path's deliberate C-fold FLOP
+    overhead with per-cluster exact-size work (the nested-vmap lowering
+    problem documented in docs/PERFORMANCE.md does not arise: each grid
+    step is a single-cluster program).
+
+    Requirements (validated): clusters share the instrument configuration
+    — map geometry, pressure grid, conversion table, count-rate log-T
+    grid, walker count.  Returns
+    ``step_block(x (C,W,D), lp (C,W), acc (C,W), seed)`` -> same triple,
+    plus ``(chain (C, n_inner//thin, W, D), chain_lp (C, ..., W))`` when
+    ``thin`` is given; or None when the session/stack doesn't match the
+    specialisation.
+    """
+    spec_full = _build_spec(sess)
+    if spec_full is None:
+        return None
+    if getattr(sz_stack, "calc_integ", False):
+        return None
+    ll_body = spec_full["ll_body"]
+    spec = spec_full["spec"]
+    D, Dp = spec_full["D"], spec_full["Dp"]
+    W = n_walkers
+    if W % 2:
+        raise ValueError("need an even number of walkers")
+    H = W // 2
+    n_keep = 0
+    if thin is not None:
+        if thin <= 0 or n_inner % thin:
+            raise ValueError("n_inner must be a positive multiple of thin")
+        n_keep = n_inner // thin
+    ll_tile = 256
+    f32 = jnp.float32
+    sa = float(np.sqrt(a))
+    inv24 = float(2.0 ** -24)
+
+    C = int(np.asarray(sz_stack.L).shape[0])
+    try:
+        per_cluster = [
+            _cluster_arrays(
+                spec,
+                jax.tree_util.tree_map(lambda x, c=c: x[c], sz_stack),
+                jax.tree_util.tree_map(lambda x, c=c: x[c], xr_stack),
+                np.asarray(sz_stack.L)[c], np.asarray(sz_stack.G)[c],
+                np.asarray(sz_stack.w_T0)[c])
+            for c in range(C)
+        ]
+    except ValueError:
+        return None     # heterogeneous stack: fall back to the XLA path
+    const_vals = [jnp.asarray(np.stack([pc[i] for pc in per_cluster]), f32)
+                  for i in range(len(per_cluster[0]))]
+    const_shapes = [tuple(v.shape) for v in const_vals]
+
+    def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
+        if n_keep:
+            const_refs = refs[:-5]
+            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref = refs[-5:]
+        else:
+            const_refs = refs[:-3]
+            xo_ref, lpo_ref, acco_ref = refs[-3:]
+        cid = pl.program_id(0)
+        if not interpret:
+            pltpu.prng_seed(seed_ref[0], cid)
+        xo_ref[:] = x0_ref[:]
+        lpo_ref[:] = lp0_ref[:]
+        acco_ref[:] = acc0_ref[:]
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+
+        def random_bits(i, which):
+            if not interpret:
+                return pltpu.prng_random_bits((H, 4))
+            idx = (jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 0) * 4
+                   + jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 1))
+            v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
+                 + cid.astype(jnp.uint32) * jnp.uint32(7919)
+                 + jnp.uint32(i) * jnp.uint32(40503)
+                 + jnp.uint32(which) * jnp.uint32(10007))
+            v = v ^ (v >> 15); v = v * jnp.uint32(2246822519)
+            v = v ^ (v >> 13); v = v * jnp.uint32(3266489917)
+            return v ^ (v >> 16)
+
+        const_vals_in = [r[0] for r in const_refs]   # this cluster's block
+
+        def half(i, base, fixed_base, which):
+            xm = xo_ref[0, base:base + H, :]
+            lm = lpo_ref[0, base:base + H, :]
+            xf = xo_ref[0, fixed_base:fixed_base + H, :]
+            bits = random_bits(i, which)
+            u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
+            z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
+            pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
+            onehot = (row == pidx).astype(f32)
+            xp = jnp.dot(onehot, xf, preferred_element_type=f32)
+            y = xp + z * (xm - xp)
+            if H > ll_tile:
+                lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
+                            for t in range(0, H, ll_tile)]
+                lp_y = jnp.concatenate(lp_parts, axis=0)
+            else:
+                lp_y = ll_body(y, *const_vals_in)
+            logu = jnp.log(u[:, 2:3])
+            accept = logu < (D - 1.0) * jnp.log(z) + lp_y - lm
+            xo_ref[0, base:base + H, :] = jnp.where(accept, y, xm)
+            lpo_ref[0, base:base + H, :] = jnp.where(accept, lp_y, lm)
+            acco_ref[0, base:base + H, :] = (
+                acco_ref[0, base:base + H, :] + accept.astype(f32))
+
+        def body(i, carry):
+            half(i, 0, H, 0)
+            half(i, H, 0, 1)
+            if n_keep:
+                @pl.when((i + 1) % thin == 0)
+                def _():
+                    k = (i + 1) // thin - 1
+                    cx_ref[0, pl.ds(k, 1)] = xo_ref[:]
+                    clp_ref[0, pl.ds(k, 1)] = lpo_ref[:]
+            return carry
+
+        jax.lax.fori_loop(0, n_inner, body, 0)
+
+    @jax.jit
+    def step_block(x, lp, acc, seed):
+        xp = jnp.zeros((C, W, Dp), dtype=f32).at[:, :, :D].set(
+            x.astype(f32))
+        lpp = lp.astype(f32).reshape(C, W, 1)
+        accp = acc.astype(f32).reshape(C, W, 1)
+        seed_arr = jnp.asarray([seed], dtype=jnp.int32).reshape(1)
+
+        state_spec = pl.BlockSpec((1, W, Dp), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        col_spec = pl.BlockSpec((1, W, 1), lambda i: (i, 0, 0),
+                                memory_space=pltpu.VMEM)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    state_spec, col_spec, col_spec]
+        for shp in const_shapes:
+            in_specs.append(pl.BlockSpec(
+                (1,) + shp[1:], lambda i: (i,) + (0,) * (len(shp) - 1),
+                memory_space=pltpu.VMEM))
+        out_shape = [
+            jax.ShapeDtypeStruct((C, W, Dp), f32),
+            jax.ShapeDtypeStruct((C, W, 1), f32),
+            jax.ShapeDtypeStruct((C, W, 1), f32),
+        ]
+        out_specs = [state_spec, col_spec, col_spec]
+        if n_keep:
+            out_shape += [
+                jax.ShapeDtypeStruct((C, n_keep, W, Dp), f32),
+                jax.ShapeDtypeStruct((C, n_keep, W, 1), f32),
+            ]
+            out_specs += [
+                pl.BlockSpec((1, n_keep, W, Dp), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, n_keep, W, 1), lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ]
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            grid_spec=pl.GridSpec(grid=(C,), in_specs=in_specs,
+                                  out_specs=out_specs),
+            interpret=interpret,
+            **kwargs,
+        )(seed_arr, xp, lpp, accp, *const_vals)
+        x_out, lp_out, acc_out = outs[:3]
+        if n_keep:
+            return (x_out[:, :, :D], lp_out[:, :, 0], acc_out[:, :, 0],
+                    outs[3][:, :, :, :D], outs[4][:, :, :, 0])
+        return x_out[:, :, :D], lp_out[:, :, 0], acc_out[:, :, 0]
 
     return step_block

@@ -148,3 +148,48 @@ def test_kernel_sampler_mechanics(sess32):
     res2 = ks.run(p0, 10, jax.random.PRNGKey(1), store_chain=False)
     assert res2.chain.shape[0] == 0
     assert np.asarray(res2.final_state[0]).shape == (W, theta0.size)
+
+
+def test_multicluster_step_kernel(sess32):
+    """Cluster-grid step kernel (interpret mode): per-cluster log-probs
+    match the reference nested-vmap multicluster likelihood; chain
+    recording works per cluster; clusters evolve independently."""
+    import dataclasses
+    from joxsz_tpu.models.multicluster import (
+        stack_sz_data, stack_xray_data, make_multicluster_log_like,
+    )
+    from joxsz_tpu.ops.pallas_joint import make_multicluster_step_kernel
+
+    sz0 = sess32.model.sz_data
+    C, W = 2, 16
+    sz_stack = stack_sz_data([
+        dataclasses.replace(sz0, flux=sz0.flux * (1 + 0.05 * c))
+        for c in range(C)
+    ])
+    xr_stack = stack_xray_data([sess32.model.xray_data] * C)
+    ref_ll = make_multicluster_log_like(sess32.model, sz_stack, xr_stack,
+                                        flatten=False)
+
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (C, W, theta0.size))), jnp.float32)
+    lp0 = jnp.asarray(ref_ll(x0), jnp.float32)
+    assert np.all(np.isfinite(np.asarray(lp0)))
+
+    step = make_multicluster_step_kernel(sess32, sz_stack, xr_stack,
+                                         n_inner=4, n_walkers=W,
+                                         interpret=True, thin=2)
+    x, lp, acc, chain, chain_lp = step(x0, lp0, jnp.zeros((C, W)), 9)
+    assert chain.shape == (C, 2, W, theta0.size)
+    assert chain_lp.shape == (C, 2, W)
+    np.testing.assert_array_equal(np.asarray(chain[:, -1]), np.asarray(x))
+    # stored lp matches the reference multicluster likelihood per frame
+    for k in range(2):
+        lp_re = np.asarray(ref_ll(jnp.asarray(chain[:, k])))
+        np.testing.assert_allclose(np.asarray(chain_lp[:, k]), lp_re,
+                                   rtol=2e-4, atol=0.5)
+    # the two clusters see different data, so identical starting ensembles
+    # must diverge (per-cluster constants really are per-cluster)
+    assert not np.allclose(np.asarray(x[0]), np.asarray(x[1]))
+    assert np.all(np.asarray(acc) >= 0) and np.all(np.asarray(acc) <= 4)
