@@ -4,6 +4,7 @@ from .stretch import (
 from .tempered import run_tempered_ensemble, default_betas, TemperedResult
 from .mle import find_mle, find_mle_multistart
 from .hmc import run_hmc, HMCResult
+from .nuts import run_nuts, NUTSResult
 from .kernel import make_kernel_sampler, KernelSampler
 from .driver import run_fit, FitResult
 
@@ -11,6 +12,7 @@ __all__ = [
     "run_ensemble", "make_step", "generate_init_positions",
     "EnsembleResult", "run_tempered_ensemble", "default_betas",
     "TemperedResult", "find_mle", "find_mle_multistart", "run_fit",
-    "run_hmc", "HMCResult", "make_kernel_sampler", "KernelSampler",
+    "run_hmc", "HMCResult", "run_nuts", "NUTSResult",
+    "make_kernel_sampler", "KernelSampler",
     "FitResult",
 ]

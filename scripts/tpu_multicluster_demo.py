@@ -54,10 +54,8 @@ for c in range(C):
         sess.model.sz_data, flux=jnp.asarray(noisy, dtype=jnp.float32)))
 xr_list = [sess.model.xray_data] * C
 
-batched = jax.jit(make_multicluster_log_like(
-    sess.model, stack_sz_data(sz_list), stack_xray_data(xr_list)))
-
-mesh = make_mesh(1, axis_names=("cluster", "walker"), shape=(1, 1))
+sz_stack, xr_stack = stack_sz_data(sz_list), stack_xray_data(xr_list)
+batched = jax.jit(make_multicluster_log_like(sess.model, sz_stack, xr_stack))
 
 # init all ensembles around the single-cluster MLE
 theta0, _ = find_mle(sess.log_like, sess.params.thawed_values(),
@@ -66,22 +64,52 @@ theta0 = theta0.astype(np.float32)
 p0 = theta0[None, None] * (1 + 0.02 * rng.standard_normal(
     (C, W, theta0.size))).astype(np.float32)
 
-log(f"fitting {C} clusters x {W} walkers = {C*W} chains")
-t = time.time()
-out = run_multi_cluster(batched, p0, n_steps=800,
-                        key=jax.random.PRNGKey(1), mesh=mesh)
-burn_t = time.time() - t
-log(f"burn: {burn_t:.1f}s ({800*C*W/burn_t:,.0f} evals/s)")
+# cluster-grid step kernel (the fast path on hardware; --xla for the
+# flat widened-GEMM scan sampler)
+step = None
+if "--xla" not in sys.argv and jax.default_backend() != "cpu":
+    from joxsz_tpu.ops.pallas_joint import make_multicluster_step_kernel
 
-t = time.time()
-out = run_multi_cluster(batched, out["positions"], n_steps=1200,
-                        key=jax.random.PRNGKey(2), mesh=mesh)
-samp_t = time.time() - t
-log(f"sample: {samp_t:.1f}s ({1200*C*W/samp_t:,.0f} evals/s)")
+    step = make_multicluster_step_kernel(sess, sz_stack, xr_stack,
+                                         n_inner=400, n_walkers=W)
+
+log(f"fitting {C} clusters x {W} walkers = {C*W} chains "
+    f"({'cluster-grid kernel' if step is not None else 'flat XLA'})")
+if step is not None:
+    x = jnp.asarray(p0)
+    lp = batched(x)
+    acc = jnp.zeros((C, W))
+    t = time.time()
+    for i in range(2):                       # 800-step burn
+        x, lp, acc = step(x, lp, acc, 1 + i)
+    jax.block_until_ready(x)
+    burn_t = time.time() - t
+    log(f"burn: {burn_t:.1f}s ({800*C*W/burn_t:,.0f} evals/s)")
+    t = time.time()
+    for i in range(3):                       # 1200-step sample
+        x, lp, acc = step(x, lp, acc, 10 + i)
+    jax.block_until_ready(x)
+    samp_t = time.time() - t
+    log(f"sample: {samp_t:.1f}s ({1200*C*W/samp_t:,.0f} evals/s)")
+    positions = np.asarray(x)
+else:
+    mesh = make_mesh(1, axis_names=("cluster", "walker"), shape=(1, 1))
+    t = time.time()
+    out = run_multi_cluster(batched, p0, n_steps=800,
+                            key=jax.random.PRNGKey(1), mesh=mesh)
+    burn_t = time.time() - t
+    log(f"burn: {burn_t:.1f}s ({800*C*W/burn_t:,.0f} evals/s)")
+
+    t = time.time()
+    out = run_multi_cluster(batched, out["positions"], n_steps=1200,
+                            key=jax.random.PRNGKey(2), mesh=mesh)
+    samp_t = time.time() - t
+    log(f"sample: {samp_t:.1f}s ({1200*C*W/samp_t:,.0f} evals/s)")
+    positions = np.asarray(out["positions"])
 
 # final positions as a crude posterior snapshot per cluster
 cal_idx = sess.params.thawed.index("calibration")
-fitted = out["positions"][:, :, cal_idx]
+fitted = positions[:, :, cal_idx]
 med = np.median(fitted, axis=1)
 std = np.std(fitted, axis=1)
 pulls = (med - factors) / np.maximum(std, 1e-9)

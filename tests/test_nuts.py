@@ -1,0 +1,111 @@
+"""NUTS correctness: moment recovery on correlated Gaussians (full
+covariance — a sharp test of the U-turn machinery), deep-tree behaviour
+on badly scaled targets, adaptation sanity, and agreement with the
+stretch sampler on the real joint posterior (slow)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from joxsz_tpu.sampling.nuts import run_nuts
+
+
+def test_correlated_gaussian_moments():
+    rng = np.random.default_rng(0)
+    D = 5
+    A = rng.normal(size=(D, D))
+    cov = A @ A.T + D * np.eye(D)
+    prec = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray(rng.normal(size=D) * 2)
+
+    def lp(x):
+        d = x - mu
+        return -0.5 * d @ prec @ d
+
+    C = 32
+    p0 = mu + jax.random.normal(jax.random.PRNGKey(1), (C, D),
+                                dtype=jnp.float64) * 2.0
+    res = run_nuts(lp, p0, n_steps=1000, key=jax.random.PRNGKey(2),
+                   n_warmup=400, max_depth=8, thin=2)
+    assert 0.6 < res.mean_accept_prob < 0.95
+    flat = res.chain[50:].reshape(-1, D)
+    scale = np.sqrt(np.diag(cov))
+    assert np.all(np.abs(flat.mean(axis=0) - np.asarray(mu)) < 0.1 * scale)
+    est_cov = np.cov(flat.T)
+    # full covariance within a few percent of each element's scale
+    assert np.max(np.abs(est_cov - cov) / np.outer(scale, scale)) < 0.1
+
+
+def test_deep_trees_on_badly_scaled_target():
+    """With an identity mass on a 1:20 scale ratio the step size adapts to
+    the SMALL scale, so exploring the large one needs long trajectories —
+    NUTS must respond with deeper trees AND still recover both scales."""
+    scales = jnp.asarray([0.5, 10.0, 1.0, 2.0])
+
+    def lp(x):
+        return -0.5 * jnp.sum((x / scales) ** 2)
+
+    p0 = jax.random.normal(jax.random.PRNGKey(3), (32, 4),
+                           dtype=jnp.float64) * jnp.asarray(scales)
+    res = run_nuts(lp, p0, n_steps=1500, key=jax.random.PRNGKey(4),
+                   n_warmup=400, max_depth=9, thin=2,
+                   mass_diag=np.ones(4), adapt_mass=False)
+    assert res.mean_tree_depth > 3.0, res.mean_tree_depth
+    flat = res.chain[100:].reshape(-1, 4)
+    ratio = flat.std(axis=0) / np.asarray(scales)
+    assert np.all(np.abs(np.log(ratio)) < np.log(1.2)), ratio
+
+
+def test_step_size_adaptation_targets_accept():
+    def lp(x):
+        return -0.5 * jnp.sum(x * x)
+
+    p0 = jax.random.normal(jax.random.PRNGKey(5), (16, 4),
+                           dtype=jnp.float64)
+    res = run_nuts(lp, p0, n_steps=400, key=jax.random.PRNGKey(6),
+                   n_warmup=400, max_depth=6, target_accept=0.8)
+    assert 0.6 < res.mean_accept_prob < 0.95
+    assert res.step_size > 0
+
+
+@pytest.mark.slow
+def test_nuts_on_joint_posterior(ref_data):
+    """NUTS must run on the real (vetoed) posterior and agree with the
+    stretch sampler on marginal medians."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.sampling.stretch import run_ensemble
+
+    sess = build_session(JoXSZConfig.cl1226(str(ref_data)))
+    centre = {
+        "log(n_0)": -1.39, r"\beta": 0.64, "log(r_c)": 2.0,
+        "log(r_s)": 3.0, r"\epsilon": 0.5, "log(T_X/T_{SZ})": 0.09,
+        "Z": 0.1, "P_0": 0.18, "a": 5.0, "b": 2.2, "r_p": 149.0,
+        "backscale": 0.96, "calibration": 1.0,
+    }
+    theta_c = np.array([centre[n] for n in sess.params.thawed])
+    rng = np.random.default_rng(5)
+    C = 32
+    p0 = jnp.asarray(theta_c[None] * (
+        1 + 0.01 * rng.standard_normal((C, theta_c.size))))
+
+    res = run_nuts(sess.log_like, p0, n_steps=600,
+                   key=jax.random.PRNGKey(6), n_warmup=400, max_depth=7,
+                   thin=2)
+    assert res.mean_accept_prob > 0.4
+    nuts_flat = res.chain[100:].reshape(-1, theta_c.size)
+
+    lp_b = jax.jit(jax.vmap(sess.log_like))
+    st = run_ensemble(lp_b, jnp.asarray(
+        theta_c[None] * (1 + 0.01 * rng.standard_normal((64, theta_c.size)))),
+        800, jax.random.PRNGKey(7), thin=800)
+    st = run_ensemble(lp_b, st.final_state[0], 2400, jax.random.PRNGKey(8),
+                      thin=2)
+    st_flat = st.chain.reshape(-1, theta_c.size)
+
+    med_n = np.median(nuts_flat, axis=0)
+    med_s = np.median(st_flat, axis=0)
+    width = 0.5 * (np.std(nuts_flat, axis=0) + np.std(st_flat, axis=0)) + 1e-12
+    assert np.all(np.abs(med_n - med_s) < 1.0 * width), (
+        list(zip(sess.params.thawed, (med_n - med_s) / width)))
