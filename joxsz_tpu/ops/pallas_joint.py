@@ -698,8 +698,11 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
         in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
                     state_spec, col_spec, col_spec]
         for shp in const_shapes:
+            # bind the rank NOW: a late-bound `shp` would make every index
+            # map use the last shape's rank
             in_specs.append(pl.BlockSpec(
-                (1,) + shp[1:], lambda i: (i,) + (0,) * (len(shp) - 1),
+                (1,) + shp[1:],
+                lambda i, n=len(shp) - 1: (i,) + (0,) * n,
                 memory_space=pltpu.VMEM))
         out_shape = [
             jax.ShapeDtypeStruct((C, W, Dp), f32),

@@ -106,8 +106,9 @@ def run_hmc(
         return x, lp, accept, a_prob
 
     # --- warmup with dual averaging ----------------------------------------
+    from .adapt import dual_averaging_update
+
     mu = jnp.log(10.0 * init_step_size)
-    gamma, t0, kappa = 0.05, 10.0, 0.75
 
     from functools import partial
 
@@ -118,11 +119,8 @@ def run_hmc(
             k, t = kt
             eps = jnp.exp(log_eps)
             x, lp, _, a_prob = hmc_step(x, lp, eps, mass, k)
-            h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
-                     + (target_accept - a_prob) / (t + t0))
-            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-            w = t ** (-kappa)
-            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            log_eps, log_eps_bar, h_bar = dual_averaging_update(
+                t, a_prob, h_bar, log_eps_bar, mu, target_accept)
             return (x, lp, log_eps, log_eps_bar, h_bar), None
 
         keys = jax.random.split(rkey, n)

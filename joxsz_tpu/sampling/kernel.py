@@ -37,10 +37,11 @@ _PLAIN_CHUNK = 1000          # steps per invocation when no chain is kept
 class KernelSampler:
     """Factory-validated wrapper; build with :func:`make_kernel_sampler`."""
 
-    def __init__(self, sess, core, a: float = 2.0,
+    def __init__(self, sess, core, dp: int, a: float = 2.0,
                  interpret: bool = False):
         self._sess = sess
         self._core = core
+        self._dp = dp                 # padded parameter width of the kernel
         self._a = a
         self._interpret = interpret
         self._kernels: dict = {}
@@ -69,10 +70,20 @@ class KernelSampler:
         x = jnp.asarray(p0, jnp.float32)
         lp = self._core(x)
         acc = jnp.zeros(W, jnp.float32)
+        if n_steps == 0:
+            # degenerate but reachable (run_fit rounds nsteps down to a
+            # multiple of thin); mirror run_ensemble's empty result
+            return EnsembleResult(
+                chain=np.empty((0, W, D)), log_prob=np.empty((0, W)),
+                acceptance_fraction=np.zeros(W),
+                final_state=(x, lp, key),
+            )
 
-        # schedule: chunks of n_keep saved samples per invocation
+        # schedule: chunks of n_keep saved samples per invocation; a chain
+        # frame costs W * (Dp + 1) * 4 bytes of VMEM
         n_saved = n_steps // thin
-        max_keep = max(1, min(256, _CHAIN_VMEM_BYTES // (W * (128 + 1) * 4)))
+        max_keep = max(1, min(256, _CHAIN_VMEM_BYTES
+                              // (W * (self._dp + 1) * 4)))
         chunks: list[tuple[int, int | None]] = []   # (n_inner, thin or None)
         if store_chain:
             keep = min(n_saved, max_keep)
@@ -125,7 +136,11 @@ def make_kernel_sampler(sess, a: float = 2.0,
     """Returns a :class:`KernelSampler` for the flagship configuration, or
     None when the session does not match the kernel specialisation (the
     caller should fall back to the XLA sampler)."""
-    core = make_joint_core(sess, block_b=256, interpret=interpret)
-    if core is None:
+    from ..ops.pallas_joint import _build_spec
+
+    spec = _build_spec(sess)
+    if spec is None:
         return None
-    return KernelSampler(sess, core, a=a, interpret=interpret)
+    core = make_joint_core(sess, block_b=256, interpret=interpret)
+    return KernelSampler(sess, core, dp=spec["Dp"], a=a,
+                         interpret=interpret)

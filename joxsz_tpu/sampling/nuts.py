@@ -231,6 +231,11 @@ def run_nuts(
     p0 = jnp.asarray(p0)
     C, D = p0.shape
     dtype = p0.dtype
+    if n_steps % thin:
+        # silently running extra transitions would skew the reported
+        # accept/depth statistics (same contract as run_ensemble)
+        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
+                         f"thin ({thin})")
 
     safe_lp = lambda x: jnp.where(jnp.isfinite(log_prob(x)),
                                   log_prob(x), -jnp.inf)
@@ -246,9 +251,10 @@ def run_nuts(
     transition = partial(_nuts_transition, lp_b, grad_b,
                          max_depth=max_depth)
 
-    # --- dual-averaging warmup (same scheme as hmc.py) ----------------------
+    # --- dual-averaging warmup (shared scheme, sampling/adapt.py) -----------
+    from .adapt import dual_averaging_update
+
     mu = jnp.log(10.0 * init_step_size)
-    gamma, t0, kappa = 0.05, 10.0, 0.75
 
     @partial(jax.jit, static_argnums=(4,))
     def warmup(x, lp, mass, rkey, n):
@@ -256,12 +262,8 @@ def run_nuts(
             x, lp, log_eps, log_eps_bar, h_bar = carry
             k, t = kt
             x, lp, alpha, _ = transition(x, lp, jnp.exp(log_eps), mass, k)
-            a_prob = jnp.mean(alpha)
-            h_bar = ((1.0 - 1.0 / (t + t0)) * h_bar
-                     + (target_accept - a_prob) / (t + t0))
-            log_eps = mu - jnp.sqrt(t) / gamma * h_bar
-            w = t ** (-kappa)
-            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+            log_eps, log_eps_bar, h_bar = dual_averaging_update(
+                t, jnp.mean(alpha), h_bar, log_eps_bar, mu, target_accept)
             return (x, lp, log_eps, log_eps_bar, h_bar), None
 
         keys = jax.random.split(rkey, n)
