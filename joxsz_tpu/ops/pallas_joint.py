@@ -177,6 +177,10 @@ def _build_spec(sess):
     nT = Tlog.size                                      # 64
     t0g = float(Tlog[0])
     dtg = float(Tlog[1] - Tlog[0])
+    # per-shell lane group: 128-aligned. KG = nT (64, halving the hat
+    # matmul contraction) was measured NOT to help — the unaligned
+    # 64-lane broadcasts/concat eat the savings (0.060 vs 0.045-0.062
+    # ms/step at W=512) — so keep the aligned layout.
     KG = _round_up(nT, 128)                            # 128
     NSK = n_sh * KG                                    # 1920
     NBS = n_band * n_sh                                # 150 flat (band, shell)
