@@ -123,9 +123,13 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
     ]
 
 
-def _build_spec(sess):
+def _build_spec(sess, ablate: str = ""):
     """Constants + scalar closure data for the flagship joint-likelihood
     kernel body; returns None when the configuration doesn't match.
+
+    ``ablate`` ("", "no_xray", "no_sz", "priors") skips likelihood
+    sections — a PROFILING tool for cost attribution only
+    (scripts/tpu_kernel_ablate.py); never use for fits.
 
     The hat-basis X-ray formulation: linear interpolation is linear in the
     table values, so the whole (band, shell) count-rate lookup collapses
@@ -269,29 +273,34 @@ def _build_spec(sess):
         total = jnp.where(mono, total, NEG)
 
         # ---- SZ ----------------------------------------------------------------
-        pp = press * pmask
-        raw = jnp.dot(pp, LT, preferred_element_type=jnp.float32)
-        t_sz_full = press / ne                 # (B, NP)
-        t0 = jnp.sum(t_sz_full * wT0, axis=1, keepdims=True)
-        pixidx = jax.lax.broadcasted_iota(jnp.int32, (B, PIX), 1)
-        t_shift = jnp.concatenate([t0, t_sz_full[:, : PIX - 1]], axis=1)
-        t_all = jnp.where(pixidx <= sep, t_shift, 1.0)
+        if ablate not in ("no_sz", "priors"):
+            pp = press * pmask
+            raw = jnp.dot(pp, LT, preferred_element_type=jnp.float32)
+            t_sz_full = press / ne             # (B, NP)
+            t0 = jnp.sum(t_sz_full * wT0, axis=1, keepdims=True)
+            pixidx = jax.lax.broadcasted_iota(jnp.int32, (B, PIX), 1)
+            t_shift = jnp.concatenate([t0, t_sz_full[:, : PIX - 1]], axis=1)
+            t_all = jnp.where(pixidx <= sep, t_shift, 1.0)
 
-        cidx = jnp.zeros_like(t_all, dtype=jnp.int32)
-        for k in range(1, n_conv - 1):
-            cidx = cidx + (t_all >= conv_T[k]).astype(jnp.int32)
-        x0 = jnp.zeros_like(t_all); x1 = jnp.zeros_like(t_all)
-        y0 = jnp.zeros_like(t_all); y1 = jnp.zeros_like(t_all)
-        for k in range(n_conv - 1):
-            s = (cidx == k).astype(t_all.dtype)
-            x0 += s * conv_T[k]; x1 += s * conv_T[k + 1]
-            y0 += s * conv_val[k]; y1 += s * conv_val[k + 1]
-        conv = y0 + (t_all - x0) / (x1 - x0) * (y1 - y0)
+            cidx = jnp.zeros_like(t_all, dtype=jnp.int32)
+            for k in range(1, n_conv - 1):
+                cidx = cidx + (t_all >= conv_T[k]).astype(jnp.int32)
+            x0 = jnp.zeros_like(t_all); x1 = jnp.zeros_like(t_all)
+            y0 = jnp.zeros_like(t_all); y1 = jnp.zeros_like(t_all)
+            for k in range(n_conv - 1):
+                s = (cidx == k).astype(t_all.dtype)
+                x0 += s * conv_T[k]; x1 += s * conv_T[k + 1]
+                y0 += s * conv_val[k]; y1 += s * conv_val[k + 1]
+            conv = y0 + (t_all - x0) / (x1 - x0) * (y1 - y0)
 
-        prof = raw * conv * cal
-        model = jnp.dot(prof, GT, preferred_element_type=jnp.float32)
-        resid = (flux_v - model) * wres
-        total = total - 0.5 * jnp.sum(resid * resid, axis=1, keepdims=True)
+            prof = raw * conv * cal
+            model = jnp.dot(prof, GT, preferred_element_type=jnp.float32)
+            resid = (flux_v - model) * wres
+            total = total - 0.5 * jnp.sum(resid * resid, axis=1,
+                                          keepdims=True)
+
+        if ablate in ("no_xray", "priors"):
+            return jnp.where(jnp.isnan(total), NEG, total)
 
         # ---- X-ray -------------------------------------------------------------
         xm = midr / rp_
@@ -393,7 +402,8 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
 
 def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      interpret: bool = False, vmem_limit_mb: int = 96,
-                     thin: int | None = None):
+                     thin: int | None = None, ablate: str = "",
+                     unroll: int = 1):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
@@ -413,10 +423,15 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     chain_lp (n_inner//thin, W))``.  Returns None when the configuration
     doesn't match the specialisation.
     """
-    spec = _build_spec(sess)
+    spec = _build_spec(sess, ablate=ablate)
     if spec is None:
         return None
-    ll_body = spec["ll_body"]
+    if ablate == "no_ll":
+        # profiling-only: pure proposal/accept machinery cost
+        def ll_body(y, *_):
+            return jnp.sum(y, axis=1, keepdims=True) * 1e-6
+    else:
+        ll_body = spec["ll_body"]
     const_vals = spec["const_vals"]
     const_shapes = spec["const_shapes"]
     D, Dp = spec["D"], spec["Dp"]
@@ -424,6 +439,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     if W % 2:
         raise ValueError("need an even number of walkers")
     H = W // 2
+    if n_inner % unroll:
+        raise ValueError("n_inner must be a multiple of unroll")
     n_keep = 0
     if thin is not None:
         if thin <= 0 or n_inner % thin:
@@ -496,18 +513,25 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                                           + accept.astype(f32))
 
         def body(i, carry):
-            half(i, 0, H, 0)
-            half(i, H, 0, 1)
-            if n_keep:
-                # record the ensemble every `thin` steps
-                @pl.when((i + 1) % thin == 0)
-                def _():
-                    k = (i + 1) // thin - 1
-                    cx_ref[pl.ds(k, 1)] = xo_ref[:][None]
-                    clp_ref[pl.ds(k, 1)] = lpo_ref[:][None]
+            # `unroll` runs several full MCMC steps per loop trip.
+            # Measured NEGATIVE result on v5e: unroll 1/2/4 are identical
+            # (the ~29 us/step no-likelihood floor is the step's serial
+            # data dependencies, not loop bookkeeping) — kept because the
+            # serial floor may differ on other TPU generations.
+            for u in range(unroll):
+                it = i * unroll + u
+                half(it, 0, H, 0)
+                half(it, H, 0, 1)
+                if n_keep:
+                    # record the ensemble every `thin` steps
+                    @pl.when((it + 1) % thin == 0)
+                    def _():
+                        k = (it + 1) // thin - 1
+                        cx_ref[pl.ds(k, 1)] = xo_ref[:][None]
+                        clp_ref[pl.ds(k, 1)] = lpo_ref[:][None]
             return carry
 
-        jax.lax.fori_loop(0, n_inner, body, 0)
+        jax.lax.fori_loop(0, n_inner // unroll, body, 0)
 
     @jax.jit
     def step_block(x, lp, acc, seed):
@@ -559,7 +583,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                                   n_walkers: int, a: float = 2.0,
                                   interpret: bool = False,
                                   vmem_limit_mb: int = 96,
-                                  thin: int | None = None):
+                                  thin: int | None = None,
+                                  unroll: int = 1):
     """Cluster-grid fused sampler for multi-cluster batched fits
     (BASELINE config #5): grid dimension = cluster; each grid step runs
     ``n_inner`` full stretch-move ensemble steps for ONE cluster's
@@ -592,6 +617,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
     if W % 2:
         raise ValueError("need an even number of walkers")
     H = W // 2
+    if n_inner % unroll:
+        raise ValueError("n_inner must be a multiple of unroll")
     n_keep = 0
     if thin is not None:
         if thin <= 0 or n_inner % thin:
@@ -675,17 +702,19 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                 acco_ref[0, base:base + H, :] + accept.astype(f32))
 
         def body(i, carry):
-            half(i, 0, H, 0)
-            half(i, H, 0, 1)
-            if n_keep:
-                @pl.when((i + 1) % thin == 0)
-                def _():
-                    k = (i + 1) // thin - 1
-                    cx_ref[0, pl.ds(k, 1)] = xo_ref[:]
-                    clp_ref[0, pl.ds(k, 1)] = lpo_ref[:]
+            for u in range(unroll):
+                it = i * unroll + u
+                half(it, 0, H, 0)
+                half(it, H, 0, 1)
+                if n_keep:
+                    @pl.when((it + 1) % thin == 0)
+                    def _():
+                        k = (it + 1) // thin - 1
+                        cx_ref[0, pl.ds(k, 1)] = xo_ref[:]
+                        clp_ref[0, pl.ds(k, 1)] = lpo_ref[:]
             return carry
 
-        jax.lax.fori_loop(0, n_inner, body, 0)
+        jax.lax.fori_loop(0, n_inner // unroll, body, 0)
 
     @jax.jit
     def step_block(x, lp, acc, seed):
