@@ -86,7 +86,13 @@ class KernelSampler:
                               // (W * (self._dp + 1) * 4)))
         chunks: list[tuple[int, int | None]] = []   # (n_inner, thin or None)
         if store_chain:
+            # prefer a keep that divides n_saved: one kernel shape instead
+            # of main + remainder halves the compile cost of new schedules
             keep = min(n_saved, max_keep)
+            for cand in range(min(n_saved, max_keep), max_keep // 2, -1):
+                if n_saved % cand == 0:
+                    keep = cand
+                    break
             full, rem = divmod(n_saved, keep)
             chunks += [(keep * thin, thin)] * full
             if rem:
