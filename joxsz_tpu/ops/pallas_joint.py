@@ -773,3 +773,226 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
         return x_out[:, :, :D], lp_out[:, :, 0], acc_out[:, :, 0]
 
     return step_block
+
+
+def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
+                              a: float = 2.0, interpret: bool = False,
+                              vmem_limit_mb: int = 96,
+                              thin: int | None = None):
+    """Fused parallel-tempered sampler: K replica ensembles at inverse
+    temperatures ``betas`` advance ``n_inner`` full stretch-move steps +
+    swap sweeps inside ONE pallas_call (reference semantics:
+    sampling/tempered.py — tempering scales only the log-prob difference
+    in the acceptance; swaps use untempered log-probs).
+
+    Internal layout: rows = [all rungs' first halves; all rungs' second
+    halves], so each half-update is one contiguous (K*H, Dp) block with
+    block-diagonal partner selection (the one-hot row index is offset by
+    the rung base).  Swap sweeps pair rung kk with kk+1 half-by-half via
+    a per-sweep rotation (pltpu.roll with a hashed shift — pairing must
+    only be state-independent, not uniform over permutations).
+
+    Returns ``step_block(x (K,W,D), lp (K,W), acc (K,W), seed)`` ->
+    ``(x, lp, acc, sacc (K-1,))`` [+ ``(cold chain (n_keep, W, D),
+    cold chain_lp (n_keep, W))`` with ``thin``]; ``sacc`` counts accepted
+    swaps per rung boundary (divide by n_inner*W for the rate).  None when
+    the configuration doesn't match the specialisation.
+    """
+    spec = _build_spec(sess)
+    if spec is None:
+        return None
+    ll_body = spec["ll_body"]
+    const_vals = spec["const_vals"]
+    const_shapes = spec["const_shapes"]
+    D, Dp = spec["D"], spec["Dp"]
+    betas = np.asarray(betas, dtype=np.float64)
+    K = betas.size
+    W = n_walkers
+    if W % 2:
+        raise ValueError("need an even number of walkers")
+    H = W // 2
+    KH = K * H
+    n_keep = 0
+    if thin is not None:
+        if thin <= 0 or n_inner % thin:
+            raise ValueError("n_inner must be a positive multiple of thin")
+        n_keep = n_inner // thin
+    ll_tile = 256
+    f32 = jnp.float32
+    sa = float(np.sqrt(a))
+    inv24 = float(2.0 ** -24)
+    beta_rows = jnp.asarray(np.repeat(betas, H)[:, None], f32)   # (KH, 1)
+    const_vals = list(const_vals) + [beta_rows]
+    const_shapes = list(const_shapes) + [(KH, 1)]
+
+    def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
+        if n_keep:
+            const_refs = refs[:-6]
+            (xo_ref, lpo_ref, acco_ref, sacc_ref,
+             cx_ref, clp_ref) = refs[-6:]
+        else:
+            const_refs = refs[:-4]
+            xo_ref, lpo_ref, acco_ref, sacc_ref = refs[-4:]
+        if not interpret:
+            pltpu.prng_seed(seed_ref[0])
+        xo_ref[:] = x0_ref[:]
+        lpo_ref[:] = lp0_ref[:]
+        acco_ref[:] = acc0_ref[:]
+        sacc_ref[:] = jnp.zeros((K - 1, 1), f32)
+
+        row = jax.lax.broadcasted_iota(jnp.int32, (KH, KH), 1)
+        rbase = (jax.lax.broadcasted_iota(jnp.int32, (KH, 1), 0) // H) * H
+        beta = const_refs[-1][:]                     # (KH, 1)
+        core_refs = const_refs[:-1]
+
+        def random_bits(i, which, shape=(KH, 4)):
+            if not interpret:
+                return pltpu.prng_random_bits(shape)
+            idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * shape[1]
+                   + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+            v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
+                 + jnp.uint32(i) * jnp.uint32(40503)
+                 + jnp.uint32(which) * jnp.uint32(10007))
+            v = v ^ (v >> 15); v = v * jnp.uint32(2246822519)
+            v = v ^ (v >> 13); v = v * jnp.uint32(3266489917)
+            return v ^ (v >> 16)
+
+        const_vals_in = [r[:] for r in core_refs]
+
+        def half(i, base, fixed_base, which):
+            xm = xo_ref[base:base + KH, :]
+            lm = lpo_ref[base:base + KH, :]
+            xf = xo_ref[fixed_base:fixed_base + KH, :]
+            bits = random_bits(i, which)
+            u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
+            z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
+            pidx = (jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
+                    + rbase)                         # block-diagonal
+            onehot = (row == pidx).astype(f32)
+            xp = jnp.dot(onehot, xf, preferred_element_type=f32)
+            y = xp + z * (xm - xp)
+            if KH > ll_tile:
+                lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
+                            for t in range(0, KH, ll_tile)]
+                lp_y = jnp.concatenate(lp_parts, axis=0)
+            else:
+                lp_y = ll_body(y, *const_vals_in)
+            logu = jnp.log(u[:, 2:3])
+            accept = logu < (D - 1.0) * jnp.log(z) + beta * (lp_y - lm)
+            xo_ref[base:base + KH, :] = jnp.where(accept, y, xm)
+            lpo_ref[base:base + KH, :] = jnp.where(accept, lp_y, lm)
+            acco_ref[base:base + KH, :] = (acco_ref[base:base + KH, :]
+                                           + accept.astype(f32))
+
+        def roll_rows(x, shift):
+            if interpret:
+                return jnp.roll(x, shift, axis=0)
+            return pltpu.roll(x, shift, 0)
+
+        def swaps(i):
+            # pair rung kk with kk+1, half-by-half, rotation pairing
+            for kk in range(K - 1):
+                shift = jnp.remainder(
+                    (jnp.int32(seed_ref[0]) * 1103515245
+                     + i * 40503 + kk * 10007) >> 8, H)
+                db = float(betas[kk] - betas[kk + 1])
+                for hb, ucol in ((0, 0), (KH, 1)):
+                    c0 = hb + kk * H
+                    h0 = hb + (kk + 1) * H
+                    x_c = xo_ref[c0:c0 + H, :]
+                    lp_c = lpo_ref[c0:c0 + H, :]
+                    x_h = roll_rows(xo_ref[h0:h0 + H, :], shift)
+                    lp_h = roll_rows(lpo_ref[h0:h0 + H, :], shift)
+                    # one uniform per (walker, boundary, half): draw a
+                    # fresh (H, 1) block
+                    ub = random_bits(i, 16 + 2 * kk + ucol, shape=(H, 1))
+                    uu = ((ub >> 8) & 0xFFFFFF).astype(f32) * inv24
+                    accept = jnp.log(uu) < db * (lp_h - lp_c)   # (H, 1)
+                    new_c = jnp.where(accept, x_h, x_c)
+                    new_clp = jnp.where(accept, lp_h, lp_c)
+                    new_h = jnp.where(accept, x_c, x_h)
+                    new_hlp = jnp.where(accept, lp_c, lp_h)
+                    xo_ref[c0:c0 + H, :] = new_c
+                    lpo_ref[c0:c0 + H, :] = new_clp
+                    xo_ref[h0:h0 + H, :] = roll_rows(new_h, -shift)
+                    lpo_ref[h0:h0 + H, :] = roll_rows(new_hlp, -shift)
+                    sacc_ref[kk:kk + 1, :] = (
+                        sacc_ref[kk:kk + 1, :]
+                        + jnp.sum(accept.astype(f32)).reshape(1, 1))
+
+        def body(i, carry):
+            half(i, 0, KH, 0)
+            half(i, KH, 0, 1)
+            swaps(i)
+            if n_keep:
+                @pl.when((i + 1) % thin == 0)
+                def _():
+                    k = (i + 1) // thin - 1
+                    cx_ref[pl.ds(k, 1), 0:H] = xo_ref[0:H, :][None]
+                    cx_ref[pl.ds(k, 1), H:W] = xo_ref[KH:KH + H, :][None]
+                    clp_ref[pl.ds(k, 1), 0:H] = lpo_ref[0:H, :][None]
+                    clp_ref[pl.ds(k, 1), H:W] = lpo_ref[KH:KH + H, :][None]
+            return carry
+
+        jax.lax.fori_loop(0, n_inner, body, 0)
+
+    @jax.jit
+    def step_block(x, lp, acc, seed):
+        # external (K, W, D) -> internal [K rungs' half0; K rungs' half1]
+        def to_rows(v, width):
+            v = v.astype(f32).reshape(K, W, width)
+            return jnp.concatenate(
+                [v[:, :H].reshape(KH, width), v[:, H:].reshape(KH, width)])
+
+        xp = jnp.zeros((2 * KH, Dp), f32).at[:, :D].set(
+            to_rows(x, D))
+        lpp = to_rows(lp[..., None], 1)
+        accp = to_rows(acc[..., None], 1)
+        seed_arr = jnp.asarray([seed], dtype=jnp.int32).reshape(1)
+
+        in_specs = [
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in const_shapes]
+        out_shape = [
+            jax.ShapeDtypeStruct((2 * KH, Dp), f32),
+            jax.ShapeDtypeStruct((2 * KH, 1), f32),
+            jax.ShapeDtypeStruct((2 * KH, 1), f32),
+            jax.ShapeDtypeStruct((K - 1, 1), f32),
+        ]
+        if n_keep:
+            out_shape += [
+                jax.ShapeDtypeStruct((n_keep, W, Dp), f32),
+                jax.ShapeDtypeStruct((n_keep, W, 1), f32),
+            ]
+        kwargs = {}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+        outs = pl.pallas_call(
+            kernel,
+            out_shape=out_shape,
+            in_specs=in_specs,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+            * len(out_shape),
+            interpret=interpret,
+            **kwargs,
+        )(seed_arr, xp, lpp, accp, *const_vals)
+
+        def from_rows(v, width):
+            h0 = v[:KH].reshape(K, H, width)
+            h1 = v[KH:].reshape(K, H, width)
+            return jnp.concatenate([h0, h1], axis=1)
+
+        x_out = from_rows(outs[0], Dp)[:, :, :D]
+        lp_out = from_rows(outs[1], 1)[:, :, 0]
+        acc_out = from_rows(outs[2], 1)[:, :, 0]
+        sacc = outs[3][:, 0]
+        if n_keep:
+            return (x_out, lp_out, acc_out, sacc,
+                    outs[4][:, :, :D], outs[5][:, :, 0])
+        return x_out, lp_out, acc_out, sacc
+
+    return step_block

@@ -110,9 +110,9 @@ def run_fit(
                   f"(multiple of thin={nthin})")
         nsteps = new_nsteps
 
-    if step_sampler is not None and (n_temper_rungs > 1 or mesh is not None):
+    if step_sampler is not None and mesh is not None:
         if verbose:
-            print("note: step-kernel sampler ignored for tempered/mesh runs")
+            print("note: step-kernel sampler ignored for mesh-sharded runs")
         step_sampler = None
 
     if log_like_batch is None:
@@ -201,9 +201,14 @@ def run_fit(
     if n_temper_rungs > 1:
         from .tempered import run_tempered_ensemble, default_betas
 
-        res = run_tempered_ensemble(
-            log_like_batch, p1, default_betas(n_temper_rungs), nsteps, sub,
-            thin=nthin)
+        betas = default_betas(n_temper_rungs)
+        res = None
+        if step_sampler is not None:
+            res = step_sampler.run_tempered(p1, betas, nsteps, sub,
+                                            thin=nthin)
+        if res is None:
+            res = run_tempered_ensemble(log_like_batch, p1, betas, nsteps,
+                                        sub, thin=nthin)
         if verbose:
             print(f"swap acceptance per rung boundary: "
                   f"{np.round(res.swap_acceptance, 3)}")

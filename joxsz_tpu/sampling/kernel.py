@@ -24,7 +24,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from .stretch import EnsembleResult
-from ..ops.pallas_joint import make_joint_core, make_step_kernel
+from ..ops.pallas_joint import (make_joint_core, make_step_kernel,
+                                make_tempered_step_kernel)
 
 # VMEM budget for the in-kernel chain buffer: n_keep * W * (Dp + 1) * 4 B.
 # 26 MB (100 frames at W=512) is hardware-proven; a 53 MB buffer crashed
@@ -58,6 +59,13 @@ class KernelSampler:
 
     def log_prob_batch(self, thetas):
         return self._core(thetas)
+
+    def run_tempered(self, p0, betas, n_steps: int, key, thin: int = 1):
+        """Parallel-tempered sampling through the fused kernel (see
+        :func:`run_tempered_kernel`)."""
+        return run_tempered_kernel(self._sess, p0, betas, n_steps, key,
+                                   thin=thin, a=self._a,
+                                   interpret=self._interpret)
 
     def run(self, p0, n_steps: int, key, thin: int = 1,
             store_chain: bool = True) -> EnsembleResult:
@@ -135,6 +143,80 @@ class KernelSampler:
             acceptance_fraction=np.asarray(acc) / float(n_steps),
             final_state=(x, lp, key),
         )
+
+
+class TemperedKernelResult:
+    """Mirror of tempered.TemperedResult for the kernel path."""
+
+    def __init__(self, chain, log_prob, acceptance_fraction,
+                 swap_acceptance, final_state):
+        self.chain = chain
+        self.log_prob = log_prob
+        self.acceptance_fraction = acceptance_fraction
+        self.swap_acceptance = swap_acceptance
+        self.final_state = final_state
+
+
+def run_tempered_kernel(sess, p0, betas, n_steps: int, key, thin: int = 1,
+                        a: float = 2.0, chunk_steps: int = 100,
+                        interpret: bool = False):
+    """Tempered sampling through the fused kernel
+    (ops.pallas_joint.make_tempered_step_kernel): K replica ensembles +
+    swap sweeps fully on-chip, the cold-rung chain recorded host-side
+    every ``thin`` steps per chunk.  p0 is (K, W, D) or (W, D)
+    replicated.  Returns None when the configuration doesn't match."""
+    betas = np.asarray(betas, dtype=float)
+    K = betas.size
+    p0 = jnp.asarray(p0, jnp.float32)
+    if p0.ndim == 2:
+        p0 = jnp.broadcast_to(p0[None], (K,) + p0.shape)
+    _, W, D = p0.shape
+    if n_steps % thin:
+        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
+                         f"thin ({thin})")
+    core = make_joint_core(sess, block_b=256, interpret=interpret)
+    if core is None:
+        return None
+    # chunk = a multiple of thin near chunk_steps
+    chunk = max(thin, (chunk_steps // thin) * thin)
+    step = make_tempered_step_kernel(sess, betas, n_inner=chunk,
+                                     n_walkers=W, a=a, thin=thin,
+                                     interpret=interpret)
+    if step is None:
+        return None
+    full, rem = divmod(n_steps, chunk)
+    tail = None
+    if rem:
+        tail = make_tempered_step_kernel(sess, betas, n_inner=rem,
+                                         n_walkers=W, a=a, thin=thin,
+                                         interpret=interpret)
+
+    x = p0
+    lp = jnp.stack([core(x[k]) for k in range(K)])
+    acc = jnp.zeros((K, W), jnp.float32)
+    sacc_tot = np.zeros(K - 1)
+    n_calls = full + (1 if rem else 0)
+    seeds = np.asarray(jax.random.randint(
+        key, (n_calls,), 0, np.iinfo(np.int32).max, dtype=jnp.int32))
+    xs, lps = [], []
+    for i in range(n_calls):
+        fn = tail if (rem and i == full) else step
+        x, lp, acc, sacc, ch, chlp = fn(x, lp, acc, int(seeds[i]))
+        sacc_tot += np.asarray(sacc)
+        for arr in (ch, chlp):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        xs.append(ch)
+        lps.append(chlp)
+    return TemperedKernelResult(
+        chain=np.concatenate([np.asarray(c) for c in xs]),
+        log_prob=np.concatenate([np.asarray(c) for c in lps]),
+        acceptance_fraction=np.asarray(acc) / float(n_steps),
+        swap_acceptance=sacc_tot / float(n_steps * W),
+        final_state=(x, lp),
+    )
 
 
 def make_kernel_sampler(sess, a: float = 2.0,

@@ -193,3 +193,71 @@ def test_multicluster_step_kernel(sess32):
     # must diverge (per-cluster constants really are per-cluster)
     assert not np.allclose(np.asarray(x[0]), np.asarray(x[1]))
     assert np.all(np.asarray(acc) >= 0) and np.all(np.asarray(acc) <= 4)
+
+
+def test_tempered_step_kernel(sess32):
+    """Tempered step kernel (interpret mode): stored log-probs are
+    UNtempered and match recomputation on every rung, cold-chain frames
+    match the cold rung, swap counters are sane."""
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+
+    K, W = 3, 16
+    betas = [1.0, 0.6, 0.36]
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(8)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (K, W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = jnp.stack([core(x0[k]) for k in range(K)])
+    assert np.all(np.isfinite(np.asarray(lp0)))
+
+    step = make_tempered_step_kernel(sess32, betas, n_inner=6,
+                                     n_walkers=W, interpret=True, thin=3)
+    x, lp, acc, sacc, chain, chain_lp = step(x0, lp0, jnp.zeros((K, W)), 5)
+    assert x.shape == (K, W, theta0.size)
+    assert sacc.shape == (K - 1,)
+    assert chain.shape == (2, W, theta0.size)
+    # stored lp is the UNtempered log-likelihood on every rung
+    for k in range(K):
+        lp_re = core(jnp.asarray(x[k]))
+        np.testing.assert_allclose(np.asarray(lp[k]), np.asarray(lp_re),
+                                   rtol=2e-5, atol=1e-2)
+    # last cold-chain frame is the final cold rung
+    np.testing.assert_array_equal(np.asarray(chain[-1]), np.asarray(x[0]))
+    np.testing.assert_array_equal(np.asarray(chain_lp[-1]),
+                                  np.asarray(lp[0]))
+    for k in range(2):
+        lp_re = core(jnp.asarray(chain[k]))
+        np.testing.assert_allclose(np.asarray(chain_lp[k]),
+                                   np.asarray(lp_re), rtol=2e-5, atol=1e-2)
+    assert np.all(np.asarray(acc) >= 0) and np.all(np.asarray(acc) <= 6)
+    assert np.all(np.asarray(sacc) >= 0)
+    assert np.all(np.asarray(sacc) <= 6 * W)
+
+
+def test_run_tempered_kernel_chunking(sess32):
+    """Chunked tempered-kernel runner: chain/statistics shapes, remainder
+    kernel, cold-chain lp consistency."""
+    from joxsz_tpu.sampling.kernel import run_tempered_kernel
+
+    K, W = 3, 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(9)
+    p0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)      # (W, D): replicated to rungs
+
+    res = run_tempered_kernel(sess32, p0, [1.0, 0.6, 0.36], n_steps=10,
+                              key=jax.random.PRNGKey(0), thin=2,
+                              chunk_steps=4, interpret=True)
+    assert res is not None
+    assert res.chain.shape == (5, W, theta0.size)       # 10/2 saved
+    assert res.log_prob.shape == (5, W)
+    assert res.swap_acceptance.shape == (K - 1,)
+    assert res.acceptance_fraction.shape == (K, W)
+    assert np.all(res.acceptance_fraction >= 0)
+    assert np.all(res.acceptance_fraction <= 1)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    for k in range(5):
+        lp_re = core(jnp.asarray(res.chain[k]))
+        np.testing.assert_allclose(res.log_prob[k], np.asarray(lp_re),
+                                   rtol=2e-5, atol=1e-2)
