@@ -94,10 +94,18 @@ if __name__ == "__main__":
     except Exception as e:  # pragma: no cover
         # a TPU claim released moments earlier can leave a stale grant
         # that fails the first device op (FailedPrecondition); one retry
-        # after a grace period clears it
+        # after a grace period clears it.  Deterministic failures fail
+        # fast instead.
         import sys
         import time as _time
 
+        msg = f"{type(e).__name__}: {e}"
+        transient = ("FAILED_PRECONDITION" in msg
+                     or "FailedPrecondition" in msg
+                     or "DEADLINE_EXCEEDED" in msg
+                     or "UNAVAILABLE" in msg)
+        if not transient:
+            raise
         print(f"bench attempt 1 failed ({type(e).__name__}); "
               "retrying in 60s", file=sys.stderr)
         _time.sleep(60)

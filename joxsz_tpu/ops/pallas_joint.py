@@ -840,8 +840,7 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
         acco_ref[:] = acc0_ref[:]
         sacc_ref[:] = jnp.zeros((K - 1, 1), f32)
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (KH, KH), 1)
-        rbase = (jax.lax.broadcasted_iota(jnp.int32, (KH, 1), 0) // H) * H
+        row_h = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
         beta = const_refs[-1][:]                     # (KH, 1)
         core_refs = const_refs[:-1]
 
@@ -866,10 +865,16 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
             bits = random_bits(i, which)
             u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
             z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
-            pidx = (jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
-                    + rbase)                         # block-diagonal
-            onehot = (row == pidx).astype(f32)
-            xp = jnp.dot(onehot, xf, preferred_element_type=f32)
+            pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
+            # partner selection is block-diagonal per rung: K per-rung
+            # (H, H) one-hot GEMMs instead of one (KH, KH) GEMM (K-fold
+            # less MXU work on the proposal)
+            xp = jnp.concatenate([
+                jnp.dot((row_h == pidx[r * H:(r + 1) * H]).astype(f32),
+                        xf[r * H:(r + 1) * H],
+                        preferred_element_type=f32)
+                for r in range(K)
+            ], axis=0)
             y = xp + z * (xm - xp)
             if KH > ll_tile:
                 lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)

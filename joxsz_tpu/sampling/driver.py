@@ -98,8 +98,8 @@ def run_fit(
     (SURVEY.md §5.4: write-side only).  ``log_like_batch`` may override the
     batched likelihood (e.g. the fused Pallas path).  ``step_sampler`` (a
     sampling.kernel.KernelSampler) routes the prelim/burn/sampling phases
-    through the fused Pallas step-loop kernel; it is ignored for the
-    tempered and mesh-sharded paths."""
+    — including tempered sampling — through the fused Pallas kernels; it
+    is ignored for mesh-sharded runs (those stay on the XLA sampler)."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 

@@ -62,10 +62,14 @@ class KernelSampler:
 
     def run_tempered(self, p0, betas, n_steps: int, key, thin: int = 1):
         """Parallel-tempered sampling through the fused kernel (see
-        :func:`run_tempered_kernel`)."""
+        :func:`run_tempered_kernel`); reuses this sampler's compiled
+        joint core and kernel cache."""
         return run_tempered_kernel(self._sess, p0, betas, n_steps, key,
                                    thin=thin, a=self._a,
-                                   interpret=self._interpret)
+                                   interpret=self._interpret,
+                                   core=self._core,
+                                   kernel_cache=self._kernels,
+                                   dp=self._dp)
 
     def run(self, p0, n_steps: int, key, thin: int = 1,
             store_chain: bool = True) -> EnsembleResult:
@@ -145,26 +149,19 @@ class KernelSampler:
         )
 
 
-class TemperedKernelResult:
-    """Mirror of tempered.TemperedResult for the kernel path."""
-
-    def __init__(self, chain, log_prob, acceptance_fraction,
-                 swap_acceptance, final_state):
-        self.chain = chain
-        self.log_prob = log_prob
-        self.acceptance_fraction = acceptance_fraction
-        self.swap_acceptance = swap_acceptance
-        self.final_state = final_state
-
-
 def run_tempered_kernel(sess, p0, betas, n_steps: int, key, thin: int = 1,
                         a: float = 2.0, chunk_steps: int = 100,
-                        interpret: bool = False):
+                        interpret: bool = False, core=None,
+                        kernel_cache: dict | None = None, dp: int = 128):
     """Tempered sampling through the fused kernel
     (ops.pallas_joint.make_tempered_step_kernel): K replica ensembles +
     swap sweeps fully on-chip, the cold-rung chain recorded host-side
     every ``thin`` steps per chunk.  p0 is (K, W, D) or (W, D)
-    replicated.  Returns None when the configuration doesn't match."""
+    replicated.  Pass ``core``/``kernel_cache`` (KernelSampler does) to
+    reuse compiled programs across calls.  Returns None when the
+    configuration doesn't match."""
+    from .tempered import TemperedResult
+
     betas = np.asarray(betas, dtype=float)
     K = betas.size
     p0 = jnp.asarray(p0, jnp.float32)
@@ -174,25 +171,43 @@ def run_tempered_kernel(sess, p0, betas, n_steps: int, key, thin: int = 1,
     if n_steps % thin:
         raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
                          f"thin ({thin})")
-    core = make_joint_core(sess, block_b=256, interpret=interpret)
+    if core is None:
+        core = make_joint_core(sess, block_b=256, interpret=interpret)
     if core is None:
         return None
-    # chunk = a multiple of thin near chunk_steps
-    chunk = max(thin, (chunk_steps // thin) * thin)
-    step = make_tempered_step_kernel(sess, betas, n_inner=chunk,
-                                     n_walkers=W, a=a, thin=thin,
-                                     interpret=interpret)
+    x = p0
+    lp = jnp.stack([core(x[k]) for k in range(K)])
+    if n_steps == 0:
+        # degenerate but reachable (run_fit rounds nsteps down to a
+        # multiple of thin)
+        return TemperedResult(
+            chain=np.empty((0, W, D)), log_prob=np.empty((0, W)),
+            acceptance_fraction=np.zeros((K, W)),
+            swap_acceptance=np.zeros(K - 1),
+            final_state=(x, lp),
+        )
+
+    def build(n_inner):
+        ck = ("temper", tuple(betas), n_inner, W, thin, a)
+        fn = kernel_cache.get(ck) if kernel_cache is not None else None
+        if fn is None:
+            fn = make_tempered_step_kernel(sess, betas, n_inner=n_inner,
+                                           n_walkers=W, a=a, thin=thin,
+                                           interpret=interpret)
+            if kernel_cache is not None and fn is not None:
+                kernel_cache[ck] = fn
+        return fn
+
+    # chunk = a multiple of thin near chunk_steps, with the per-chunk
+    # cold-chain buffer held under the hardware-proven VMEM cap
+    max_keep = max(1, _CHAIN_VMEM_BYTES // (W * (dp + 1) * 4))
+    chunk = max(thin, min(chunk_steps // thin, max_keep) * thin)
+    step = build(chunk)
     if step is None:
         return None
     full, rem = divmod(n_steps, chunk)
-    tail = None
-    if rem:
-        tail = make_tempered_step_kernel(sess, betas, n_inner=rem,
-                                         n_walkers=W, a=a, thin=thin,
-                                         interpret=interpret)
+    tail = build(rem) if rem else None
 
-    x = p0
-    lp = jnp.stack([core(x[k]) for k in range(K)])
     acc = jnp.zeros((K, W), jnp.float32)
     sacc_tot = np.zeros(K - 1)
     n_calls = full + (1 if rem else 0)
@@ -210,7 +225,7 @@ def run_tempered_kernel(sess, p0, betas, n_steps: int, key, thin: int = 1,
                 pass
         xs.append(ch)
         lps.append(chlp)
-    return TemperedKernelResult(
+    return TemperedResult(
         chain=np.concatenate([np.asarray(c) for c in xs]),
         log_prob=np.concatenate([np.asarray(c) for c in lps]),
         acceptance_fraction=np.asarray(acc) / float(n_steps),
