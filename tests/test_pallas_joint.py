@@ -261,3 +261,21 @@ def test_run_tempered_kernel_chunking(sess32):
         lp_re = core(jnp.asarray(res.chain[k]))
         np.testing.assert_allclose(res.log_prob[k], np.asarray(lp_re),
                                    rtol=2e-5, atol=1e-2)
+
+
+def test_multicluster_kernel_declines_heterogeneous_stack(sess32):
+    """Stacks whose baked-in statics differ (e.g. conversion tables) must
+    fall back to the XLA path (builder returns None)."""
+    import dataclasses
+    from joxsz_tpu.models.multicluster import stack_sz_data, stack_xray_data
+    from joxsz_tpu.ops.pallas_joint import make_multicluster_step_kernel
+
+    sz0 = sess32.model.sz_data
+    sz_stack = stack_sz_data([
+        sz0, dataclasses.replace(sz0, conv_val=sz0.conv_val * 1.01)
+    ])
+    xr_stack = stack_xray_data([sess32.model.xray_data] * 2)
+    step = make_multicluster_step_kernel(sess32, sz_stack, xr_stack,
+                                         n_inner=2, n_walkers=8,
+                                         interpret=True)
+    assert step is None
