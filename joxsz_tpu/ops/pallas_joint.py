@@ -403,7 +403,7 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
 def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      interpret: bool = False, vmem_limit_mb: int = 96,
                      thin: int | None = None, ablate: str = "",
-                     unroll: int = 1):
+                     unroll: int = 1, chain_space: str = "hbm"):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
@@ -418,11 +418,22 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
 
     Returns ``step_block(x, lp, acc, seed)`` with x (W, D); without
     ``thin`` the result is ``(x, lp, acc)``; with ``thin`` the kernel also
-    records the walker ensemble every ``thin`` steps VMEM-resident and the
-    result is ``(x, lp, acc, chain (n_inner//thin, W, D),
+    records the walker ensemble every ``thin`` steps and the result is
+    ``(x, lp, acc, chain (n_inner//thin, W, D),
     chain_lp (n_inner//thin, W))``.  Returns None when the configuration
     doesn't match the specialisation.
+
+    ``chain_space`` places the recorded chain: ``"hbm"`` (default) keeps
+    the buffer in HBM and DMAs each frame out of VMEM as it is recorded —
+    the chain no longer counts against the ~26 MB proven-safe VMEM output
+    budget, so a single invocation can record hundreds of frames at any
+    walker count (the DMA is sub-MB per frame, negligible vs a step);
+    ``"vmem"`` is the original VMEM-output path, kept for A/B testing.
     """
+    if chain_space not in ("hbm", "vmem"):
+        raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
+                         f"got {chain_space!r}")
+    chain_hbm = chain_space == "hbm"
     spec = _build_spec(sess, ablate=ablate)
     if spec is None:
         return None
@@ -452,7 +463,11 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     inv24 = float(2.0 ** -24)
 
     def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
-        if n_keep:
+        sem = None
+        if n_keep and chain_hbm:
+            const_refs = refs[:-6]
+            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref, sem = refs[-6:]
+        elif n_keep:
             const_refs = refs[:-5]
             xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref = refs[-5:]
         else:
@@ -527,8 +542,24 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                     @pl.when((it + 1) % thin == 0)
                     def _():
                         k = (it + 1) // thin - 1
-                        cx_ref[pl.ds(k, 1)] = xo_ref[:][None]
-                        clp_ref[pl.ds(k, 1)] = lpo_ref[:][None]
+                        if chain_hbm:
+                            # DMA the live frame to the HBM chain buffer;
+                            # wait immediately (sub-MB copy, microseconds
+                            # vs the ~30us+ step) so the source ref is
+                            # safe to mutate in the next step.  The lp
+                            # chain stays a VMEM output but 2D
+                            # (n_keep, W): a (.., W, 1) VMEM buffer is
+                            # lane-padded 128x, and its width-1 last dim
+                            # can't be HBM-sliced either.
+                            cp = pltpu.make_async_copy(
+                                xo_ref, cx_ref.at[k], sem)
+                            cp.start()
+                            cp.wait()
+                            clp_ref[pl.ds(k, 1), :] = (
+                                lpo_ref[:].reshape(1, W))
+                        else:
+                            cx_ref[pl.ds(k, 1)] = xo_ref[:][None]
+                            clp_ref[pl.ds(k, 1)] = lpo_ref[:][None]
             return carry
 
         jax.lax.fori_loop(0, n_inner // unroll, body, 0)
@@ -557,23 +588,31 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             jax.ShapeDtypeStruct((W, 1), f32),
             jax.ShapeDtypeStruct((W, 1), f32),
         ]
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape)
         if n_keep:
-            out_shape += [
-                jax.ShapeDtypeStruct((n_keep, W, Dp), f32),
-                jax.ShapeDtypeStruct((n_keep, W, 1), f32),
-            ]
+            out_shape += [jax.ShapeDtypeStruct((n_keep, W, Dp), f32)]
+            if chain_hbm:
+                out_shape += [jax.ShapeDtypeStruct((n_keep, W), f32)]
+                out_specs += [
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+                kwargs["scratch_shapes"] = [pltpu.SemaphoreType.DMA]
+            else:
+                out_shape += [jax.ShapeDtypeStruct((n_keep, W, 1), f32)]
+                out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         outs = pl.pallas_call(
             kernel,
             out_shape=out_shape,
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape),
+            out_specs=out_specs,
             interpret=interpret,
             **kwargs,
         )(seed_arr, xp, lpp, accp, *const_vals)
         x_out, lp_out, acc_out = outs[:3]
         if n_keep:
+            chlp = outs[4] if chain_hbm else outs[4][:, :, 0]
             return (x_out[:, :D], lp_out[:, 0], acc_out[:, 0],
-                    outs[3][:, :, :D], outs[4][:, :, 0])
+                    outs[3][:, :, :D], chlp)
         return x_out[:, :D], lp_out[:, 0], acc_out[:, 0]
 
     return step_block
@@ -584,7 +623,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                                   interpret: bool = False,
                                   vmem_limit_mb: int = 96,
                                   thin: int | None = None,
-                                  unroll: int = 1):
+                                  unroll: int = 1,
+                                  chain_space: str = "hbm"):
     """Cluster-grid fused sampler for multi-cluster batched fits
     (BASELINE config #5): grid dimension = cluster; each grid step runs
     ``n_inner`` full stretch-move ensemble steps for ONE cluster's
@@ -604,7 +644,16 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
     plus ``(chain (C, n_inner//thin, W, D), chain_lp (C, ..., W))`` when
     ``thin`` is given; or None when the session/stack doesn't match the
     specialisation.
+
+    ``chain_space`` places the x chain as in :func:`make_step_kernel`:
+    ``"hbm"`` (default) keeps it as an unblocked HBM buffer each grid
+    step DMAs its frames into, lifting the VMEM-output cap; ``"vmem"``
+    is the original Mosaic-pipelined VMEM-block path.
     """
+    if chain_space not in ("hbm", "vmem"):
+        raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
+                         f"got {chain_space!r}")
+    chain_hbm = chain_space == "hbm"
     spec_full = _build_spec(sess)
     if spec_full is None:
         return None
@@ -647,7 +696,11 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
     const_shapes = [tuple(v.shape) for v in const_vals]
 
     def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
-        if n_keep:
+        sem = None
+        if n_keep and chain_hbm:
+            const_refs = refs[:-6]
+            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref, sem = refs[-6:]
+        elif n_keep:
             const_refs = refs[:-5]
             xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref = refs[-5:]
         else:
@@ -710,8 +763,21 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                     @pl.when((it + 1) % thin == 0)
                     def _():
                         k = (it + 1) // thin - 1
-                        cx_ref[0, pl.ds(k, 1)] = xo_ref[:]
-                        clp_ref[0, pl.ds(k, 1)] = lpo_ref[:]
+                        if chain_hbm:
+                            # cx_ref is the FULL unblocked (C, n_keep,
+                            # W, Dp) HBM buffer: DMA this cluster's live
+                            # frame into its (cid, k) slot; lp chain
+                            # stays a VMEM block but 2D per cluster —
+                            # see make_step_kernel
+                            cp = pltpu.make_async_copy(
+                                xo_ref.at[0], cx_ref.at[cid, k], sem)
+                            cp.start()
+                            cp.wait()
+                            clp_ref[0, pl.ds(k, 1), :] = (
+                                lpo_ref[:].reshape(1, W))
+                        else:
+                            cx_ref[0, pl.ds(k, 1)] = xo_ref[:]
+                            clp_ref[0, pl.ds(k, 1)] = lpo_ref[:]
             return carry
 
         jax.lax.fori_loop(0, n_inner // unroll, body, 0)
@@ -743,18 +809,26 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
             jax.ShapeDtypeStruct((C, W, 1), f32),
         ]
         out_specs = [state_spec, col_spec, col_spec]
-        if n_keep:
-            out_shape += [
-                jax.ShapeDtypeStruct((C, n_keep, W, Dp), f32),
-                jax.ShapeDtypeStruct((C, n_keep, W, 1), f32),
-            ]
-            out_specs += [
-                pl.BlockSpec((1, n_keep, W, Dp), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, n_keep, W, 1), lambda i: (i, 0, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ]
         kwargs = {}
+        scratch_shapes = ()
+        if n_keep:
+            out_shape += [jax.ShapeDtypeStruct((C, n_keep, W, Dp), f32)]
+            if chain_hbm:
+                out_shape += [jax.ShapeDtypeStruct((C, n_keep, W), f32)]
+                out_specs += [
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec((1, n_keep, W), lambda i: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)]
+                scratch_shapes = (pltpu.SemaphoreType.DMA,)
+            else:
+                out_shape += [jax.ShapeDtypeStruct((C, n_keep, W, 1), f32)]
+                out_specs += [
+                    pl.BlockSpec((1, n_keep, W, Dp),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((1, n_keep, W, 1),
+                                 lambda i: (i, 0, 0, 0),
+                                 memory_space=pltpu.VMEM)]
         if not interpret:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
@@ -762,14 +836,16 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
             kernel,
             out_shape=out_shape,
             grid_spec=pl.GridSpec(grid=(C,), in_specs=in_specs,
-                                  out_specs=out_specs),
+                                  out_specs=out_specs,
+                                  scratch_shapes=scratch_shapes),
             interpret=interpret,
             **kwargs,
         )(seed_arr, xp, lpp, accp, *const_vals)
         x_out, lp_out, acc_out = outs[:3]
         if n_keep:
+            chlp = outs[4] if chain_hbm else outs[4][:, :, :, 0]
             return (x_out[:, :, :D], lp_out[:, :, 0], acc_out[:, :, 0],
-                    outs[3][:, :, :, :D], outs[4][:, :, :, 0])
+                    outs[3][:, :, :, :D], chlp)
         return x_out[:, :, :D], lp_out[:, :, 0], acc_out[:, :, 0]
 
     return step_block
@@ -778,7 +854,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
 def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                               a: float = 2.0, interpret: bool = False,
                               vmem_limit_mb: int = 96,
-                              thin: int | None = None):
+                              thin: int | None = None,
+                              chain_space: str = "hbm"):
     """Fused parallel-tempered sampler: K replica ensembles at inverse
     temperatures ``betas`` advance ``n_inner`` full stretch-move steps +
     swap sweeps inside ONE pallas_call (reference semantics:
@@ -797,7 +874,16 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
     cold chain_lp (n_keep, W))`` with ``thin``]; ``sacc`` counts accepted
     swaps per rung boundary (divide by n_inner*W for the rate).  None when
     the configuration doesn't match the specialisation.
+
+    ``chain_space`` places the cold-rung chain buffer as in
+    :func:`make_step_kernel`: ``"hbm"`` (default) DMAs each frame out of
+    VMEM, lifting the ~26 MB VMEM-output cap; ``"vmem"`` is the original
+    path.
     """
+    if chain_space not in ("hbm", "vmem"):
+        raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
+                         f"got {chain_space!r}")
+    chain_hbm = chain_space == "hbm"
     spec = _build_spec(sess)
     if spec is None:
         return None
@@ -826,7 +912,12 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
     const_shapes = list(const_shapes) + [(KH, 1)]
 
     def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
-        if n_keep:
+        sem = None
+        if n_keep and chain_hbm:
+            const_refs = refs[:-7]
+            (xo_ref, lpo_ref, acco_ref, sacc_ref,
+             cx_ref, clp_ref, sem) = refs[-7:]
+        elif n_keep:
             const_refs = refs[:-6]
             (xo_ref, lpo_ref, acco_ref, sacc_ref,
              cx_ref, clp_ref) = refs[-6:]
@@ -933,10 +1024,31 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                 @pl.when((i + 1) % thin == 0)
                 def _():
                     k = (i + 1) // thin - 1
-                    cx_ref[pl.ds(k, 1), 0:H] = xo_ref[0:H, :][None]
-                    cx_ref[pl.ds(k, 1), H:W] = xo_ref[KH:KH + H, :][None]
-                    clp_ref[pl.ds(k, 1), 0:H] = lpo_ref[0:H, :][None]
-                    clp_ref[pl.ds(k, 1), H:W] = lpo_ref[KH:KH + H, :][None]
+                    if chain_hbm:
+                        # cold rung = rows 0:H (half 0) and KH:KH+H
+                        # (half 1); DMA each x half out, waiting
+                        # immediately so the live refs stay mutable.
+                        # The lp chain stays a VMEM output but 2D
+                        # (n_keep, W) — see make_step_kernel.
+                        for src, dst in (
+                                (xo_ref.at[pl.ds(0, H)],
+                                 cx_ref.at[k, pl.ds(0, H)]),
+                                (xo_ref.at[pl.ds(KH, H)],
+                                 cx_ref.at[k, pl.ds(H, H)])):
+                            cp = pltpu.make_async_copy(src, dst, sem)
+                            cp.start()
+                            cp.wait()
+                        clp_ref[pl.ds(k, 1), 0:H] = (
+                            lpo_ref[0:H, :].reshape(1, H))
+                        clp_ref[pl.ds(k, 1), H:W] = (
+                            lpo_ref[KH:KH + H, :].reshape(1, H))
+                    else:
+                        cx_ref[pl.ds(k, 1), 0:H] = xo_ref[0:H, :][None]
+                        cx_ref[pl.ds(k, 1), H:W] = (
+                            xo_ref[KH:KH + H, :][None])
+                        clp_ref[pl.ds(k, 1), 0:H] = lpo_ref[0:H, :][None]
+                        clp_ref[pl.ds(k, 1), H:W] = (
+                            lpo_ref[KH:KH + H, :][None])
             return carry
 
         jax.lax.fori_loop(0, n_inner, body, 0)
@@ -967,12 +1079,19 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
             jax.ShapeDtypeStruct((2 * KH, 1), f32),
             jax.ShapeDtypeStruct((K - 1, 1), f32),
         ]
-        if n_keep:
-            out_shape += [
-                jax.ShapeDtypeStruct((n_keep, W, Dp), f32),
-                jax.ShapeDtypeStruct((n_keep, W, 1), f32),
-            ]
+        out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape)
         kwargs = {}
+        if n_keep:
+            out_shape += [jax.ShapeDtypeStruct((n_keep, W, Dp), f32)]
+            if chain_hbm:
+                out_shape += [jax.ShapeDtypeStruct((n_keep, W), f32)]
+                out_specs += [
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
+                    pl.BlockSpec(memory_space=pltpu.VMEM)]
+                kwargs["scratch_shapes"] = [pltpu.SemaphoreType.DMA]
+            else:
+                out_shape += [jax.ShapeDtypeStruct((n_keep, W, 1), f32)]
+                out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
         if not interpret:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
@@ -980,8 +1099,7 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
             kernel,
             out_shape=out_shape,
             in_specs=in_specs,
-            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
-            * len(out_shape),
+            out_specs=out_specs,
             interpret=interpret,
             **kwargs,
         )(seed_arr, xp, lpp, accp, *const_vals)
@@ -996,8 +1114,9 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
         acc_out = from_rows(outs[2], 1)[:, :, 0]
         sacc = outs[3][:, 0]
         if n_keep:
+            chlp = outs[5] if chain_hbm else outs[5][:, :, 0]
             return (x_out, lp_out, acc_out, sacc,
-                    outs[4][:, :, :D], outs[5][:, :, 0])
+                    outs[4][:, :, :D], chlp)
         return x_out, lp_out, acc_out, sacc
 
     return step_block

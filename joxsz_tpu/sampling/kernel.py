@@ -30,8 +30,11 @@ from ..ops.pallas_joint import (make_joint_core, make_step_kernel,
 # VMEM budget for the in-kernel chain buffer: n_keep * W * (Dp + 1) * 4 B.
 # 26 MB (100 frames at W=512) is hardware-proven; a 53 MB buffer crashed
 # the Mosaic compiler even under a 96 MB vmem_limit, so stay at the
-# proven size.
+# proven size.  Applies only to chain_space="vmem"; the default HBM chain
+# (frames DMAed out of VMEM as they are recorded) is bounded only by the
+# per-invocation HBM budget below.
 _CHAIN_VMEM_BYTES = 26 * 1024 * 1024
+_CHAIN_HBM_BYTES = 256 * 1024 * 1024
 _PLAIN_CHUNK = 1000          # steps per invocation when no chain is kept
 
 
@@ -39,12 +42,13 @@ class KernelSampler:
     """Factory-validated wrapper; build with :func:`make_kernel_sampler`."""
 
     def __init__(self, sess, core, dp: int, a: float = 2.0,
-                 interpret: bool = False):
+                 interpret: bool = False, chain_space: str = "hbm"):
         self._sess = sess
         self._core = core
         self._dp = dp                 # padded parameter width of the kernel
         self._a = a
         self._interpret = interpret
+        self._chain_space = chain_space
         self._kernels: dict = {}
 
     def _kernel(self, n_inner: int, W: int, thin=None):
@@ -53,7 +57,7 @@ class KernelSampler:
         if fn is None:
             fn = make_step_kernel(self._sess, n_inner=n_inner, n_walkers=W,
                                   a=self._a, interpret=self._interpret,
-                                  thin=thin)
+                                  thin=thin, chain_space=self._chain_space)
             self._kernels[k] = fn
         return fn
 
@@ -69,7 +73,8 @@ class KernelSampler:
                                    interpret=self._interpret,
                                    core=self._core,
                                    kernel_cache=self._kernels,
-                                   dp=self._dp)
+                                   dp=self._dp,
+                                   chain_space=self._chain_space)
 
     def run(self, p0, n_steps: int, key, thin: int = 1,
             store_chain: bool = True) -> EnsembleResult:
@@ -92,10 +97,15 @@ class KernelSampler:
             )
 
         # schedule: chunks of n_keep saved samples per invocation; a chain
-        # frame costs W * (Dp + 1) * 4 bytes of VMEM
+        # frame costs W * (Dp + 1) * 4 bytes of chain buffer (HBM by
+        # default, VMEM under chain_space="vmem")
         n_saved = n_steps // thin
-        max_keep = max(1, min(256, _CHAIN_VMEM_BYTES
-                              // (W * (self._dp + 1) * 4)))
+        if self._chain_space == "hbm":
+            max_keep = max(1, min(1024, _CHAIN_HBM_BYTES
+                                  // (W * (self._dp + 1) * 4)))
+        else:
+            max_keep = max(1, min(256, _CHAIN_VMEM_BYTES
+                                  // (W * (self._dp + 1) * 4)))
         chunks: list[tuple[int, int | None]] = []   # (n_inner, thin or None)
         if store_chain:
             # prefer a keep that divides n_saved: one kernel shape instead
@@ -152,7 +162,8 @@ class KernelSampler:
 def run_tempered_kernel(sess, p0, betas, n_steps: int, key, thin: int = 1,
                         a: float = 2.0, chunk_steps: int = 100,
                         interpret: bool = False, core=None,
-                        kernel_cache: dict | None = None, dp: int = 128):
+                        kernel_cache: dict | None = None, dp: int = 128,
+                        chain_space: str = "hbm"):
     """Tempered sampling through the fused kernel
     (ops.pallas_joint.make_tempered_step_kernel): K replica ensembles +
     swap sweeps fully on-chip, the cold-rung chain recorded host-side
@@ -188,19 +199,23 @@ def run_tempered_kernel(sess, p0, betas, n_steps: int, key, thin: int = 1,
         )
 
     def build(n_inner):
-        ck = ("temper", tuple(betas), n_inner, W, thin, a)
+        ck = ("temper", tuple(betas), n_inner, W, thin, a, chain_space)
         fn = kernel_cache.get(ck) if kernel_cache is not None else None
         if fn is None:
             fn = make_tempered_step_kernel(sess, betas, n_inner=n_inner,
                                            n_walkers=W, a=a, thin=thin,
-                                           interpret=interpret)
+                                           interpret=interpret,
+                                           chain_space=chain_space)
             if kernel_cache is not None and fn is not None:
                 kernel_cache[ck] = fn
         return fn
 
     # chunk = a multiple of thin near chunk_steps, with the per-chunk
-    # cold-chain buffer held under the hardware-proven VMEM cap
-    max_keep = max(1, _CHAIN_VMEM_BYTES // (W * (dp + 1) * 4))
+    # cold-chain buffer held under the buffer budget (HBM by default;
+    # the hardware-proven VMEM cap under chain_space="vmem")
+    budget = (_CHAIN_HBM_BYTES if chain_space == "hbm"
+              else _CHAIN_VMEM_BYTES)
+    max_keep = max(1, budget // (W * (dp + 1) * 4))
     chunk = max(thin, min(chunk_steps // thin, max_keep) * thin)
     step = build(chunk)
     if step is None:
@@ -234,8 +249,8 @@ def run_tempered_kernel(sess, p0, betas, n_steps: int, key, thin: int = 1,
     )
 
 
-def make_kernel_sampler(sess, a: float = 2.0,
-                        interpret: bool = False) -> KernelSampler | None:
+def make_kernel_sampler(sess, a: float = 2.0, interpret: bool = False,
+                        chain_space: str = "hbm") -> KernelSampler | None:
     """Returns a :class:`KernelSampler` for the flagship configuration, or
     None when the session does not match the kernel specialisation (the
     caller should fall back to the XLA sampler)."""
@@ -246,4 +261,4 @@ def make_kernel_sampler(sess, a: float = 2.0,
         return None
     core = make_joint_core(sess, block_b=256, interpret=interpret)
     return KernelSampler(sess, core, dp=spec["Dp"], a=a,
-                         interpret=interpret)
+                         interpret=interpret, chain_space=chain_space)

@@ -103,6 +103,28 @@ def test_step_kernel_chain_recording(sess32):
                                    np.asarray(lp_re), rtol=2e-5, atol=1e-2)
 
 
+def test_step_kernel_hbm_chain_matches_vmem(sess32):
+    """chain_space='hbm' (per-frame DMA out of VMEM, the default) must be
+    bit-identical to the original VMEM-output chain path: same seed, same
+    deterministic stream, so every output — final state, acceptance,
+    chain, chain log-probs — matches exactly."""
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = core(x0)
+
+    outs = {}
+    for space in ("vmem", "hbm"):
+        step = make_step_kernel(sess32, n_inner=6, n_walkers=W,
+                                interpret=True, thin=2, chain_space=space)
+        outs[space] = step(x0, lp0, jnp.zeros(W), 11)
+    for a, b in zip(outs["vmem"], outs["hbm"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
@@ -193,6 +215,64 @@ def test_multicluster_step_kernel(sess32):
     # must diverge (per-cluster constants really are per-cluster)
     assert not np.allclose(np.asarray(x[0]), np.asarray(x[1]))
     assert np.all(np.asarray(acc) >= 0) and np.all(np.asarray(acc) <= 4)
+
+
+def test_multicluster_kernel_hbm_chain_matches_vmem(sess32):
+    """Multicluster chain_space='hbm' (unblocked HBM x chain + per-grid
+    DMA) is bit-identical to the VMEM-block path."""
+    import dataclasses
+    from joxsz_tpu.models.multicluster import (
+        stack_sz_data, stack_xray_data, make_multicluster_log_like,
+    )
+    from joxsz_tpu.ops.pallas_joint import make_multicluster_step_kernel
+
+    sz0 = sess32.model.sz_data
+    C, W = 2, 16
+    sz_stack = stack_sz_data([
+        dataclasses.replace(sz0, flux=sz0.flux * (1 + 0.05 * c))
+        for c in range(C)
+    ])
+    xr_stack = stack_xray_data([sess32.model.xray_data] * C)
+    ref_ll = make_multicluster_log_like(sess32.model, sz_stack, xr_stack,
+                                        flatten=False)
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(6)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (C, W, theta0.size))), jnp.float32)
+    lp0 = jnp.asarray(ref_ll(x0), jnp.float32)
+
+    outs = {}
+    for space in ("vmem", "hbm"):
+        step = make_multicluster_step_kernel(
+            sess32, sz_stack, xr_stack, n_inner=4, n_walkers=W,
+            interpret=True, thin=2, chain_space=space)
+        outs[space] = step(x0, lp0, jnp.zeros((C, W)), 9)
+    for a, b in zip(outs["vmem"], outs["hbm"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tempered_kernel_hbm_chain_matches_vmem(sess32):
+    """Tempered chain_space='hbm' (per-half DMA of the cold rung) is
+    bit-identical to the VMEM-output path."""
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+
+    K, W = 3, 16
+    betas = [1.0, 0.6, 0.36]
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (K, W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = jnp.stack([core(x0[k]) for k in range(K)])
+
+    outs = {}
+    for space in ("vmem", "hbm"):
+        step = make_tempered_step_kernel(sess32, betas, n_inner=6,
+                                         n_walkers=W, interpret=True,
+                                         thin=3, chain_space=space)
+        outs[space] = step(x0, lp0, jnp.zeros((K, W)), 5)
+    for a, b in zip(outs["vmem"], outs["hbm"]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
 def test_tempered_step_kernel(sess32):
