@@ -4,8 +4,12 @@ from .mesh import (
 from .sharded import (
     make_sharded_drive, run_sharded_ensemble, run_multi_cluster,
 )
+from .kernel_sharded import (
+    make_sharded_kernel_step, run_sharded_kernel_ensembles,
+)
 
 __all__ = [
     "make_mesh", "walker_sharding", "cluster_walker_sharding", "replicated",
     "make_sharded_drive", "run_sharded_ensemble", "run_multi_cluster",
+    "make_sharded_kernel_step", "run_sharded_kernel_ensembles",
 ]

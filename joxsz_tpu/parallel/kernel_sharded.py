@@ -1,0 +1,117 @@
+"""Multi-chip production sampling through the fused Pallas step kernel.
+
+``parallel/sharded.py`` scales ONE walker-sharded ensemble (XLA inserts
+an ICI all-gather of the complementary half's positions per substep).
+This module is the multi-chip path for the *production kernel sampler*
+(ops/pallas_joint.make_step_kernel): under ``jax.shard_map`` every chip
+runs an INDEPENDENT Goodman–Weare ensemble, fully chip-resident, with
+its own hardware-PRNG seed — zero inter-chip communication during
+sampling.  Independent ensembles target the same posterior, so the
+concatenated chains are valid samples (this is exactly the reference's
+statistical content — emcee ensembles carry no cross-ensemble coupling
+either, /root/reference/joxsz_main.py:203-208 only parallelises
+likelihood evaluations *within* one ensemble).
+
+Why per-chip ensembles instead of one sharded ensemble: the stretch
+move's partner gather is a (H, H) one-hot matmul against the fixed half
+— chip-local here; sharding a single ensemble through the kernel would
+need a remote-DMA all-gather inside the kernel every substep.  With
+W >= ~256 per chip the ensembles mix identically (acceptance and
+autocorrelation depend on the move, not on W), so there is no
+statistical cost — only linear throughput scaling.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..ops.pallas_joint import make_step_kernel
+from ..sampling.stretch import EnsembleResult
+
+
+def make_sharded_kernel_step(sess, mesh, n_inner: int,
+                             walkers_per_device: int, thin=None,
+                             a: float = 2.0, interpret: bool = False,
+                             chain_space: str = "hbm",
+                             axis: str = "walker"):
+    """One fused kernel invocation per device under shard_map.
+
+    Returns ``fn(x (W, D), lp (W,), acc (W,), seeds (n_dev,)) ->
+    (x, lp, acc[, chain (n_keep, W, D), chain_lp (n_keep, W)])`` with
+    ``W = n_dev * walkers_per_device`` sharded over ``axis``, or None
+    when the session doesn't match the kernel specialisation.  Each
+    device advances its walker block as an independent ensemble seeded
+    by its entry of ``seeds``.
+    """
+    step = make_step_kernel(sess, n_inner=n_inner,
+                            n_walkers=walkers_per_device, a=a,
+                            interpret=interpret, thin=thin,
+                            chain_space=chain_space)
+    if step is None:
+        return None
+
+    def local(seeds, x, lp, acc):
+        return step(x, lp, acc, seeds[0])
+
+    in_specs = (P(axis), P(axis), P(axis), P(axis))
+    if thin is None:
+        out_specs = (P(axis), P(axis), P(axis))
+    else:
+        out_specs = (P(axis), P(axis), P(axis),
+                     P(None, axis), P(None, axis))
+    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
+
+
+def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
+                                 thin: int = 1, a: float = 2.0,
+                                 interpret: bool = False,
+                                 chain_space: str = "hbm",
+                                 axis: str = "walker",
+                                 core=None) -> EnsembleResult | None:
+    """Device-parallel kernel sampling mirroring ``KernelSampler.run``:
+    ``p0`` is (W, D) with W divisible by the mesh's ``axis`` size and an
+    even per-device share.  The chain is (n_steps//thin, W, D) with each
+    device's ensemble occupying its walker block.  Returns None when the
+    configuration doesn't match the kernel specialisation."""
+    from ..ops.pallas_joint import make_joint_core
+
+    W, D = p0.shape
+    n_dev = mesh.shape[axis]
+    if W % n_dev:
+        raise ValueError(f"walkers ({W}) must divide over {n_dev} devices")
+    w_loc = W // n_dev
+    if w_loc % 2:
+        raise ValueError(f"walkers per device ({w_loc}) must be even")
+    if n_steps % thin:
+        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
+                         f"thin ({thin})")
+
+    if core is None:
+        core = make_joint_core(sess, interpret=interpret)
+    if core is None:
+        return None
+    xsh = NamedSharding(mesh, P(axis))
+    x = jax.device_put(jnp.asarray(p0, jnp.float32), xsh)
+    lp = core(x)
+    acc = jnp.zeros(W, jnp.float32)
+
+    step = make_sharded_kernel_step(sess, mesh, n_inner=n_steps,
+                                    walkers_per_device=w_loc, thin=thin,
+                                    a=a, interpret=interpret,
+                                    chain_space=chain_space, axis=axis)
+    if step is None:
+        return None
+    seeds = jax.random.randint(key, (n_dev,), 0,
+                               np.iinfo(np.int32).max, dtype=jnp.int32)
+    x, lp, acc, chain, chain_lp = step(x, lp, acc, seeds)
+    return EnsembleResult(
+        chain=np.asarray(chain),
+        log_prob=np.asarray(chain_lp),
+        acceptance_fraction=np.asarray(acc) / float(n_steps),
+        final_state=(x, lp, key),
+    )

@@ -69,3 +69,66 @@ def test_sharded_equals_unsharded_distribution():
                                    mesh, thin=5)
     plain = run_ensemble(lp_b, p0, 50, jax.random.PRNGKey(6), thin=5)
     assert np.allclose(sharded["chain"], plain.chain, atol=1e-12)
+
+
+@needs_devices
+def test_kernel_sharded_matches_per_device_runs(ref_data):
+    """shard_map'd fused-kernel ensembles (interpret mode) are bit-exact
+    with running each device's walker block through the plain step kernel
+    sequentially with the same seed — the sharding is pure orchestration,
+    zero cross-device coupling."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.ops.pallas_joint import make_joint_core, make_step_kernel
+    from joxsz_tpu.parallel.kernel_sharded import (
+        make_sharded_kernel_step, run_sharded_kernel_ensembles,
+    )
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+
+    n_dev, w_loc = 4, 8
+    W = n_dev * w_loc
+    mesh = make_mesh(n_dev, axis_names=("walker",))
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    lp0 = core(x0)
+    acc0 = jnp.zeros(W, jnp.float32)
+    seeds = jnp.arange(100, 100 + n_dev, dtype=jnp.int32)
+
+    sharded = make_sharded_kernel_step(sess, mesh, n_inner=6,
+                                       walkers_per_device=w_loc, thin=2,
+                                       interpret=True)
+    x, lp, acc, chain, chain_lp = sharded(x0, lp0, acc0, seeds)
+    assert chain.shape == (3, W, theta0.size)
+    assert chain_lp.shape == (3, W)
+
+    # per-device sequential reference with identical seeds
+    step = make_step_kernel(sess, n_inner=6, n_walkers=w_loc,
+                            interpret=True, thin=2)
+    for d in range(n_dev):
+        s = slice(d * w_loc, (d + 1) * w_loc)
+        xd, lpd, accd, chd, chlpd = step(x0[s], lp0[s], acc0[s],
+                                         int(seeds[d]))
+        np.testing.assert_array_equal(np.asarray(x[s]), np.asarray(xd))
+        np.testing.assert_array_equal(np.asarray(lp[s]), np.asarray(lpd))
+        np.testing.assert_array_equal(np.asarray(chain[:, s]),
+                                      np.asarray(chd))
+        np.testing.assert_array_equal(np.asarray(chain_lp[:, s]),
+                                      np.asarray(chlpd))
+
+    # runner wrapper: shapes, acceptance normalisation, lp consistency
+    res = run_sharded_kernel_ensembles(sess, x0, n_steps=6,
+                                       key=jax.random.PRNGKey(3),
+                                       mesh=mesh, thin=2, interpret=True,
+                                       core=core)
+    assert res.chain.shape == (3, W, theta0.size)
+    lp_re = np.asarray(core(jnp.asarray(res.chain[-1])))
+    np.testing.assert_allclose(res.log_prob[-1], lp_re, rtol=2e-5,
+                               atol=1e-2)
+    assert np.all(res.acceptance_fraction >= 0)
+    assert np.all(res.acceptance_fraction <= 1)
