@@ -110,10 +110,17 @@ def run_fit(
                   f"(multiple of thin={nthin})")
         nsteps = new_nsteps
 
+    sharded_step = None
     if step_sampler is not None and mesh is not None:
-        if verbose:
-            print("note: step-kernel sampler ignored for mesh-sharded runs")
+        # prelim/burn and the batched likelihood stay on the XLA mesh
+        # path; the sampling phase routes through per-chip independent
+        # fused-kernel ensembles (parallel/kernel_sharded.py)
+        sharded_step = step_sampler
         step_sampler = None
+        if verbose:
+            print("note: mesh run — sampling phase uses per-chip "
+                  "fused-kernel ensembles; prelim/burn on the sharded "
+                  "XLA sampler")
 
     if log_like_batch is None:
         log_like_batch = (step_sampler.log_prob_batch if step_sampler
@@ -260,18 +267,29 @@ def run_fit(
             final_state=(state_x, r.final_state[1], key),
         )
     elif mesh is not None:
-        # walker-sharded sampling over a device mesh (multi-chip); the
-        # program is identical to the single-device path (tested bit-exact)
-        # — the mesh is a layout annotation
-        from ..parallel.sharded import run_sharded_ensemble
+        res = None
+        if sharded_step is not None:
+            # per-chip independent fused-kernel ensembles; falls through
+            # to the XLA mesh sampler when the walker count doesn't
+            # split evenly or the configuration mismatches the kernel
+            res = sharded_step.run_sharded(p1, nsteps, sub, mesh,
+                                           thin=nthin)
+            if res is None and verbose:
+                print("note: sharded kernel sampler declined; falling "
+                      "back to the XLA mesh sampler")
+        if res is None:
+            # walker-sharded sampling over a device mesh (multi-chip);
+            # the program is identical to the single-device path (tested
+            # bit-exact) — the mesh is a layout annotation
+            from ..parallel.sharded import run_sharded_ensemble
 
-        out = run_sharded_ensemble(log_like_batch, p1, nsteps, sub, mesh,
-                                   thin=nthin)
-        res = EnsembleResult(
-            chain=out["chain"], log_prob=out["log_prob"],
-            acceptance_fraction=out["acceptance_fraction"],
-            final_state=(out["final"][0], out["final"][1], sub),
-        )
+            out = run_sharded_ensemble(log_like_batch, p1, nsteps, sub,
+                                       mesh, thin=nthin)
+            res = EnsembleResult(
+                chain=out["chain"], log_prob=out["log_prob"],
+                acceptance_fraction=out["acceptance_fraction"],
+                final_state=(out["final"][0], out["final"][1], sub),
+            )
     elif step_sampler is not None:
         res = step_sampler.run(p1, nsteps, sub, thin=nthin)
     else:

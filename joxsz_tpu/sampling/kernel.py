@@ -64,6 +64,21 @@ class KernelSampler:
     def log_prob_batch(self, thetas):
         return self._core(thetas)
 
+    def run_sharded(self, p0, n_steps: int, key, mesh, thin: int = 1):
+        """Multi-chip sampling: independent per-device ensembles through
+        the fused kernel under shard_map (parallel/kernel_sharded.py).
+        Returns None when the walker count doesn't split evenly over the
+        mesh or the configuration doesn't match the kernel."""
+        from ..parallel.kernel_sharded import run_sharded_kernel_ensembles
+
+        try:
+            return run_sharded_kernel_ensembles(
+                self._sess, p0, n_steps, key, mesh, thin=thin, a=self._a,
+                interpret=self._interpret, chain_space=self._chain_space,
+                core=self._core)
+        except ValueError:
+            return None
+
     def run_tempered(self, p0, betas, n_steps: int, key, thin: int = 1):
         """Parallel-tempered sampling through the fused kernel (see
         :func:`run_tempered_kernel`); reuses this sampler's compiled

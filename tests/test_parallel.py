@@ -132,3 +132,34 @@ def test_kernel_sharded_matches_per_device_runs(ref_data):
                                atol=1e-2)
     assert np.all(res.acceptance_fraction >= 0)
     assert np.all(res.acceptance_fraction <= 1)
+
+
+@needs_devices
+def test_run_fit_routes_mesh_through_sharded_kernel(ref_data, tmp_path):
+    """run_fit with mesh + step_sampler sends the sampling phase through
+    the per-chip fused-kernel ensembles (prelim/burn stay on the XLA mesh
+    sampler) and produces a consistent chain."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.sampling.driver import run_fit
+    from joxsz_tpu.sampling.kernel import make_kernel_sampler
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    ks = make_kernel_sampler(sess, interpret=True)
+    assert ks is not None
+    mesh = make_mesh(4, axis_names=("walker",))
+    p = sess.params
+
+    res = run_fit(sess.log_like, np.asarray(p.thawed_values()),
+                  np.asarray(p.lo), np.asarray(p.hi), list(p.thawed),
+                  nwalkers=16, nburn=4, nsteps=8, nthin=2, seed=0,
+                  initspread=0.02, prelim_iterations=2,
+                  max_prelim_rounds=1, do_mle=False, mesh=mesh,
+                  step_sampler=ks, verbose=False)
+    assert res.chain.shape == (4, 16, len(p.thawed))
+    # stored lp matches recomputation (kernel-recorded frames)
+    lp_re = np.asarray(ks.log_prob_batch(jnp.asarray(res.chain[-1])))
+    np.testing.assert_allclose(res.log_prob[-1], lp_re, rtol=2e-5,
+                               atol=1e-2)
