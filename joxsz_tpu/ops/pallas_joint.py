@@ -403,7 +403,8 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
 def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      interpret: bool = False, vmem_limit_mb: int = 96,
                      thin: int | None = None, ablate: str = "",
-                     unroll: int = 1, chain_space: str = "hbm"):
+                     unroll: int = 1, chain_space: str = "hbm",
+                     partner: str = "onehot"):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
@@ -429,10 +430,27 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     budget, so a single invocation can record hundreds of frames at any
     walker count (the DMA is sub-MB per frame, negligible vs a step);
     ``"vmem"`` is the original VMEM-output path, kept for A/B testing.
+
+    ``partner`` selects how each moving walker's complementary-half
+    partner is drawn: ``"onehot"`` (default, emcee-parity) draws an
+    i.i.d. uniform index per walker and gathers via an (H, H) one-hot
+    MXU matmul — O(H^2 Dp) FLOPs, ~40%% of the step's FLOP budget at
+    W=4096 and growing quadratically; ``"roll"`` rotates the fixed half
+    by one hashed state-independent shift per substep (pltpu.roll,
+    O(H Dp)).  Both are valid Goodman-Weare updates: conditional on any
+    state-independent partner assignment each walker's Metropolis update
+    leaves the product target invariant, and the rotation makes partner
+    choice marginally uniform — only cross-walker correlation within one
+    substep differs (same device as the swap pairing in the tempered
+    kernel).  Keep "onehot" where exact emcee stream semantics matter;
+    "roll" is a throughput option for large ensembles.
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
                          f"got {chain_space!r}")
+    if partner not in ("onehot", "roll"):
+        raise ValueError(f"partner must be 'onehot' or 'roll', "
+                         f"got {partner!r}")
     chain_hbm = chain_space == "hbm"
     spec = _build_spec(sess, ablate=ablate)
     if spec is None:
@@ -507,9 +525,23 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             # uint32->f32 cast); u is then uniform on [0,1)
             u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
             z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
-            pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
-            onehot = (row == pidx).astype(f32)           # (H, H)
-            xp = jnp.dot(onehot, xf, preferred_element_type=f32)
+            if partner == "roll":
+                # one hashed state-independent rotation per substep
+                # (same device as the tempered kernel's swap pairing)
+                shift = jnp.remainder(
+                    (jnp.int32(seed_ref[0]) * jnp.int32(1103515245)
+                     + i * jnp.int32(40503)
+                     + jnp.int32(which) * jnp.int32(10007)) >> 7,
+                    jnp.int32(H))
+                if interpret:
+                    xp = jnp.roll(xf, shift, axis=0)
+                else:
+                    xp = pltpu.roll(xf, shift, 0)
+            else:
+                pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32),
+                                   H - 1)
+                onehot = (row == pidx).astype(f32)       # (H, H)
+                xp = jnp.dot(onehot, xf, preferred_element_type=f32)
             y = xp + z * (xm - xp)
             # evaluate the likelihood in row tiles so the (tile, 384)
             # intermediates bound VMEM instead of (H, 384)

@@ -103,6 +103,29 @@ def test_step_kernel_chain_recording(sess32):
                                    np.asarray(lp_re), rtol=2e-5, atol=1e-2)
 
 
+def test_step_kernel_roll_partner_mechanics(sess32):
+    """partner='roll' (rotation partner selection): stored log-probs
+    match recomputation, acceptance counts sane, and the ensemble
+    actually moves (the rotation must not freeze the move)."""
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(4)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = core(x0)
+
+    step = make_step_kernel(sess32, n_inner=8, n_walkers=W,
+                            interpret=True, partner="roll")
+    x, lp, acc = step(x0, lp0, jnp.zeros(W), 13)
+    lp_re = core(x)
+    np.testing.assert_allclose(np.asarray(lp), np.asarray(lp_re),
+                               rtol=2e-5, atol=1e-2)
+    assert np.sum(np.asarray(acc)) > 0          # some moves accepted
+    assert not np.array_equal(np.asarray(x), np.asarray(x0))
+    assert np.all(np.asarray(acc) <= 8)
+
+
 def test_step_kernel_hbm_chain_matches_vmem(sess32):
     """chain_space='hbm' (per-frame DMA out of VMEM, the default) must be
     bit-identical to the original VMEM-output chain path: same seed, same
