@@ -42,8 +42,10 @@ def main():
     # likelihood + accept, hardware PRNG) VMEM-resident, 100 steps per
     # invocation.  XLA scan sampler as the fallback / CPU path.
     step = None
-    W = 2048 if on_tpu else 1024
-    n_steps = 1000 if on_tpu else 200
+    # W=4096 is the measured throughput peak (docs/PERFORMANCE.md); the
+    # fori_loop likelihood tiling keeps its cold Mosaic compile at ~13s
+    W = 4096 if on_tpu else 1024
+    n_steps = 2000 if on_tpu else 200
     rng = np.random.default_rng(0)
     p0 = jnp.asarray(theta0[None] * (
         1 + 0.01 * rng.standard_normal((W, theta0.size))

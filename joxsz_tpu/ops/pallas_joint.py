@@ -404,7 +404,7 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      interpret: bool = False, vmem_limit_mb: int = 96,
                      thin: int | None = None, ablate: str = "",
                      unroll: int = 1, chain_space: str = "hbm",
-                     partner: str = "onehot"):
+                     partner: str = "onehot", ll_tile: int = 256):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
@@ -475,22 +475,31 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
         if thin <= 0 or n_inner % thin:
             raise ValueError("n_inner must be a positive multiple of thin")
         n_keep = n_inner // thin
-    ll_tile = 256   # likelihood evaluated in (ll_tile, .) row blocks
     f32 = jnp.float32
     sa = float(np.sqrt(a))
     inv24 = float(2.0 ** -24)
+    # likelihood evaluated in (ll_tile, .) row blocks so the (tile, 384)
+    # intermediates bound VMEM instead of (H, 384); when H divides into
+    # tiles the evaluation runs as a fori_loop over a VMEM scratch —
+    # inlining H/ll_tile copies of the likelihood body made Mosaic
+    # compile time explode with W (99s at W=2048 -> 672s at W=4096)
+    use_ll_loop = H > ll_tile and H % ll_tile == 0
 
     def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
-        sem = None
+        refs = list(refs)
+        sem = ysc_ref = lsc_ref = None
+        if use_ll_loop:
+            lsc_ref = refs.pop()
+            ysc_ref = refs.pop()
         if n_keep and chain_hbm:
-            const_refs = refs[:-6]
-            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref, sem = refs[-6:]
-        elif n_keep:
-            const_refs = refs[:-5]
-            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref = refs[-5:]
-        else:
-            const_refs = refs[:-3]
-            xo_ref, lpo_ref, acco_ref = refs[-3:]
+            sem = refs.pop()
+        if n_keep:
+            clp_ref = refs.pop()
+            cx_ref = refs.pop()
+        acco_ref = refs.pop()
+        lpo_ref = refs.pop()
+        xo_ref = refs.pop()
+        const_refs = refs
         if not interpret:
             pltpu.prng_seed(seed_ref[0])
         xo_ref[:] = x0_ref[:]
@@ -543,9 +552,20 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                 onehot = (row == pidx).astype(f32)       # (H, H)
                 xp = jnp.dot(onehot, xf, preferred_element_type=f32)
             y = xp + z * (xm - xp)
-            # evaluate the likelihood in row tiles so the (tile, 384)
-            # intermediates bound VMEM instead of (H, 384)
-            if H > ll_tile:
+            # evaluate the likelihood in row tiles (per-row independent,
+            # so any tiling is bit-identical)
+            if use_ll_loop:
+                ysc_ref[:] = y
+
+                def tbody(t, c):
+                    sl = pl.ds(t * ll_tile, ll_tile)
+                    lsc_ref[sl, :] = ll_body(ysc_ref[sl, :],
+                                             *const_vals_in)
+                    return c
+
+                jax.lax.fori_loop(0, H // ll_tile, tbody, 0)
+                lp_y = lsc_ref[:]
+            elif H > ll_tile:
                 lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
                             for t in range(0, H, ll_tile)]
                 lp_y = jnp.concatenate(lp_parts, axis=0)
@@ -621,6 +641,7 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             jax.ShapeDtypeStruct((W, 1), f32),
         ]
         out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape)
+        scratch = []
         if n_keep:
             out_shape += [jax.ShapeDtypeStruct((n_keep, W, Dp), f32)]
             if chain_hbm:
@@ -628,10 +649,14 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                 out_specs += [
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM)]
-                kwargs["scratch_shapes"] = [pltpu.SemaphoreType.DMA]
+                scratch.append(pltpu.SemaphoreType.DMA)
             else:
                 out_shape += [jax.ShapeDtypeStruct((n_keep, W, 1), f32)]
                 out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        if use_ll_loop:
+            scratch += [pltpu.VMEM((H, Dp), f32), pltpu.VMEM((H, 1), f32)]
+        if scratch:
+            kwargs["scratch_shapes"] = scratch
         outs = pl.pallas_call(
             kernel,
             out_shape=out_shape,

@@ -126,6 +126,28 @@ def test_step_kernel_roll_partner_mechanics(sess32):
     assert np.all(np.asarray(acc) <= 8)
 
 
+def test_step_kernel_ll_loop_matches_unrolled(sess32):
+    """The fori_loop-over-scratch likelihood tiling (used when H divides
+    into ll_tile blocks, the compile-time fix for large W) is
+    bit-identical to the single-call/unrolled evaluation — per-row
+    independence makes any tiling exact."""
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = core(x0)
+
+    outs = {}
+    for tile in (256, 4):    # 256: single call; 4: loop path (H=8)
+        step = make_step_kernel(sess32, n_inner=6, n_walkers=W,
+                                interpret=True, thin=2, ll_tile=tile)
+        outs[tile] = step(x0, lp0, jnp.zeros(W), 21)
+    for a, b in zip(outs[256], outs[4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_step_kernel_hbm_chain_matches_vmem(sess32):
     """chain_space='hbm' (per-frame DMA out of VMEM, the default) must be
     bit-identical to the original VMEM-output chain path: same seed, same
