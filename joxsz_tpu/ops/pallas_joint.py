@@ -912,7 +912,8 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                               a: float = 2.0, interpret: bool = False,
                               vmem_limit_mb: int = 96,
                               thin: int | None = None,
-                              chain_space: str = "hbm"):
+                              chain_space: str = "hbm",
+                              ll_tile: int = 256):
     """Fused parallel-tempered sampler: K replica ensembles at inverse
     temperatures ``betas`` advance ``n_inner`` full stretch-move steps +
     swap sweeps inside ONE pallas_call (reference semantics:
@@ -960,27 +961,32 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
         if thin <= 0 or n_inner % thin:
             raise ValueError("n_inner must be a positive multiple of thin")
         n_keep = n_inner // thin
-    ll_tile = 256
     f32 = jnp.float32
     sa = float(np.sqrt(a))
     inv24 = float(2.0 ** -24)
     beta_rows = jnp.asarray(np.repeat(betas, H)[:, None], f32)   # (KH, 1)
     const_vals = list(const_vals) + [beta_rows]
     const_shapes = list(const_shapes) + [(KH, 1)]
+    # fori_loop likelihood tiling — same compile-time fix as
+    # make_step_kernel (unrolled tile copies explode Mosaic compiles)
+    use_ll_loop = KH > ll_tile and KH % ll_tile == 0
 
     def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
-        sem = None
+        refs = list(refs)
+        sem = ysc_ref = lsc_ref = None
+        if use_ll_loop:
+            lsc_ref = refs.pop()
+            ysc_ref = refs.pop()
         if n_keep and chain_hbm:
-            const_refs = refs[:-7]
-            (xo_ref, lpo_ref, acco_ref, sacc_ref,
-             cx_ref, clp_ref, sem) = refs[-7:]
-        elif n_keep:
-            const_refs = refs[:-6]
-            (xo_ref, lpo_ref, acco_ref, sacc_ref,
-             cx_ref, clp_ref) = refs[-6:]
-        else:
-            const_refs = refs[:-4]
-            xo_ref, lpo_ref, acco_ref, sacc_ref = refs[-4:]
+            sem = refs.pop()
+        if n_keep:
+            clp_ref = refs.pop()
+            cx_ref = refs.pop()
+        sacc_ref = refs.pop()
+        acco_ref = refs.pop()
+        lpo_ref = refs.pop()
+        xo_ref = refs.pop()
+        const_refs = refs
         if not interpret:
             pltpu.prng_seed(seed_ref[0])
         xo_ref[:] = x0_ref[:]
@@ -1024,7 +1030,18 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                 for r in range(K)
             ], axis=0)
             y = xp + z * (xm - xp)
-            if KH > ll_tile:
+            if use_ll_loop:
+                ysc_ref[:] = y
+
+                def tbody(t, c):
+                    sl = pl.ds(t * ll_tile, ll_tile)
+                    lsc_ref[sl, :] = ll_body(ysc_ref[sl, :],
+                                             *const_vals_in)
+                    return c
+
+                jax.lax.fori_loop(0, KH // ll_tile, tbody, 0)
+                lp_y = lsc_ref[:]
+            elif KH > ll_tile:
                 lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
                             for t in range(0, KH, ll_tile)]
                 lp_y = jnp.concatenate(lp_parts, axis=0)
@@ -1095,10 +1112,13 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                             cp = pltpu.make_async_copy(src, dst, sem)
                             cp.start()
                             cp.wait()
-                        clp_ref[pl.ds(k, 1), 0:H] = (
-                            lpo_ref[0:H, :].reshape(1, H))
-                        clp_ref[pl.ds(k, 1), H:W] = (
-                            lpo_ref[KH:KH + H, :].reshape(1, H))
+                        # store the cold-rung lp as ONE full-width row:
+                        # a half-row store at a dynamic sublane index is
+                        # an unaligned dynamic store Mosaic rejects
+                        clp_ref[pl.ds(k, 1), :] = jnp.concatenate(
+                            [lpo_ref[0:H, :].reshape(1, H),
+                             lpo_ref[KH:KH + H, :].reshape(1, H)],
+                            axis=1)
                     else:
                         cx_ref[pl.ds(k, 1), 0:H] = xo_ref[0:H, :][None]
                         cx_ref[pl.ds(k, 1), H:W] = (
@@ -1138,6 +1158,7 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
         ]
         out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape)
         kwargs = {}
+        scratch = []
         if n_keep:
             out_shape += [jax.ShapeDtypeStruct((n_keep, W, Dp), f32)]
             if chain_hbm:
@@ -1145,10 +1166,15 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                 out_specs += [
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM)]
-                kwargs["scratch_shapes"] = [pltpu.SemaphoreType.DMA]
+                scratch.append(pltpu.SemaphoreType.DMA)
             else:
                 out_shape += [jax.ShapeDtypeStruct((n_keep, W, 1), f32)]
                 out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+        if use_ll_loop:
+            scratch += [pltpu.VMEM((KH, Dp), f32),
+                        pltpu.VMEM((KH, 1), f32)]
+        if scratch:
+            kwargs["scratch_shapes"] = scratch
         if not interpret:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)

@@ -320,6 +320,30 @@ def test_tempered_kernel_hbm_chain_matches_vmem(sess32):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_tempered_kernel_ll_loop_matches_unrolled(sess32):
+    """The tempered kernel's fori_loop likelihood tiling is bit-identical
+    to the single-call evaluation."""
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+
+    K, W = 3, 16                 # KH = 24
+    betas = [1.0, 0.6, 0.36]
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(10)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (K, W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = jnp.stack([core(x0[k]) for k in range(K)])
+
+    outs = {}
+    for tile in (256, 8):        # 256: single call; 8: loop (3 tiles)
+        step = make_tempered_step_kernel(sess32, betas, n_inner=4,
+                                         n_walkers=W, interpret=True,
+                                         thin=2, ll_tile=tile)
+        outs[tile] = step(x0, lp0, jnp.zeros((K, W)), 17)
+    for a, b in zip(outs[256], outs[8]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_tempered_step_kernel(sess32):
     """Tempered step kernel (interpret mode): stored log-probs are
     UNtempered and match recomputation on every rung, cold-chain frames
