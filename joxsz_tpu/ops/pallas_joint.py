@@ -108,6 +108,18 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
     for b in range(n_band):
         VB[b * n_sh:(b + 1) * n_sh, b * n_sh:(b + 1) * n_sh] = volsT
 
+    # integrated-Y Gaussian term: constants encode on/off (zero weights
+    # when calc_integ is off make the term vanish — no kernel branch);
+    # 1/sigma is folded into the weights so the term is
+    # -0.5 * (wint.pp - mui)^2  (reference joxsz_funcs.py:480-487)
+    if getattr(sz, "calc_integ", False):
+        wint = _pad_to(np.asarray(sz.integ_w, dtype=f64)
+                       / float(sz.integ_sig), (NP,))
+        mu_i = float(sz.integ_mu) / float(sz.integ_sig)
+    else:
+        wint = np.zeros(NP)
+        mu_i = 0.0
+
     return [
         r_pad[None, :], press_mask[None, :],
         LT, GT,
@@ -120,6 +132,7 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
         spec["lo_p"][None, :], spec["hi_p"][None, :],
         spec["isg_p"][None, :], spec["mu_p"][None, :],
         spec["sg_p"][None, :],
+        wint[None, :], np.asarray([[mu_i]], dtype=f64),
     ]
 
 
@@ -143,8 +156,6 @@ def _build_spec(sess, ablate: str = ""):
         return None
     p = sess.params
     if p.thawed != _REF_THAWED or sess.model.xray_data is None:
-        return None
-    if sess.model.sz_data.calc_integ:
         return None
 
     sz = sess.model.sz_data
@@ -217,7 +228,8 @@ def _build_spec(sess, ablate: str = ""):
     NEG = float("-inf")  # python scalar: kernels must not capture arrays
 
     def ll_body(th, r, pmask, LT, GT, flux_v, wres, wT0, midr, KV, M0v,
-                M1v, VBv, sigf, bgf, cmf, ctf, plo, phi, pig, pmu, psg):
+                M1v, VBv, sigf, bgf, cmf, ctf, plo, phi, pig, pmu, psg,
+                wint, mui):
         """Joint log-likelihood of a (B, Dp) parameter block -> (B, 1).
 
         Pure function of the block plus the constant VALUES (callers load
@@ -298,6 +310,10 @@ def _build_spec(sess, ablate: str = ""):
             resid = (flux_v - model) * wres
             total = total - 0.5 * jnp.sum(resid * resid, axis=1,
                                           keepdims=True)
+            # integrated-Y Gaussian term; wint/mui are zero when the
+            # option is off, so this is an exact no-op then
+            di = jnp.sum(pp * wint, axis=1, keepdims=True) - mui
+            total = total - 0.5 * di * di
 
         if ablate in ("no_xray", "priors"):
             return jnp.where(jnp.isnan(total), NEG, total)
@@ -713,8 +729,6 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
     chain_hbm = chain_space == "hbm"
     spec_full = _build_spec(sess)
     if spec_full is None:
-        return None
-    if getattr(sz_stack, "calc_integ", False):
         return None
     ll_body = spec_full["ll_body"]
     spec = spec_full["spec"]

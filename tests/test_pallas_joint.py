@@ -56,6 +56,47 @@ def test_joint_kernel_vetoes(sess32):
     assert out[1] == -np.inf and out[2] == -np.inf
 
 
+def test_joint_kernel_integrated_y(ref_data):
+    """calc_integ configs are no longer declined: the kernel's
+    integrated-Y Gaussian term (zero-weight no-op otherwise) matches the
+    XLA likelihood, and differs from the no-integ likelihood."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.sz.calc_integ = True
+    sess = build_session(cfg)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    assert core is not None
+    ref = jax.jit(jax.vmap(sess.log_like))
+
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(12)
+    batch = jnp.asarray(theta0[None] * (1 + 0.03 * rng.standard_normal(
+        (8, theta0.size))), jnp.float32)
+    a = np.asarray(core(batch))
+    b = np.asarray(ref(batch))
+    finite = np.isfinite(b)
+    assert np.array_equal(np.isfinite(a), finite)
+    assert np.allclose(a[finite], b[finite], rtol=2e-4, atol=0.5)
+
+    # the term contributes exactly -0.5*((Y - mu)/sigma)^2 vs the
+    # no-integ session
+    from joxsz_tpu.models.sz import sz_integrated_y
+
+    cfg2 = JoXSZConfig.cl1226(str(ref_data))
+    cfg2.dtype = "float32"
+    sess2 = build_session(cfg2)
+    core2 = make_joint_core(sess2, block_b=8, interpret=True)
+    c = np.asarray(core2(batch))
+    szd = sess.model.sz_data
+    cint = np.asarray(jax.vmap(
+        lambda th: sz_integrated_y(sess.params.unpack(th), szd,
+                                   sess.model.pressure))(batch))
+    pen = -0.5 * ((cint - szd.integ_mu) / szd.integ_sig) ** 2
+    np.testing.assert_allclose(a[finite] - c[finite], pen[finite],
+                               rtol=1e-3, atol=5e-3)
+    assert np.any(np.abs(pen[finite]) > 1e-3)   # non-trivial somewhere
+
+
 def test_step_kernel_mechanics(sess32):
     """Interpreter-mode mechanics of the fused step-loop kernel: stored
     log-probs match recomputation, walkers stay in-box, acceptance counts
