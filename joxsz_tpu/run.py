@@ -41,6 +41,9 @@ def main(argv=None):
                          "posteriors; see docs/PERFORMANCE.md)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="shard the sampling walkers over an N-device mesh")
+    ap.add_argument("--integ", action="store_true",
+                    help="enable the integrated-Y Gaussian prior "
+                         "(reference calc_integ, joxsz_main.py:65-67)")
     ap.add_argument("--fused", action="store_true",
                     help="use the fused (Pallas on TPU) batched likelihood "
                          "for the sampling phases")
@@ -76,6 +79,8 @@ def main(argv=None):
         cfg.mcmc.seed = args.seed
     if args.walkers is not None:
         cfg.mcmc.nwalkers = args.walkers
+    if args.integ:
+        cfg.sz.calc_integ = True
 
     print(f"backend: {jax.default_backend()}; dtype {cfg.dtype}")
     t0 = time.time()
