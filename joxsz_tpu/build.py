@@ -186,10 +186,21 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
             if name in params:
                 params.freeze(name)
 
+    exclude_mass = cfg.exclude_unphysical_mass
+    if exclude_mass and cfg.pressure_model == "knots":
+        # the clamped knot interpolant has dP/dr = 0 beyond the last
+        # knot, so the derived HSE mass is constant there and the
+        # monotonicity veto would reject EVERY parameter vector — the
+        # veto is meaningful only for parametrizations with an
+        # everywhere-decreasing analytic pressure (gNFW)
+        print("note: mass-monotonicity veto disabled for the knot "
+              "pressure model (clamped interpolant has zero derivative "
+              "beyond the last knot)")
+        exclude_mass = False
     model = JointModel(
         pressure=pressure, density=density, temperature=temperature,
         params=params, sz_data=sz_data, xray_data=xray_data,
-        exclude_unphysical_mass=cfg.exclude_unphysical_mass,
+        exclude_unphysical_mass=exclude_mass,
     )
     return FitSession(
         config=cfg, cosmology=cosmo, geometry=geom, beam_2d=beam_2d,

@@ -41,6 +41,23 @@ _REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
                "backscale", "calibration"]
 
 
+def _detect_family(thawed):
+    """Model family the kernel is specialised for, from the thawed-param
+    layout: ("gnfw", 0) for the flagship reference model, ("knots", n)
+    for the knot-pressure alternative (config #4 — same density/
+    temperature components, the 4 gNFW shape params replaced by n free
+    log-pressure knot values), or (None, 0) for anything else (callers
+    fall back to the XLA path)."""
+    if thawed == _REF_THAWED:
+        return "gnfw", 0
+    if (len(thawed) > 9 and thawed[:7] == _REF_THAWED[:7]
+            and thawed[-2:] == ["backscale", "calibration"]
+            and all(n == f"logP_{i}"
+                    for i, n in enumerate(thawed[7:-2]))):
+        return "knots", len(thawed) - 9
+    return None, 0
+
+
 def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
     """Ordered list of padded float64 const arrays for ONE cluster, given
     its SZ/X-ray data and linear SZ operators.  ``spec`` carries the
@@ -133,7 +150,8 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
         spec["isg_p"][None, :], spec["mu_p"][None, :],
         spec["sg_p"][None, :],
         wint[None, :], np.asarray([[mu_i]], dtype=f64),
-    ]
+    ] + ([spec["AKP"], spec["SKP"], spec["AKM"]]
+         if spec.get("family") == "knots" else [])
 
 
 def _build_spec(sess, ablate: str = ""):
@@ -155,7 +173,13 @@ def _build_spec(sess, ablate: str = ""):
     if not _HAVE_PLTPU:
         return None
     p = sess.params
-    if p.thawed != _REF_THAWED or sess.model.xray_data is None:
+    if sess.model.xray_data is None:
+        return None
+    family, n_knots = _detect_family(p.thawed)
+    if family is None:
+        return None
+    if family == "knots" and not hasattr(sess.model.pressure,
+                                         "knots_logr"):
         return None
 
     sz = sess.model.sz_data
@@ -166,7 +190,8 @@ def _build_spec(sess, ablate: str = ""):
     # ---- static scalars -----------------------------------------------------
     alpha = float(p[r"\alpha"].val)          # frozen (0.0)
     gamma = float(p[r"\gamma"].val)          # frozen (3.0)
-    c_gnfw = float(p["c"].val)               # frozen (0.014)
+    c_gnfw = float(p["c"].val) if family == "gnfw" else 0.0
+    mass_veto = bool(getattr(sess.model, "exclude_unphysical_mass", True))
     from .. import constants as K
 
     mass_C = float(K.keV_erg * K.kpc_cm
@@ -203,7 +228,7 @@ def _build_spec(sess, ablate: str = ""):
     # ---- priors ---------------------------------------------------------------
     lo = np.where(np.isfinite(p.lo), p.lo, -1e30)
     hi = np.where(np.isfinite(p.hi), p.hi, 1e30)
-    D = len(_REF_THAWED)
+    D = len(p.thawed)
     Dp = _round_up(D, 128)
     lo_p = _pad_to(lo, (Dp,)); lo_p[D:] = -1e30
     hi_p = _pad_to(hi, (Dp,)); hi_p[D:] = 1e30
@@ -217,8 +242,44 @@ def _build_spec(sess, ablate: str = ""):
         n_press=n_press, n_sh=n_sh, n_band=n_band, nT=nT, sep=sep,
         r_pp=r_pp, conv_T=np.asarray(conv_T), conv_val=np.asarray(conv_val),
         Tlog=Tlog, lo_p=lo_p, hi_p=hi_p, isg_p=isg_p, mu_p=mu_p, sg_p=sg_p,
-        D=D, Dp=Dp,
+        D=D, Dp=Dp, family=family,
     )
+
+    if family == "knots":
+        # knot pressure: log10 P is a CLAMPED lerp of the free knot
+        # values in log10 r (models/pressure.py::KnotPressure via
+        # jnp.interp), which is linear in the thawed vector — so P on
+        # every fixed radius grid is exp(ln10 * th @ W) with a
+        # precomputed (Dp, n_r) weight matrix (knot columns start at
+        # thawed index 7), and dP/dr = P * (dlogP/dlogr) / r with a
+        # segment-slope matrix (zero in the clamped regions, matching
+        # autodiff of the clamped interp)
+        klogr = np.asarray(sess.model.pressure.knots_logr, dtype=f64)
+
+        def _lerp_w(logq):
+            Wm = np.zeros((logq.size, n_knots))
+            Sm = np.zeros((logq.size, n_knots))
+            for j, lq in enumerate(logq):
+                if lq <= klogr[0]:
+                    Wm[j, 0] = 1.0
+                elif lq >= klogr[-1]:
+                    Wm[j, -1] = 1.0
+                else:
+                    i = min(int(np.searchsorted(klogr, lq, "right")) - 1,
+                            n_knots - 2)
+                    d = klogr[i + 1] - klogr[i]
+                    t = (lq - klogr[i]) / d
+                    Wm[j, i] = 1.0 - t; Wm[j, i + 1] = t
+                    Sm[j, i] = -1.0 / d; Sm[j, i + 1] = 1.0 / d
+            return Wm, Sm
+
+        r_pad_k = _pad_to(r_pp, (NP,)); r_pad_k[n_press:] = 1.0
+        Wg, Sg = _lerp_w(np.log10(r_pad_k))
+        Wm_mid, _ = _lerp_w(np.log10(midpt))
+        AKP = np.zeros((Dp, NP)); AKP[7:7 + n_knots, :] = Wg.T
+        SKP = np.zeros((Dp, NP)); SKP[7:7 + n_knots, :] = Sg.T
+        AKM = np.zeros((Dp, n_sh)); AKM[7:7 + n_knots, :] = Wm_mid.T
+        spec["AKP"], spec["SKP"], spec["AKM"] = AKP, SKP, AKM
 
     f32 = jnp.float32
     const_list = _cluster_arrays(spec, sz, xr, op.L, op.G, op.w_T0)
@@ -227,14 +288,18 @@ def _build_spec(sess, ablate: str = ""):
 
     NEG = float("-inf")  # python scalar: kernels must not capture arrays
 
+    LN10 = float(np.log(10.0))
+
     def ll_body(th, r, pmask, LT, GT, flux_v, wres, wT0, midr, KV, M0v,
                 M1v, VBv, sigf, bgf, cmf, ctf, plo, phi, pig, pmu, psg,
-                wint, mui):
+                wint, mui, *extra):
         """Joint log-likelihood of a (B, Dp) parameter block -> (B, 1).
 
         Pure function of the block plus the constant VALUES (callers load
         them from VMEM refs once, outside any step loop); shared by the
-        batched-likelihood, step-loop, and multi-cluster kernels."""
+        batched-likelihood, step-loop, and multi-cluster kernels.
+        ``extra`` carries the knot-pressure weight matrices for the
+        "knots" family (empty for the flagship gNFW layout)."""
         B = th.shape[0]
 
         def col(i):
@@ -242,8 +307,12 @@ def _build_spec(sess, ablate: str = ""):
 
         log_n0, beta, log_rc, log_rs, eps = (col(0), col(1), col(2),
                                              col(3), col(4))
-        tratio, Z, P0, a_, b_ = col(5), col(6), col(7), col(8), col(9)
-        rp_, bscale, cal = col(10), col(11), col(12)
+        tratio, Z = col(5), col(6)
+        if family == "gnfw":
+            P0, a_, b_, rp_ = col(7), col(8), col(9), col(10)
+        else:
+            AKP, SKP, AKM = extra
+        bscale, cal = col(D - 2), col(D - 1)
 
         # ---- priors ----------------------------------------------------------
         inside = jnp.all((th >= plo) & (th <= phi),
@@ -253,13 +322,23 @@ def _build_spec(sess, ablate: str = ""):
         total = jnp.where(inside, gauss, NEG)
         total = jnp.where(log_rc > log_rs, NEG, total)   # r_c <= r_s veto
 
-        # ---- gNFW pressure + derivative --------------------------------------
-        x = r / rp_                            # (B, NP)
-        xa = x ** a_
-        press = P0 / (x ** c_gnfw * (1.0 + xa) ** ((b_ - c_gnfw) / a_))
-        dpress = (-P0 * (c_gnfw + b_ * xa)
-                  / (rp_ * x ** (c_gnfw + 1.0)
-                     * (1.0 + xa) ** ((b_ - c_gnfw + a_) / a_)))
+        # ---- pressure + derivative -------------------------------------------
+        if family == "gnfw":
+            x = r / rp_                        # (B, NP)
+            xa = x ** a_
+            press = P0 / (x ** c_gnfw
+                          * (1.0 + xa) ** ((b_ - c_gnfw) / a_))
+            dpress = (-P0 * (c_gnfw + b_ * xa)
+                      / (rp_ * x ** (c_gnfw + 1.0)
+                         * (1.0 + xa) ** ((b_ - c_gnfw + a_) / a_)))
+        else:
+            # knot pressure: clamped log-log lerp is linear in th, so
+            # P = 10^(th @ AKP); dP/dr = P * (dlogP/dlogr) / r with the
+            # precomputed segment-slope matrix
+            logP = jnp.dot(th, AKP, preferred_element_type=jnp.float32)
+            press = jnp.exp(LN10 * logP)       # (B, NP)
+            slope = jnp.dot(th, SKP, preferred_element_type=jnp.float32)
+            dpress = press * slope / r
 
         # ---- Vikhlinin density ------------------------------------------------
         rc = 10.0 ** log_rc
@@ -272,17 +351,21 @@ def _build_spec(sess, ablate: str = ""):
                   * (1.0 + xs ** gamma) ** (eps / gamma)))
         ne = jnp.sqrt(ne2)
 
-        # ---- HSE mass monotonicity veto ---------------------------------------
-        m = -dpress * r * r / ne * mass_C      # (B, NP)
-        # np.gradient(m) > 0 over the real grid == central differences
-        # m[i+1] > m[i-1] at interior points plus one-sided edges
-        idx = jax.lax.broadcasted_iota(jnp.int32, (B, NP - 2), 1)
-        interior_ok = (m[:, 2:] > m[:, :-2]) | (idx > n_press - 3)
-        edge_lo = m[:, 1:2] > m[:, 0:1]
-        edge_hi = m[:, n_press - 1:n_press] > m[:, n_press - 2:n_press - 1]
-        mono = (jnp.all(interior_ok, axis=1, keepdims=True)
-                & edge_lo & edge_hi)
-        total = jnp.where(mono, total, NEG)
+        # ---- HSE mass monotonicity veto (config-gated like the XLA
+        # path's exclude_unphysical_mass, models/joint.py) ---------------------
+        if mass_veto:
+            m = -dpress * r * r / ne * mass_C  # (B, NP)
+            # np.gradient(m) > 0 over the real grid == central
+            # differences m[i+1] > m[i-1] at interior points plus
+            # one-sided edges
+            idx = jax.lax.broadcasted_iota(jnp.int32, (B, NP - 2), 1)
+            interior_ok = (m[:, 2:] > m[:, :-2]) | (idx > n_press - 3)
+            edge_lo = m[:, 1:2] > m[:, 0:1]
+            edge_hi = (m[:, n_press - 1:n_press]
+                       > m[:, n_press - 2:n_press - 1])
+            mono = (jnp.all(interior_ok, axis=1, keepdims=True)
+                    & edge_lo & edge_hi)
+            total = jnp.where(mono, total, NEG)
 
         # ---- SZ ----------------------------------------------------------------
         if ablate not in ("no_sz", "priors"):
@@ -319,9 +402,13 @@ def _build_spec(sess, ablate: str = ""):
             return jnp.where(jnp.isnan(total), NEG, total)
 
         # ---- X-ray -------------------------------------------------------------
-        xm = midr / rp_
-        press_m = P0 / (xm ** c_gnfw
-                        * (1.0 + xm ** a_) ** ((b_ - c_gnfw) / a_))
+        if family == "gnfw":
+            xm = midr / rp_
+            press_m = P0 / (xm ** c_gnfw
+                            * (1.0 + xm ** a_) ** ((b_ - c_gnfw) / a_))
+        else:
+            press_m = jnp.exp(LN10 * jnp.dot(
+                th, AKM, preferred_element_type=jnp.float32))
         xcm = midr / rc; xsm = midr / rs
         ne2m = (n0 * n0 * xcm ** (-alpha)
                 / ((1.0 + xcm * xcm) ** (3.0 * beta - alpha / 2.0)

@@ -214,9 +214,68 @@ def test_step_kernel_hbm_chain_matches_vmem(sess32):
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
-    cfg.pressure_model = "knots"
+    cfg.temperature_model = "vikhlinin"       # parametric T: no kernel
     sess = build_session(cfg)
     assert make_joint_core(sess) is None
+
+
+def test_joint_kernel_knots_family(ref_data):
+    """The knot-pressure layout (config #4) gets its own kernel family:
+    agreement with the XLA path on values AND veto structure."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.pressure_model = "knots"
+    sess = build_session(cfg)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    assert core is not None
+    ref = jax.jit(jax.vmap(sess.log_like))
+
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(13)
+    batch = jnp.asarray(theta0[None] * (1 + 0.03 * rng.standard_normal(
+        (16, theta0.size))), jnp.float32)
+    a = np.asarray(core(batch))
+    b = np.asarray(ref(batch))
+    finite = np.isfinite(b)
+    assert finite.any()
+    assert np.array_equal(np.isfinite(a), finite), (a, b)
+    assert np.allclose(a[finite], b[finite], rtol=2e-4, atol=0.5), (
+        np.max(np.abs(a[finite] - b[finite])))
+
+    # step kernel runs and stays self-consistent on the knots family
+    x0 = batch
+    lp0 = core(x0)
+    step = make_step_kernel(sess, n_inner=4, n_walkers=16, interpret=True,
+                            thin=2)
+    x, lp, acc, chain, chain_lp = step(x0, lp0, jnp.zeros(16), 23)
+    lp_re = core(x)
+    fin = np.isfinite(np.asarray(lp))
+    np.testing.assert_allclose(np.asarray(lp)[fin],
+                               np.asarray(lp_re)[fin], rtol=2e-5,
+                               atol=1e-2)
+
+
+def test_joint_kernel_mass_veto_gate(ref_data):
+    """exclude_unphysical_mass=False configs drop the in-kernel mass
+    veto, matching the XLA path (previously the kernel baked it in
+    unconditionally)."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.exclude_unphysical_mass = False
+    sess = build_session(cfg)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    assert core is not None
+    ref = jax.jit(jax.vmap(sess.log_like))
+
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(14)
+    batch = jnp.asarray(theta0[None] * (1 + 0.05 * rng.standard_normal(
+        (16, theta0.size))), jnp.float32)
+    a = np.asarray(core(batch))
+    b = np.asarray(ref(batch))
+    finite = np.isfinite(b)
+    assert np.array_equal(np.isfinite(a), finite)
+    assert np.allclose(a[finite], b[finite], rtol=2e-4, atol=0.5)
 
 
 def test_kernel_sampler_mechanics(sess32):
