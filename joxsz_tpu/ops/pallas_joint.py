@@ -276,10 +276,14 @@ def _build_spec(sess, ablate: str = ""):
         r_pad_k = _pad_to(r_pp, (NP,)); r_pad_k[n_press:] = 1.0
         Wg, Sg = _lerp_w(np.log10(r_pad_k))
         Wm_mid, _ = _lerp_w(np.log10(midpt))
-        AKP = np.zeros((Dp, NP)); AKP[7:7 + n_knots, :] = Wg.T
-        SKP = np.zeros((Dp, NP)); SKP[7:7 + n_knots, :] = Sg.T
-        AKM = np.zeros((Dp, n_sh)); AKM[7:7 + n_knots, :] = Wm_mid.T
-        spec["AKP"], spec["SKP"], spec["AKM"] = AKP, SKP, AKM
+        # compact (n_knots, n_r) weight rows consumed as per-knot VPU
+        # FMAs in ll_body — an MXU matmul here runs at bf16-pass
+        # precision and the exp + chi^2 amplify the ~4e-3 relative
+        # error into O(100) log-likelihood shifts (measured on
+        # hardware); 7 exact-f32 FMAs are also fewer FLOPs
+        spec["AKP"] = Wg.T.copy()              # (nk, NP)
+        spec["SKP"] = Sg.T.copy()
+        spec["AKM"] = Wm_mid.T.copy()          # (nk, n_sh)
 
     f32 = jnp.float32
     const_list = _cluster_arrays(spec, sz, xr, op.L, op.G, op.w_T0)
@@ -332,12 +336,16 @@ def _build_spec(sess, ablate: str = ""):
                       / (rp_ * x ** (c_gnfw + 1.0)
                          * (1.0 + xa) ** ((b_ - c_gnfw + a_) / a_)))
         else:
-            # knot pressure: clamped log-log lerp is linear in th, so
-            # P = 10^(th @ AKP); dP/dr = P * (dlogP/dlogr) / r with the
-            # precomputed segment-slope matrix
-            logP = jnp.dot(th, AKP, preferred_element_type=jnp.float32)
+            # knot pressure: clamped log-log lerp is linear in th —
+            # accumulate per-knot VPU FMAs (exact f32; an MXU matmul
+            # here loses ~4e-3 relative and exp + chi^2 blow it up,
+            # measured on hardware)
+            logP = col(7) * AKP[0:1, :]
+            slope = col(7) * SKP[0:1, :]
+            for ki in range(1, n_knots):
+                logP = logP + col(7 + ki) * AKP[ki:ki + 1, :]
+                slope = slope + col(7 + ki) * SKP[ki:ki + 1, :]
             press = jnp.exp(LN10 * logP)       # (B, NP)
-            slope = jnp.dot(th, SKP, preferred_element_type=jnp.float32)
             dpress = press * slope / r
 
         # ---- Vikhlinin density ------------------------------------------------
@@ -407,8 +415,10 @@ def _build_spec(sess, ablate: str = ""):
             press_m = P0 / (xm ** c_gnfw
                             * (1.0 + xm ** a_) ** ((b_ - c_gnfw) / a_))
         else:
-            press_m = jnp.exp(LN10 * jnp.dot(
-                th, AKM, preferred_element_type=jnp.float32))
+            logPm = col(7) * AKM[0:1, :]
+            for ki in range(1, n_knots):
+                logPm = logPm + col(7 + ki) * AKM[ki:ki + 1, :]
+            press_m = jnp.exp(LN10 * logPm)
         xcm = midr / rc; xsm = midr / rs
         ne2m = (n0 * n0 * xcm ** (-alpha)
                 / ((1.0 + xcm * xcm) ** (3.0 * beta - alpha / 2.0)
