@@ -41,6 +41,9 @@ def main(argv=None):
                          "posteriors; see docs/PERFORMANCE.md)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="shard the sampling walkers over an N-device mesh")
+    ap.add_argument("--pressure", choices=["gnfw", "knots"], default=None,
+                    help="pressure parametrization (default gnfw; "
+                         "'knots' = non-parametric log-lerp, config #4)")
     ap.add_argument("--integ", action="store_true",
                     help="enable the integrated-Y Gaussian prior "
                          "(reference calc_integ, joxsz_main.py:65-67)")
@@ -81,6 +84,8 @@ def main(argv=None):
         cfg.mcmc.nwalkers = args.walkers
     if args.integ:
         cfg.sz.calc_integ = True
+    if args.pressure is not None:
+        cfg.pressure_model = args.pressure
 
     print(f"backend: {jax.default_backend()}; dtype {cfg.dtype}")
     t0 = time.time()
