@@ -35,7 +35,7 @@ theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
 rng = np.random.default_rng(0)
 core = make_joint_core(sess, block_b=256)
 
-W = 512
+W = int(__import__("os").environ.get("ABL_W", "512"))
 x0 = jnp.asarray((theta0[None] * (1 + 0.02 * rng.standard_normal(
     (W, theta0.size)))).astype(np.float32))
 lp0 = core(x0)
