@@ -41,21 +41,49 @@ _REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
                "backscale", "calibration"]
 
 
+_VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
+                  "c_t"]
+
+
 def _detect_family(thawed):
-    """Model family the kernel is specialised for, from the thawed-param
-    layout: ("gnfw", 0) for the flagship reference model, ("knots", n)
-    for the knot-pressure alternative (config #4 — same density/
-    temperature components, the 4 gNFW shape params replaced by n free
-    log-pressure knot values), or (None, 0) for anything else (callers
-    fall back to the XLA path)."""
-    if thawed == _REF_THAWED:
-        return "gnfw", 0
-    if (len(thawed) > 9 and thawed[:7] == _REF_THAWED[:7]
-            and thawed[-2:] == ["backscale", "calibration"]
-            and all(n == f"logP_{i}"
-                    for i, n in enumerate(thawed[7:-2]))):
-        return "knots", len(thawed) - 9
-    return None, 0
+    """Model-family detection from the thawed-param layout.
+
+    The kernel is specialised along two independent axes matching the
+    component system (models/{pressure,temperature}.py):
+      pressure   "gnfw" (flagship) | "knots" (config #4 non-parametric)
+      temperature "upp" (T = P/ne with a free log-ratio) | "vikh"
+                  (parametric Vikhlinin profile, config #4)
+    Density is always single-mode Vikhlinin with Z/backscale/calibration
+    present.  Returns ``(p_fam, t_fam, n_knots, cix)`` with ``cix`` the
+    name->column map, or None for any other layout (callers fall back to
+    the XLA path)."""
+    names = set(thawed)
+    if len(names) != len(thawed):
+        return None
+    base = {"log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
+            "Z", "backscale", "calibration"}
+    if not base <= names:
+        return None
+    if "log(T_X/T_{SZ})" in names:
+        t_fam, t_set = "upp", {"log(T_X/T_{SZ})"}
+    elif set(_VIKH_T_PARAMS) <= names:
+        t_fam, t_set = "vikh", set(_VIKH_T_PARAMS)
+    else:
+        return None
+    if {"P_0", "a", "b", "r_p"} <= names:
+        p_fam, n_knots = "gnfw", 0
+        p_set = {"P_0", "a", "b", "r_p"}
+    else:
+        n_knots = sum(1 for n in names if n.startswith("logP_"))
+        if n_knots < 2:
+            return None
+        p_set = {f"logP_{i}" for i in range(n_knots)}
+        if not p_set <= names:
+            return None
+        p_fam = "knots"
+    if names != base | t_set | p_set:
+        return None
+    return p_fam, t_fam, n_knots, {n: i for i, n in enumerate(thawed)}
 
 
 def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
@@ -175,9 +203,10 @@ def _build_spec(sess, ablate: str = ""):
     p = sess.params
     if sess.model.xray_data is None:
         return None
-    family, n_knots = _detect_family(p.thawed)
-    if family is None:
+    fam = _detect_family(p.thawed)
+    if fam is None:
         return None
+    family, t_family, n_knots, cix = fam
     if family == "knots" and not hasattr(sess.model.pressure,
                                          "knots_logr"):
         return None
@@ -242,7 +271,7 @@ def _build_spec(sess, ablate: str = ""):
         n_press=n_press, n_sh=n_sh, n_band=n_band, nT=nT, sep=sep,
         r_pp=r_pp, conv_T=np.asarray(conv_T), conv_val=np.asarray(conv_val),
         Tlog=Tlog, lo_p=lo_p, hi_p=hi_p, isg_p=isg_p, mu_p=mu_p, sg_p=sg_p,
-        D=D, Dp=Dp, family=family,
+        D=D, Dp=Dp, family=family, t_family=t_family,
     )
 
     if family == "knots":
@@ -309,14 +338,35 @@ def _build_spec(sess, ablate: str = ""):
         def col(i):
             return th[:, i:i + 1]             # (B, 1)
 
-        log_n0, beta, log_rc, log_rs, eps = (col(0), col(1), col(2),
-                                             col(3), col(4))
-        tratio, Z = col(5), col(6)
+        def ncol(name):
+            return col(cix[name])
+
+        log_n0, beta = ncol("log(n_0)"), ncol(r"\beta")
+        log_rc, log_rs, eps = (ncol("log(r_c)"), ncol("log(r_s)"),
+                               ncol(r"\epsilon"))
+        Z = ncol("Z")
+        if t_family == "upp":
+            tratio = ncol("log(T_X/T_{SZ})")
+        else:
+            T0v, tminr = ncol("T_0"), ncol("T_{min}/T_0")
+            rcool, acool = ncol("r_{cool}"), ncol("a_{cool}")
+            rtv, ctv = ncol("r_t"), ncol("c_t")
         if family == "gnfw":
-            P0, a_, b_, rp_ = col(7), col(8), col(9), col(10)
+            P0, a_, b_, rp_ = (ncol("P_0"), ncol("a"), ncol("b"),
+                               ncol("r_p"))
         else:
             AKP, SKP, AKM = extra
-        bscale, cal = col(D - 2), col(D - 1)
+            kc0 = cix["logP_0"]
+        bscale, cal = ncol("backscale"), ncol("calibration")
+
+        def vikh_T(rr):
+            # parametric Vikhlinin temperature
+            # (models/temperature.py::VikhlininTemperature.t_x)
+            xcl = jnp.exp(acool * jnp.log(rr / rcool))
+            cool = (xcl + tminr) / (xcl + 1.0)
+            outer = jnp.exp(-0.5 * ctv
+                            * jnp.log1p((rr / rtv) * (rr / rtv)))
+            return T0v * cool * outer
 
         # ---- priors ----------------------------------------------------------
         inside = jnp.all((th >= plo) & (th <= phi),
@@ -346,11 +396,11 @@ def _build_spec(sess, ablate: str = ""):
             # accumulate per-knot VPU FMAs (exact f32; an MXU matmul
             # here loses ~4e-3 relative and exp + chi^2 blow it up,
             # measured on hardware)
-            logP = col(7) * AKP[0:1, :]
-            slope = col(7) * SKP[0:1, :]
+            logP = col(kc0) * AKP[0:1, :]
+            slope = col(kc0) * SKP[0:1, :]
             for ki in range(1, n_knots):
-                logP = logP + col(7 + ki) * AKP[ki:ki + 1, :]
-                slope = slope + col(7 + ki) * SKP[ki:ki + 1, :]
+                logP = logP + col(kc0 + ki) * AKP[ki:ki + 1, :]
+                slope = slope + col(kc0 + ki) * SKP[ki:ki + 1, :]
             press = jnp.exp(LN10 * logP)       # (B, NP)
             dpress = press * slope / r
 
@@ -394,7 +444,10 @@ def _build_spec(sess, ablate: str = ""):
         if ablate not in ("no_sz", "priors"):
             pp = press * pmask
             raw = jnp.dot(pp, LT, preferred_element_type=jnp.float32)
-            t_sz_full = press / ne             # (B, NP)
+            if t_family == "upp":
+                t_sz_full = press / ne         # (B, NP)
+            else:
+                t_sz_full = vikh_T(r)          # parametric T (B, NP)
             t0 = jnp.sum(t_sz_full * wT0, axis=1, keepdims=True)
             pixidx = jax.lax.broadcasted_iota(jnp.int32, (B, PIX), 1)
             t_shift = jnp.concatenate([t0, t_sz_full[:, : PIX - 1]], axis=1)
@@ -432,9 +485,9 @@ def _build_spec(sess, ablate: str = ""):
                 -c_gnfw * lnxm
                 - ((b_ - c_gnfw) / a_) * jnp.log1p(jnp.exp(a_ * lnxm)))
         else:
-            logPm = col(7) * AKM[0:1, :]
+            logPm = col(kc0) * AKM[0:1, :]
             for ki in range(1, n_knots):
-                logPm = logPm + col(7 + ki) * AKM[ki:ki + 1, :]
+                logPm = logPm + col(kc0 + ki) * AKM[ki:ki + 1, :]
             press_m = jnp.exp(LN10 * logPm)
         xcm = midr / rc; xsm = midr / rs
         if gamma == 3.0:
@@ -448,7 +501,10 @@ def _build_spec(sess, ablate: str = ""):
         if alpha != 0.0:
             ne2m = ne2m * xcm ** (-alpha)
         nem = jnp.sqrt(ne2m)                   # (B, n_sh)
-        Tm = press_m / nem * 10.0 ** tratio
+        if t_family == "upp":
+            Tm = press_m / nem * 10.0 ** tratio
+        else:
+            Tm = vikh_T(midr)
         tl = jnp.log(jnp.maximum(Tm, 1e-30))
         pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
 

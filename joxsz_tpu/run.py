@@ -44,6 +44,11 @@ def main(argv=None):
     ap.add_argument("--pressure", choices=["gnfw", "knots"], default=None,
                     help="pressure parametrization (default gnfw; "
                          "'knots' = non-parametric log-lerp, config #4)")
+    ap.add_argument("--temperature", choices=["upp", "vikhlinin"],
+                    default=None,
+                    help="temperature model (default upp = T_X derived "
+                         "from P/n_e; 'vikhlinin' = parametric profile "
+                         "decoupled from pressure, config #4)")
     ap.add_argument("--integ", action="store_true",
                     help="enable the integrated-Y Gaussian prior "
                          "(reference calc_integ, joxsz_main.py:65-67)")
@@ -86,6 +91,8 @@ def main(argv=None):
         cfg.sz.calc_integ = True
     if args.pressure is not None:
         cfg.pressure_model = args.pressure
+    if args.temperature is not None:
+        cfg.temperature_model = args.temperature
 
     print(f"backend: {jax.default_backend()}; dtype {cfg.dtype}")
     t0 = time.time()

@@ -214,7 +214,7 @@ def test_step_kernel_hbm_chain_matches_vmem(sess32):
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
-    cfg.temperature_model = "vikhlinin"       # parametric T: no kernel
+    cfg.density_mode = "double"               # double-beta: no kernel
     sess = build_session(cfg)
     assert make_joint_core(sess) is None
 
@@ -253,6 +253,33 @@ def test_joint_kernel_knots_family(ref_data):
     np.testing.assert_allclose(np.asarray(lp)[fin],
                                np.asarray(lp_re)[fin], rtol=2e-5,
                                atol=1e-2)
+
+
+@pytest.mark.parametrize("pm", ["gnfw", "knots"])
+def test_joint_kernel_parametric_temperature(ref_data, pm):
+    """The parametric Vikhlinin-T layouts (config #4's second axis, with
+    either pressure family) get kernel coverage: agreement with the XLA
+    path on values and veto structure."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.temperature_model = "vikhlinin"
+    cfg.pressure_model = pm
+    sess = build_session(cfg)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    assert core is not None
+    ref = jax.jit(jax.vmap(sess.log_like))
+
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(15)
+    batch = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (16, theta0.size))), jnp.float32)
+    a = np.asarray(core(batch))
+    b = np.asarray(ref(batch))
+    finite = np.isfinite(b)
+    assert finite.any()
+    assert np.array_equal(np.isfinite(a), finite), (a, b)
+    assert np.allclose(a[finite], b[finite], rtol=2e-4, atol=0.5), (
+        np.max(np.abs(a[finite] - b[finite])))
 
 
 def test_joint_kernel_mass_veto_gate(ref_data):
