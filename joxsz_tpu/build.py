@@ -188,14 +188,16 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
 
     exclude_mass = cfg.exclude_unphysical_mass
     if exclude_mass and cfg.pressure_model == "knots":
-        # the clamped knot interpolant has dP/dr = 0 beyond the last
-        # knot, so the derived HSE mass is constant there and the
-        # monotonicity veto would reject EVERY parameter vector — the
-        # veto is meaningful only for parametrizations with an
-        # everywhere-decreasing analytic pressure (gNFW)
+        # the piecewise log-lerp gives the derived HSE mass a kinked,
+        # segment-slope-driven outer profile that the monotonicity veto
+        # rejects for most knot vectors INCLUDING the gNFW-seeded
+        # default init — the MLE warm start would begin at -inf.  The
+        # veto is designed around smooth analytic pressure profiles
+        # (reference joxsz_funcs.py:522-525, gNFW); disable it for the
+        # non-parametric model
         print("note: mass-monotonicity veto disabled for the knot "
-              "pressure model (clamped interpolant has zero derivative "
-              "beyond the last knot)")
+              "pressure model (segment-slope mass kinks reject most "
+              "knot vectors, including the default init)")
         exclude_mass = False
     model = JointModel(
         pressure=pressure, density=density, temperature=temperature,

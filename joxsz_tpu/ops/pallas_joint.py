@@ -289,9 +289,14 @@ def _build_spec(sess, ablate: str = ""):
             Wm = np.zeros((logq.size, n_knots))
             Sm = np.zeros((logq.size, n_knots))
             for j, lq in enumerate(logq):
-                if lq <= klogr[0]:
+                # strict inequalities: at EXACTLY the first/last knot the
+                # XLA path's autodiff derivative flows through the
+                # interior (segment-slope) branch of jnp.interp, so the
+                # kernel must too (the radius grid's last point IS the
+                # last knot in the default geomspace construction)
+                if lq < klogr[0]:
                     Wm[j, 0] = 1.0
-                elif lq >= klogr[-1]:
+                elif lq > klogr[-1]:
                     Wm[j, -1] = 1.0
                 else:
                     i = min(int(np.searchsorted(klogr, lq, "right")) - 1,
