@@ -40,8 +40,12 @@ class VikhlininDensity:
             (r"\gamma", Param(3.0, 0.0, 10.0, frozen=True)),
         ])
         if self.mode == "double":
+            # the second component starts negligible: a strong core term
+            # flattens the density the HSE-mass monotonicity veto leans
+            # on, and a vetoed default init would break the MLE warm
+            # start (the fit grows the component where the data want it)
             pars.update([
-                ("log(n_{02})", Param(-1.0, -7.0, 2.0, unit="log(cm^{-3})")),
+                ("log(n_{02})", Param(-6.0, -7.0, 2.0, unit="log(cm^{-3})")),
                 (r"\beta_2", Param(0.5, 0.0, 4.0)),
                 ("log(r_{c2})", Param(1.7, -1.0, 3.7, unit="log(kpc)")),
             ])

@@ -48,13 +48,15 @@ _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
 def _detect_family(thawed):
     """Model-family detection from the thawed-param layout.
 
-    The kernel is specialised along two independent axes matching the
-    component system (models/{pressure,temperature}.py):
-      pressure   "gnfw" (flagship) | "knots" (config #4 non-parametric)
+    The kernel is specialised along three independent axes matching the
+    component system (models/{pressure,temperature,density}.py):
+      pressure    "gnfw" (flagship) | "knots" (config #4 non-parametric)
       temperature "upp" (T = P/ne with a free log-ratio) | "vikh"
                   (parametric Vikhlinin profile, config #4)
-    Density is always single-mode Vikhlinin with Z/backscale/calibration
-    present.  Returns ``(p_fam, t_fam, n_knots, cix)`` with ``cix`` the
+      density     "single" (flagship) | "double" (+beta-model term,
+                  reference mydens mode='double', joxsz_funcs.py:341-407)
+    Z/backscale/calibration always present.  Returns
+    ``(p_fam, t_fam, d_fam, n_knots, cix)`` with ``cix`` the
     name->column map, or None for any other layout (callers fall back to
     the XLA path)."""
     names = set(thawed)
@@ -81,9 +83,15 @@ def _detect_family(thawed):
         if not p_set <= names:
             return None
         p_fam = "knots"
-    if names != base | t_set | p_set:
+    d_set = {"log(n_{02})", r"\beta_2", "log(r_{c2})"}
+    if d_set <= names:
+        d_fam = "double"
+    else:
+        d_fam, d_set = "single", set()
+    if names != base | t_set | p_set | d_set:
         return None
-    return p_fam, t_fam, n_knots, {n: i for i, n in enumerate(thawed)}
+    return (p_fam, t_fam, d_fam, n_knots,
+            {n: i for i, n in enumerate(thawed)})
 
 
 def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
@@ -206,7 +214,7 @@ def _build_spec(sess, ablate: str = ""):
     fam = _detect_family(p.thawed)
     if fam is None:
         return None
-    family, t_family, n_knots, cix = fam
+    family, t_family, d_family, n_knots, cix = fam
     if family == "knots" and not hasattr(sess.model.pressure,
                                          "knots_logr"):
         return None
@@ -362,7 +370,19 @@ def _build_spec(sess, ablate: str = ""):
         else:
             AKP, SKP, AKM = extra
             kc0 = cix["logP_0"]
+        if d_family == "double":
+            log_n02 = ncol("log(n_{02})")
+            beta2 = ncol(r"\beta_2")
+            log_rc2 = ncol("log(r_{c2})")
         bscale, cal = ncol("backscale"), ncol("calibration")
+
+        def double_beta_ne2(rr):
+            # additive beta-model term of the double-mode Vikhlinin
+            # density (models/density.py:62-66)
+            n02 = 10.0 ** log_n02
+            x2 = rr / (10.0 ** log_rc2)
+            return n02 * n02 * jnp.exp(-3.0 * beta2
+                                       * jnp.log1p(x2 * x2))
 
         def vikh_T(rr):
             # parametric Vikhlinin temperature
@@ -427,6 +447,8 @@ def _build_spec(sess, ablate: str = ""):
                          - (eps / gamma) * jnp.log1p(xs_g)))
         if alpha != 0.0:
             ne2 = ne2 * xc ** (-alpha)
+        if d_family == "double":
+            ne2 = ne2 + double_beta_ne2(r)
         ne = jnp.sqrt(ne2)
 
         # ---- HSE mass monotonicity veto (config-gated like the XLA
@@ -505,6 +527,8 @@ def _build_spec(sess, ablate: str = ""):
                           - (eps / gamma) * jnp.log1p(xsm_g)))
         if alpha != 0.0:
             ne2m = ne2m * xcm ** (-alpha)
+        if d_family == "double":
+            ne2m = ne2m + double_beta_ne2(midr)
         nem = jnp.sqrt(ne2m)                   # (B, n_sh)
         if t_family == "upp":
             Tm = press_m / nem * 10.0 ** tratio

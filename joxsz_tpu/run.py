@@ -49,6 +49,11 @@ def main(argv=None):
                     help="temperature model (default upp = T_X derived "
                          "from P/n_e; 'vikhlinin' = parametric profile "
                          "decoupled from pressure, config #4)")
+    ap.add_argument("--density", choices=["single", "double"],
+                    default=None,
+                    help="Vikhlinin density mode (reference mydens "
+                         "mode; 'double' adds a second beta-model core "
+                         "component)")
     ap.add_argument("--integ", action="store_true",
                     help="enable the integrated-Y Gaussian prior "
                          "(reference calc_integ, joxsz_main.py:65-67)")
@@ -93,6 +98,8 @@ def main(argv=None):
         cfg.pressure_model = args.pressure
     if args.temperature is not None:
         cfg.temperature_model = args.temperature
+    if args.density is not None:
+        cfg.density_mode = args.density
 
     print(f"backend: {jax.default_backend()}; dtype {cfg.dtype}")
     t0 = time.time()

@@ -214,9 +214,44 @@ def test_step_kernel_hbm_chain_matches_vmem(sess32):
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
-    cfg.density_mode = "double"               # double-beta: no kernel
-    sess = build_session(cfg)
+    sess = build_session(cfg, sz_only=True)   # joint-only kernel
     assert make_joint_core(sess) is None
+
+
+def test_joint_kernel_double_beta_density(ref_data):
+    """The double-beta density mode (reference mydens mode='double') gets
+    kernel coverage: agreement with the XLA path on values and veto
+    structure."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.density_mode = "double"
+    sess = build_session(cfg)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    assert core is not None
+    ref = jax.jit(jax.vmap(sess.log_like))
+
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    # the default double-mode init is mass-vetoed (the added core
+    # component flattens the density the veto leans on); use a small
+    # second component so finite points exist in the batch
+    theta0[sess.params.thawed.index("log(n_{02})")] = -5.0
+    rng = np.random.default_rng(16)
+    batch = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (16, theta0.size))), jnp.float32)
+    a = np.asarray(core(batch))
+    b = np.asarray(ref(batch))
+    finite = np.isfinite(b)
+    assert finite.any()
+    assert np.array_equal(np.isfinite(a), finite), (a, b)
+    assert np.allclose(a[finite], b[finite], rtol=2e-4, atol=0.5), (
+        np.max(np.abs(a[finite] - b[finite])))
+    # the second component really contributes: boosting it on a finite
+    # batch point changes the log-likelihood
+    i_fin = int(np.flatnonzero(finite)[0])
+    th2 = np.asarray(batch[i_fin]).copy()
+    th2[sess.params.thawed.index("log(n_{02})")] = -2.5
+    c2 = float(core(jnp.asarray(th2[None], jnp.float32))[0])
+    assert abs(c2 - a[i_fin]) > 1.0 or c2 == -np.inf
 
 
 def test_joint_kernel_knots_family(ref_data):
