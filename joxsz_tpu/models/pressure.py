@@ -97,6 +97,10 @@ class KnotPressure:
         return 10.0 ** self._log_press(pars, logr)
 
     def derivative(self, pars: dict, r_kpc) -> jnp.ndarray:
-        """dP/dr via autodiff of the interpolant (vectorised)."""
+        """dP/dr via autodiff of the interpolant (vectorised; preserves
+        the input shape, including scalars — the r_delta bisection
+        carries a scalar radius through it)."""
         f = lambda r: 10.0 ** self._log_press(pars, jnp.log10(r))
-        return jax.vmap(jax.grad(f))(jnp.atleast_1d(jnp.asarray(r_kpc)))
+        r = jnp.asarray(r_kpc)
+        out = jax.vmap(jax.grad(f))(jnp.atleast_1d(r))
+        return out.reshape(r.shape)

@@ -207,7 +207,10 @@ def main(argv=None):
 
     profs = compute_profiles(sess.model, sess.cosmology, r_pp, flat,
                              ci=cfg.ci)
-    tempx_differs = not sess.params["log(T_X/T_{SZ})"].frozen
+    # UPP: overlay T_X when the log-ratio is fitted; parametric T has
+    # t_x == t_sz by construction (no overlay)
+    tempx_differs = ("log(T_X/T_{SZ})" in sess.params
+                     and not sess.params["log(T_X/T_{SZ})"].frozen)
     radial_profiles(profs, tempx_differs, ci=cfg.ci, plotdir=plotdir)
 
     mass_bands, r_delta, m_delta = compute_mass_profiles(

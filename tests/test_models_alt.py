@@ -159,3 +159,34 @@ def test_gas_mass_matches_reference_formula(ref_data):
 
     got = np.asarray(cumulative_gas_mass(jnp.asarray(ne), jnp.asarray(r)))
     assert np.allclose(got, expected, rtol=1e-10)
+
+
+@pytest.mark.parametrize("opt", ["knots", "vikhT", "double"])
+def test_postproc_alternative_families(ref_data, opt):
+    """Post-processing (thermo profiles + overdensity mass) works for
+    every alternative model family — regression for the hard-coded UPP
+    ratio in compute_profiles and the shape-changing knot derivative in
+    the r_delta bisection."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    if opt == "knots":
+        cfg.pressure_model = "knots"
+    elif opt == "vikhT":
+        cfg.temperature_model = "vikhlinin"
+    else:
+        cfg.density_mode = "double"
+    sess = build_session(cfg)
+    theta0 = np.asarray(sess.params.thawed_values())
+    rng = np.random.default_rng(1)
+    flat = theta0[None] * (1 + 0.01 * rng.standard_normal(
+        (16, theta0.size)))
+
+    from joxsz_tpu.postproc import compute_profiles, compute_mass_profiles
+
+    r_pp = sess.geometry.r_press_kpc
+    profs = compute_profiles(sess.model, sess.cosmology, r_pp, flat)
+    assert profs.density.shape == (3, r_pp.size)
+    assert np.all(np.isfinite(profs.temp_x[1]))
+    mass_bands, r_delta, m_delta = compute_mass_profiles(
+        sess.model, sess.cosmology, r_pp, flat, delta=500.0)
+    assert mass_bands.shape == (3, r_pp.size)
+    assert np.isfinite(r_delta[1, 0])
