@@ -45,17 +45,18 @@ _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
                   "c_t"]
 
 
-def _detect_family(thawed):
+def _detect_family(thawed, has_xray: bool = True):
     """Model-family detection from the thawed-param layout.
 
     The kernel is specialised along three independent axes matching the
     component system (models/{pressure,temperature,density}.py):
       pressure    "gnfw" (flagship) | "knots" (config #4 non-parametric)
       temperature "upp" (T = P/ne with a free log-ratio) | "vikh"
-                  (parametric Vikhlinin profile, config #4)
+                  (parametric Vikhlinin profile, config #4) | "none"
+                  (SZ-only sessions: the ratio is frozen, T_SZ = P/ne)
       density     "single" (flagship) | "double" (+beta-model term,
                   reference mydens mode='double', joxsz_funcs.py:341-407)
-    Z/backscale/calibration always present.  Returns
+    Z/backscale present for joint sessions, calibration always.  Returns
     ``(p_fam, t_fam, d_fam, n_knots, cix)`` with ``cix`` the
     name->column map, or None for any other layout (callers fall back to
     the XLA path)."""
@@ -63,13 +64,17 @@ def _detect_family(thawed):
     if len(names) != len(thawed):
         return None
     base = {"log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
-            "Z", "backscale", "calibration"}
+            "calibration"}
+    if has_xray:
+        base = base | {"Z", "backscale"}
     if not base <= names:
         return None
     if "log(T_X/T_{SZ})" in names:
         t_fam, t_set = "upp", {"log(T_X/T_{SZ})"}
     elif set(_VIKH_T_PARAMS) <= names:
         t_fam, t_set = "vikh", set(_VIKH_T_PARAMS)
+    elif not has_xray:
+        t_fam, t_set = "none", set()   # SZ-only: ratio frozen
     else:
         return None
     if {"P_0", "a", "b", "r_p"} <= names:
@@ -96,16 +101,16 @@ def _detect_family(thawed):
 
 def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
     """Ordered list of padded float64 const arrays for ONE cluster, given
-    its SZ/X-ray data and linear SZ operators.  ``spec`` carries the
-    shared statics (dims, conv/table grids, priors) that are BAKED into
-    the kernel body — per-cluster values of those must match and are
-    validated here (the multi-cluster kernel requires a common instrument
-    configuration, like the flat-batch path)."""
+    its SZ/X-ray data and linear SZ operators (``xr`` may be None for
+    SZ-only sessions — the X-ray block is then omitted; the order always
+    matches ``spec["cnames"]``).  ``spec`` carries the shared statics
+    (dims, conv/table grids, priors) that are BAKED into the kernel body
+    — per-cluster values of those must match and are validated here (the
+    multi-cluster kernel requires a common instrument configuration,
+    like the flat-batch path)."""
     f64 = np.float64
     NP, PIX, ND = spec["NP"], spec["PIX"], spec["ND"]
-    n_press, n_sh, n_band, nT = (spec["n_press"], spec["n_sh"],
-                                 spec["n_band"], spec["nT"])
-    KG, NSK, NBS = spec["KG"], spec["NSK"], spec["NBS"]
+    n_press = spec["n_press"]
 
     r_pp = np.asarray(sz.r_press_kpc, dtype=f64)
     if r_pp.shape != (n_press,) or not np.allclose(r_pp, spec["r_pp"]):
@@ -117,9 +122,15 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
                             spec["conv_val"])):
         raise ValueError("y->mJy conversion tables differ across the stack "
                          "(baked into the kernel body)")
-    Tlog = np.asarray(xr.table.Tlog, dtype=f64)
-    if Tlog.shape != (nT,) or not np.allclose(Tlog, spec["Tlog"]):
-        raise ValueError("count-rate log-T grids differ across the stack")
+    if (xr is None) != (not spec["has_xray"]):
+        raise ValueError("X-ray data presence differs across the stack")
+    if xr is not None:
+        n_sh, n_band, nT = spec["n_sh"], spec["n_band"], spec["nT"]
+        KG, NSK, NBS = spec["KG"], spec["NSK"], spec["NBS"]
+        Tlog = np.asarray(xr.table.Tlog, dtype=f64)
+        if Tlog.shape != (nT,) or not np.allclose(Tlog, spec["Tlog"]):
+            raise ValueError(
+                "count-rate log-T grids differ across the stack")
 
     r_pad = _pad_to(r_pp, (NP,))
     r_pad[n_press:] = 1.0                              # keep powers finite
@@ -135,31 +146,39 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
                   (ND,))
     w_T0 = _pad_to(np.asarray(w_T0_raw, dtype=f64), (NP,))
 
-    midpt = np.asarray(xr.midpt_kpc, dtype=f64)        # (15,)
-    counts_mask = np.asarray(xr.counts_mask, dtype=f64)     # (10, 15)
-    counts_filled = np.asarray(xr.counts_filled, dtype=f64)
-    exps = np.asarray(xr.exposures, dtype=f64)
-    sig_c = exps * np.asarray(xr.areascales, dtype=f64)
-    bg_c = (np.asarray(xr.backrates, dtype=f64) * exps
-            * np.asarray(xr.areas, dtype=f64))
-    volsT = np.asarray(xr.vols_norm, dtype=f64).T.copy()    # (shell, ann)
-    LR0 = np.asarray(xr.table.lograte_Z0, dtype=f64)    # (10, nT)
-    LR1 = np.asarray(xr.table.lograte_Z1, dtype=f64)
+    xray_arrays = []
+    if xr is not None:
+        midpt = np.asarray(xr.midpt_kpc, dtype=f64)    # (15,)
+        counts_mask = np.asarray(xr.counts_mask, dtype=f64)   # (10, 15)
+        counts_filled = np.asarray(xr.counts_filled, dtype=f64)
+        exps = np.asarray(xr.exposures, dtype=f64)
+        sig_c = exps * np.asarray(xr.areascales, dtype=f64)
+        bg_c = (np.asarray(xr.backrates, dtype=f64) * exps
+                * np.asarray(xr.areas, dtype=f64))
+        volsT = np.asarray(xr.vols_norm, dtype=f64).T.copy()  # (sh, ann)
+        LR0 = np.asarray(xr.table.lograte_Z0, dtype=f64)  # (10, nT)
+        LR1 = np.asarray(xr.table.lograte_Z1, dtype=f64)
 
-    # hat-basis table operators + block-diagonal projection (see the
-    # _build_spec docstring for the formulation)
-    kv = np.full((1, NSK), -1e9)
-    for j in range(n_sh):
-        kv[0, j * KG: j * KG + nT] = np.arange(nT)
-    M0 = np.zeros((NSK, NBS))
-    M1 = np.zeros((NSK, NBS))
-    for j in range(n_sh):
+        # hat-basis table operators + block-diagonal projection (see the
+        # _build_spec docstring for the formulation)
+        kv = np.full((1, NSK), -1e9)
+        for j in range(n_sh):
+            kv[0, j * KG: j * KG + nT] = np.arange(nT)
+        M0 = np.zeros((NSK, NBS))
+        M1 = np.zeros((NSK, NBS))
+        for j in range(n_sh):
+            for b in range(n_band):
+                M0[j * KG: j * KG + nT, b * n_sh + j] = LR0[b]
+                M1[j * KG: j * KG + nT, b * n_sh + j] = LR1[b]
+        VB = np.zeros((NBS, NBS))
         for b in range(n_band):
-            M0[j * KG: j * KG + nT, b * n_sh + j] = LR0[b]
-            M1[j * KG: j * KG + nT, b * n_sh + j] = LR1[b]
-    VB = np.zeros((NBS, NBS))
-    for b in range(n_band):
-        VB[b * n_sh:(b + 1) * n_sh, b * n_sh:(b + 1) * n_sh] = volsT
+            VB[b * n_sh:(b + 1) * n_sh,
+               b * n_sh:(b + 1) * n_sh] = volsT
+        xray_arrays = [
+            midpt[None, :], kv, M0, M1, VB,
+            sig_c.reshape(1, NBS), bg_c.reshape(1, NBS),
+            counts_mask.reshape(1, NBS), counts_filled.reshape(1, NBS),
+        ]
 
     # integrated-Y Gaussian term: constants encode on/off (zero weights
     # when calc_integ is off make the term vanish — no kernel branch);
@@ -173,21 +192,22 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
         wint = np.zeros(NP)
         mu_i = 0.0
 
+    knot_arrays = []
+    if spec.get("family") == "knots":
+        knot_arrays = [spec["AKP"], spec["SKP"]]
+        if xr is not None:
+            knot_arrays.append(spec["AKM"])
     return [
         r_pad[None, :], press_mask[None, :],
         LT, GT,
         flux_p[None, :], w_p[None, :],
         w_T0[None, :],
-        midpt[None, :], kv,
-        M0, M1, VB,
-        sig_c.reshape(1, NBS), bg_c.reshape(1, NBS),
-        counts_mask.reshape(1, NBS), counts_filled.reshape(1, NBS),
+    ] + xray_arrays + [
         spec["lo_p"][None, :], spec["hi_p"][None, :],
         spec["isg_p"][None, :], spec["mu_p"][None, :],
         spec["sg_p"][None, :],
         wint[None, :], np.asarray([[mu_i]], dtype=f64),
-    ] + ([spec["AKP"], spec["SKP"], spec["AKM"]]
-         if spec.get("family") == "knots" else [])
+    ] + knot_arrays
 
 
 def _build_spec(sess, ablate: str = ""):
@@ -209,9 +229,8 @@ def _build_spec(sess, ablate: str = ""):
     if not _HAVE_PLTPU:
         return None
     p = sess.params
-    if sess.model.xray_data is None:
-        return None
-    fam = _detect_family(p.thawed)
+    has_xray = sess.model.xray_data is not None
+    fam = _detect_family(p.thawed, has_xray=has_xray)
     if fam is None:
         return None
     family, t_family, d_family, n_knots, cix = fam
@@ -247,20 +266,27 @@ def _build_spec(sess, ablate: str = ""):
     conv_val = [float(v) for v in np.asarray(sz.conv_val)]
     n_conv = len(conv_T)
 
-    midpt = np.asarray(xr.midpt_kpc, dtype=f64)        # (15,)
-    n_sh = midpt.size
-    n_band = np.asarray(xr.counts_mask).shape[0]
-    Tlog = np.asarray(xr.table.Tlog, dtype=f64)
-    nT = Tlog.size                                      # 64
-    t0g = float(Tlog[0])
-    dtg = float(Tlog[1] - Tlog[0])
-    # per-shell lane group: 128-aligned. KG = nT (64, halving the hat
-    # matmul contraction) was measured NOT to help — the unaligned
-    # 64-lane broadcasts/concat eat the savings (0.060 vs 0.045-0.062
-    # ms/step at W=512) — so keep the aligned layout.
-    KG = _round_up(nT, 128)                            # 128
-    NSK = n_sh * KG                                    # 1920
-    NBS = n_band * n_sh                                # 150 flat (band, shell)
+    if has_xray:
+        midpt = np.asarray(xr.midpt_kpc, dtype=f64)    # (15,)
+        n_sh = midpt.size
+        n_band = np.asarray(xr.counts_mask).shape[0]
+        Tlog = np.asarray(xr.table.Tlog, dtype=f64)
+        nT = Tlog.size                                  # 64
+        t0g = float(Tlog[0])
+        dtg = float(Tlog[1] - Tlog[0])
+        # per-shell lane group: 128-aligned. KG = nT (64, halving the
+        # hat matmul contraction) was measured NOT to help — the
+        # unaligned 64-lane broadcasts/concat eat the savings (0.060 vs
+        # 0.045-0.062 ms/step at W=512) — so keep the aligned layout.
+        KG = _round_up(nT, 128)                        # 128
+        NSK = n_sh * KG                                # 1920
+        NBS = n_band * n_sh                            # 150 (band, shell)
+    else:
+        midpt = np.zeros(0)
+        n_sh = n_band = nT = 0
+        t0g = dtg = 0.0
+        KG = NSK = NBS = 0
+        Tlog = np.zeros(0)
 
     # ---- priors ---------------------------------------------------------------
     lo = np.where(np.isfinite(p.lo), p.lo, -1e30)
@@ -280,7 +306,16 @@ def _build_spec(sess, ablate: str = ""):
         r_pp=r_pp, conv_T=np.asarray(conv_T), conv_val=np.asarray(conv_val),
         Tlog=Tlog, lo_p=lo_p, hi_p=hi_p, isg_p=isg_p, mu_p=mu_p, sg_p=sg_p,
         D=D, Dp=Dp, family=family, t_family=t_family,
+        has_xray=has_xray,
     )
+    cnames = ["r", "pmask", "LT", "GT", "flux_v", "wres", "wT0"]
+    if has_xray:
+        cnames += ["midr", "KV", "M0v", "M1v", "VBv", "sigf", "bgf",
+                   "cmf", "ctf"]
+    cnames += ["plo", "phi", "pig", "pmu", "psg", "wint", "mui"]
+    if family == "knots":
+        cnames += ["AKP", "SKP"] + (["AKM"] if has_xray else [])
+    spec["cnames"] = cnames
 
     if family == "knots":
         # knot pressure: log10 P is a CLAMPED lerp of the free knot
@@ -317,7 +352,6 @@ def _build_spec(sess, ablate: str = ""):
 
         r_pad_k = _pad_to(r_pp, (NP,)); r_pad_k[n_press:] = 1.0
         Wg, Sg = _lerp_w(np.log10(r_pad_k))
-        Wm_mid, _ = _lerp_w(np.log10(midpt))
         # compact (n_knots, n_r) weight rows consumed as per-knot VPU
         # FMAs in ll_body — an MXU matmul here runs at bf16-pass
         # precision and the exp + chi^2 amplify the ~4e-3 relative
@@ -325,7 +359,9 @@ def _build_spec(sess, ablate: str = ""):
         # hardware); 7 exact-f32 FMAs are also fewer FLOPs
         spec["AKP"] = Wg.T.copy()              # (nk, NP)
         spec["SKP"] = Sg.T.copy()
-        spec["AKM"] = Wm_mid.T.copy()          # (nk, n_sh)
+        if has_xray:
+            Wm_mid, _ = _lerp_w(np.log10(midpt))
+            spec["AKM"] = Wm_mid.T.copy()      # (nk, n_sh)
 
     f32 = jnp.float32
     const_list = _cluster_arrays(spec, sz, xr, op.L, op.G, op.w_T0)
@@ -336,17 +372,23 @@ def _build_spec(sess, ablate: str = ""):
 
     LN10 = float(np.log(10.0))
 
-    def ll_body(th, r, pmask, LT, GT, flux_v, wres, wT0, midr, KV, M0v,
-                M1v, VBv, sigf, bgf, cmf, ctf, plo, phi, pig, pmu, psg,
-                wint, mui, *extra):
+    cnames = spec["cnames"]
+
+    def ll_body(th, *cv):
         """Joint log-likelihood of a (B, Dp) parameter block -> (B, 1).
 
-        Pure function of the block plus the constant VALUES (callers load
-        them from VMEM refs once, outside any step loop); shared by the
-        batched-likelihood, step-loop, and multi-cluster kernels.
-        ``extra`` carries the knot-pressure weight matrices for the
-        "knots" family (empty for the flagship gNFW layout)."""
+        Pure function of the block plus the constant VALUES in
+        ``spec["cnames"]`` order (callers load them from VMEM refs once,
+        outside any step loop); shared by the batched-likelihood,
+        step-loop, and multi-cluster kernels."""
         B = th.shape[0]
+        C = dict(zip(cnames, cv))
+        r, pmask = C["r"], C["pmask"]
+        LT, GT = C["LT"], C["GT"]
+        flux_v, wres, wT0 = C["flux_v"], C["wres"], C["wT0"]
+        plo, phi, pig = C["plo"], C["phi"], C["pig"]
+        pmu, psg = C["pmu"], C["psg"]
+        wint, mui = C["wint"], C["mui"]
 
         def col(i):
             return th[:, i:i + 1]             # (B, 1)
@@ -357,10 +399,12 @@ def _build_spec(sess, ablate: str = ""):
         log_n0, beta = ncol("log(n_0)"), ncol(r"\beta")
         log_rc, log_rs, eps = (ncol("log(r_c)"), ncol("log(r_s)"),
                                ncol(r"\epsilon"))
-        Z = ncol("Z")
+        if has_xray:
+            Z = ncol("Z")
+            bscale = ncol("backscale")
         if t_family == "upp":
             tratio = ncol("log(T_X/T_{SZ})")
-        else:
+        elif t_family == "vikh":
             T0v, tminr = ncol("T_0"), ncol("T_{min}/T_0")
             rcool, acool = ncol("r_{cool}"), ncol("a_{cool}")
             rtv, ctv = ncol("r_t"), ncol("c_t")
@@ -368,13 +412,13 @@ def _build_spec(sess, ablate: str = ""):
             P0, a_, b_, rp_ = (ncol("P_0"), ncol("a"), ncol("b"),
                                ncol("r_p"))
         else:
-            AKP, SKP, AKM = extra
+            AKP, SKP = C["AKP"], C["SKP"]
             kc0 = cix["logP_0"]
         if d_family == "double":
             log_n02 = ncol("log(n_{02})")
             beta2 = ncol(r"\beta_2")
             log_rc2 = ncol("log(r_{c2})")
-        bscale, cal = ncol("backscale"), ncol("calibration")
+        cal = ncol("calibration")
 
         def double_beta_ne2(rr):
             # additive beta-model term of the double-mode Vikhlinin
@@ -471,10 +515,10 @@ def _build_spec(sess, ablate: str = ""):
         if ablate not in ("no_sz", "priors"):
             pp = press * pmask
             raw = jnp.dot(pp, LT, preferred_element_type=jnp.float32)
-            if t_family == "upp":
-                t_sz_full = press / ne         # (B, NP)
-            else:
+            if t_family == "vikh":
                 t_sz_full = vikh_T(r)          # parametric T (B, NP)
+            else:
+                t_sz_full = press / ne         # (B, NP); "upp"/"none"
             t0 = jnp.sum(t_sz_full * wT0, axis=1, keepdims=True)
             pixidx = jax.lax.broadcasted_iota(jnp.int32, (B, PIX), 1)
             t_shift = jnp.concatenate([t0, t_sz_full[:, : PIX - 1]], axis=1)
@@ -501,10 +545,13 @@ def _build_spec(sess, ablate: str = ""):
             di = jnp.sum(pp * wint, axis=1, keepdims=True) - mui
             total = total - 0.5 * di * di
 
-        if ablate in ("no_xray", "priors"):
+        if not has_xray or ablate in ("no_xray", "priors"):
             return jnp.where(jnp.isnan(total), NEG, total)
 
         # ---- X-ray -------------------------------------------------------------
+        midr = C["midr"]
+        KV, M0v, M1v, VBv = C["KV"], C["M0v"], C["M1v"], C["VBv"]
+        sigf, bgf, cmf, ctf = C["sigf"], C["bgf"], C["cmf"], C["ctf"]
         if family == "gnfw":
             xm = midr / rp_
             lnxm = jnp.log(xm)
@@ -512,6 +559,7 @@ def _build_spec(sess, ablate: str = ""):
                 -c_gnfw * lnxm
                 - ((b_ - c_gnfw) / a_) * jnp.log1p(jnp.exp(a_ * lnxm)))
         else:
+            AKM = C["AKM"]
             logPm = col(kc0) * AKM[0:1, :]
             for ki in range(1, n_knots):
                 logPm = logPm + col(kc0 + ki) * AKM[ki:ki + 1, :]

@@ -214,8 +214,44 @@ def test_step_kernel_hbm_chain_matches_vmem(sess32):
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
-    sess = build_session(cfg, sz_only=True)   # joint-only kernel
+    sess = build_session(cfg)
+    sess.params.thaw(r"\alpha")     # layout outside every kernel family
     assert make_joint_core(sess) is None
+
+
+def test_sz_only_kernel_family(ref_data):
+    """SZ-only sessions (config #1, the preprofit path) get kernel
+    coverage: the X-ray constants and section drop out entirely, and the
+    core matches the XLA SZ-only likelihood."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg, sz_only=True)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    assert core is not None
+    ref = jax.jit(jax.vmap(sess.log_like))
+
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(17)
+    batch = jnp.asarray(theta0[None] * (1 + 0.03 * rng.standard_normal(
+        (16, theta0.size))), jnp.float32)
+    a = np.asarray(core(batch))
+    b = np.asarray(ref(batch))
+    finite = np.isfinite(b)
+    assert finite.any()
+    assert np.array_equal(np.isfinite(a), finite), (a, b)
+    assert np.allclose(a[finite], b[finite], rtol=2e-4, atol=0.5), (
+        np.max(np.abs(a[finite] - b[finite])))
+
+    # step kernel runs and stays self-consistent
+    lp0 = core(batch)
+    step = make_step_kernel(sess, n_inner=4, n_walkers=16,
+                            interpret=True, thin=2)
+    x, lp, acc, chain, chain_lp = step(batch, lp0, jnp.zeros(16), 29)
+    lp_re = core(x)
+    fin = np.isfinite(np.asarray(lp))
+    np.testing.assert_allclose(np.asarray(lp)[fin],
+                               np.asarray(lp_re)[fin], rtol=2e-5,
+                               atol=1e-2)
 
 
 def test_joint_kernel_double_beta_density(ref_data):
