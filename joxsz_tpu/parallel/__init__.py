@@ -6,10 +6,12 @@ from .sharded import (
 )
 from .kernel_sharded import (
     make_sharded_kernel_step, run_sharded_kernel_ensembles,
+    make_sharded_tempered_step, run_sharded_tempered_ensembles,
 )
 
 __all__ = [
     "make_mesh", "walker_sharding", "cluster_walker_sharding", "replicated",
     "make_sharded_drive", "run_sharded_ensemble", "run_multi_cluster",
     "make_sharded_kernel_step", "run_sharded_kernel_ensembles",
+    "make_sharded_tempered_step", "run_sharded_tempered_ensembles",
 ]

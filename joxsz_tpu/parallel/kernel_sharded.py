@@ -67,6 +67,45 @@ def make_sharded_kernel_step(sess, mesh, n_inner: int,
     return jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
 
 
+def make_sharded_tempered_step(sess, betas, mesh, n_inner: int,
+                               walkers_per_device: int, thin=None,
+                               a: float = 2.0, interpret: bool = False,
+                               chain_space: str = "hbm",
+                               axis: str = "walker"):
+    """Tempered analogue of :func:`make_sharded_kernel_step`: each device
+    runs an independent K-rung tempered ensemble (stretch moves + swap
+    sweeps fully chip-local) on its walker block.
+
+    Returns ``fn(x (K, W, D), lp (K, W), acc (K, W), seeds (n_dev,)) ->
+    (x, lp, acc, sacc (n_dev, K-1)[, cold chain (n_keep, W, D),
+    cold chain_lp (n_keep, W)])`` with ``W = n_dev *
+    walkers_per_device`` sharded over ``axis`` (swap counts come back
+    per device; sum them for the global rate), or None when the
+    configuration doesn't match."""
+    from ..ops.pallas_joint import make_tempered_step_kernel
+
+    step = make_tempered_step_kernel(
+        sess, betas, n_inner=n_inner, n_walkers=walkers_per_device, a=a,
+        interpret=interpret, thin=thin, chain_space=chain_space)
+    if step is None:
+        return None
+
+    def local(seeds, x, lp, acc):
+        outs = step(x, lp, acc, seeds[0])
+        # sacc (K-1,) -> (1, K-1) so the device axis is explicit
+        return (outs[0], outs[1], outs[2],
+                outs[3][None, :]) + tuple(outs[4:])
+
+    in_specs = (P(axis), P(None, axis), P(None, axis), P(None, axis))
+    out_specs = (P(None, axis), P(None, axis), P(None, axis),
+                 P(axis, None))
+    if thin is not None:
+        out_specs = out_specs + (P(None, axis), P(None, axis))
+    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+    return jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
+
+
 def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
                                  thin: int = 1, a: float = 2.0,
                                  interpret: bool = False,
@@ -114,4 +153,61 @@ def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
         log_prob=np.asarray(chain_lp),
         acceptance_fraction=np.asarray(acc) / float(n_steps),
         final_state=(x, lp, key),
+    )
+
+
+def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
+                                   mesh, thin: int = 1, a: float = 2.0,
+                                   interpret: bool = False,
+                                   chain_space: str = "hbm",
+                                   axis: str = "walker", core=None):
+    """Device-parallel tempered sampling: independent K-rung tempered
+    ensembles per chip.  ``p0`` is (K, W, D) or (W, D) replicated across
+    rungs; W must split evenly over the mesh with an even per-device
+    share.  Returns a ``TemperedResult`` (cold-rung chain over the full
+    W) or None when the configuration doesn't match."""
+    from ..ops.pallas_joint import make_joint_core
+    from ..sampling.tempered import TemperedResult
+
+    betas = np.asarray(betas, dtype=float)
+    K = betas.size
+    p0 = jnp.asarray(p0, jnp.float32)
+    if p0.ndim == 2:
+        p0 = jnp.broadcast_to(p0[None], (K,) + p0.shape)
+    _, W, D = p0.shape
+    n_dev = mesh.shape[axis]
+    if W % n_dev:
+        raise ValueError(f"walkers ({W}) must divide over {n_dev} devices")
+    w_loc = W // n_dev
+    if w_loc % 2:
+        raise ValueError(f"walkers per device ({w_loc}) must be even")
+    if n_steps % thin:
+        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
+                         f"thin ({thin})")
+
+    if core is None:
+        core = make_joint_core(sess, interpret=interpret)
+    if core is None:
+        return None
+    xsh = NamedSharding(mesh, P(None, axis))
+    x = jax.device_put(p0, xsh)
+    lp = jnp.stack([core(x[k]) for k in range(K)])
+    acc = jnp.zeros((K, W), jnp.float32)
+
+    step = make_sharded_tempered_step(
+        sess, betas, mesh, n_inner=n_steps,
+        walkers_per_device=w_loc, thin=thin, a=a, interpret=interpret,
+        chain_space=chain_space, axis=axis)
+    if step is None:
+        return None
+    seeds = jax.random.randint(key, (n_dev,), 0,
+                               np.iinfo(np.int32).max, dtype=jnp.int32)
+    x, lp, acc, sacc, chain, chain_lp = step(x, lp, acc, seeds)
+    return TemperedResult(
+        chain=np.asarray(chain),
+        log_prob=np.asarray(chain_lp),
+        acceptance_fraction=np.asarray(acc) / float(n_steps),
+        swap_acceptance=(np.asarray(sacc).sum(axis=0)
+                         / float(n_steps * W)),
+        final_state=(x, lp),
     )

@@ -210,7 +210,12 @@ def run_fit(
 
         betas = default_betas(n_temper_rungs)
         res = None
-        if step_sampler is not None:
+        if sharded_step is not None:
+            # independent per-chip tempered ensembles through the fused
+            # kernel (parallel/kernel_sharded.py)
+            res = sharded_step.run_tempered_sharded(p1, betas, nsteps,
+                                                    sub, mesh, thin=nthin)
+        if res is None and step_sampler is not None:
             res = step_sampler.run_tempered(p1, betas, nsteps, sub,
                                             thin=nthin)
         if res is None:

@@ -79,6 +79,22 @@ class KernelSampler:
         except ValueError:
             return None
 
+    def run_tempered_sharded(self, p0, betas, n_steps: int, key, mesh,
+                             thin: int = 1):
+        """Multi-chip tempered sampling: independent K-rung tempered
+        ensembles per device (parallel/kernel_sharded.py).  Returns None
+        when walkers don't split evenly or the configuration doesn't
+        match the kernel."""
+        from ..parallel.kernel_sharded import run_sharded_tempered_ensembles
+
+        try:
+            return run_sharded_tempered_ensembles(
+                self._sess, p0, betas, n_steps, key, mesh, thin=thin,
+                a=self._a, interpret=self._interpret,
+                chain_space=self._chain_space, core=self._core)
+        except ValueError:
+            return None
+
     def run_tempered(self, p0, betas, n_steps: int, key, thin: int = 1):
         """Parallel-tempered sampling through the fused kernel (see
         :func:`run_tempered_kernel`); reuses this sampler's compiled

@@ -163,3 +163,59 @@ def test_run_fit_routes_mesh_through_sharded_kernel(ref_data, tmp_path):
     lp_re = np.asarray(ks.log_prob_batch(jnp.asarray(res.chain[-1])))
     np.testing.assert_allclose(res.log_prob[-1], lp_re, rtol=2e-5,
                                atol=1e-2)
+
+
+@needs_devices
+def test_tempered_kernel_sharded_matches_per_device(ref_data):
+    """shard_map'd tempered kernel ensembles are bit-exact with running
+    each device's walker block through the plain tempered kernel with
+    the same seed; swap counters sum across devices."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.ops.pallas_joint import (make_joint_core,
+                                            make_tempered_step_kernel)
+    from joxsz_tpu.parallel.kernel_sharded import (
+        run_sharded_tempered_ensembles,
+    )
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    K, n_dev, w_loc = 3, 2, 8
+    W = n_dev * w_loc
+    betas = [1.0, 0.6, 0.36]
+    mesh = make_mesh(n_dev, axis_names=("walker",))
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(21)
+    p0 = theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (K, W, theta0.size))).astype(np.float32)
+    core = make_joint_core(sess, block_b=8, interpret=True)
+
+    key = jax.random.PRNGKey(4)
+    res = run_sharded_tempered_ensembles(sess, p0, betas, n_steps=4,
+                                         key=key, mesh=mesh, thin=2,
+                                         interpret=True, core=core)
+    assert res is not None
+    assert res.chain.shape == (2, W, theta0.size)
+    assert res.swap_acceptance.shape == (K - 1,)
+
+    # per-device reference with the same seeds
+    seeds = np.asarray(jax.random.randint(
+        key, (n_dev,), 0, np.iinfo(np.int32).max, dtype=jnp.int32))
+    step = make_tempered_step_kernel(sess, betas, n_inner=4,
+                                     n_walkers=w_loc, interpret=True,
+                                     thin=2)
+    sacc_tot = np.zeros(K - 1)
+    for d in range(n_dev):
+        s = slice(d * w_loc, (d + 1) * w_loc)
+        x0 = jnp.asarray(p0[:, s], jnp.float32)
+        lp0 = jnp.stack([core(x0[k]) for k in range(K)])
+        xd, lpd, accd, saccd, chd, chlpd = step(
+            x0, lp0, jnp.zeros((K, w_loc)), int(seeds[d]))
+        np.testing.assert_array_equal(
+            np.asarray(res.final_state[0][:, s]), np.asarray(xd))
+        np.testing.assert_array_equal(np.asarray(res.chain[:, s]),
+                                      np.asarray(chd))
+        sacc_tot += np.asarray(saccd)
+    np.testing.assert_allclose(res.swap_acceptance,
+                               sacc_tot / float(4 * W))
