@@ -494,6 +494,45 @@ def test_multicluster_kernel_hbm_chain_matches_vmem(sess32):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_multicluster_kernel_knots_family(ref_data):
+    """The cluster-grid kernel inherits the model-family system: a
+    knot-pressure stack matches the XLA multicluster likelihood."""
+    import dataclasses
+    from joxsz_tpu.models.multicluster import (
+        stack_sz_data, stack_xray_data, make_multicluster_log_like,
+    )
+    from joxsz_tpu.ops.pallas_joint import make_multicluster_step_kernel
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.pressure_model = "knots"
+    sess = build_session(cfg)
+    sz0 = sess.model.sz_data
+    C, W = 2, 16
+    sz_stack = stack_sz_data([
+        dataclasses.replace(sz0, flux=sz0.flux * (1 + 0.05 * c))
+        for c in range(C)
+    ])
+    xr_stack = stack_xray_data([sess.model.xray_data] * C)
+    ref_ll = make_multicluster_log_like(sess.model, sz_stack, xr_stack,
+                                        flatten=False)
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(22)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (C, W, theta0.size))), jnp.float32)
+    lp0 = jnp.asarray(ref_ll(x0), jnp.float32)
+
+    step = make_multicluster_step_kernel(sess, sz_stack, xr_stack,
+                                         n_inner=4, n_walkers=W,
+                                         interpret=True, thin=2)
+    assert step is not None
+    x, lp, acc, chain, chain_lp = step(x0, lp0, jnp.zeros((C, W)), 31)
+    lp_re = np.asarray(ref_ll(jnp.asarray(x)))
+    fin = np.isfinite(np.asarray(lp))
+    np.testing.assert_allclose(np.asarray(lp)[fin], lp_re[fin],
+                               rtol=2e-4, atol=0.5)
+
+
 def test_tempered_kernel_hbm_chain_matches_vmem(sess32):
     """Tempered chain_space='hbm' (per-half DMA of the cold rung) is
     bit-identical to the VMEM-output path."""
