@@ -195,9 +195,11 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
         # veto is designed around smooth analytic pressure profiles
         # (reference joxsz_funcs.py:522-525, gNFW); disable it for the
         # non-parametric model
-        print("note: mass-monotonicity veto disabled for the knot "
-              "pressure model (segment-slope mass kinks reject most "
-              "knot vectors, including the default init)")
+        import warnings
+        warnings.warn(
+            "mass-monotonicity veto disabled for the knot pressure "
+            "model (segment-slope mass kinks reject most knot vectors, "
+            "including the default init)", stacklevel=2)
         exclude_mass = False
     model = JointModel(
         pressure=pressure, density=density, temperature=temperature,

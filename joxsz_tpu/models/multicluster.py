@@ -172,7 +172,10 @@ def _make_flat_log_like(model, sz: SZData, xr: XrayData | None):
         resid = (sz.flux[cidx] - model_at) / sz.flux_err[cidx]
         total = prior - 0.5 * jnp.nansum(resid * resid, axis=1)
         if sz.calc_integ:
-            cint = pp @ sz.integ_w[0]
+            # per-cluster integration weights (integ_w depends on each
+            # cluster's geometry/cosmology — using cluster 0's weights
+            # for all would silently target a different posterior)
+            cint = jnp.sum(pp * sz.integ_w[cidx], axis=1)
             mu_c = jnp.asarray(sz.integ_mu)[cidx] \
                 if jnp.ndim(sz.integ_mu) else sz.integ_mu
             sig_c = jnp.asarray(sz.integ_sig)[cidx] \

@@ -87,6 +87,13 @@ def _detect_family(thawed, has_xray: bool = True):
         p_set = {f"logP_{i}" for i in range(n_knots)}
         if not p_set <= names:
             return None
+        # the kernel reads knot columns as kc0..kc0+n-1; require the
+        # contiguous ascending layout the builder produces
+        k0 = thawed.index("logP_0")
+        if (k0 + n_knots > len(thawed)
+                or any(thawed[k0 + i] != f"logP_{i}"
+                       for i in range(n_knots))):
+            return None
         p_fam = "knots"
     d_set = {"log(n_{02})", r"\beta_2", "log(r_{c2})"}
     if d_set <= names:
@@ -131,6 +138,17 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
         if Tlog.shape != (nT,) or not np.allclose(Tlog, spec["Tlog"]):
             raise ValueError(
                 "count-rate log-T grids differ across the stack")
+        if spec.get("family") == "knots":
+            # the knots AKM lerp weights are baked from the SESSION
+            # cluster's annulus midpoints; a stack with different
+            # binning would silently evaluate X-ray pressures at the
+            # wrong radii (gnfw is safe — it uses the per-cluster midr)
+            mp = np.asarray(xr.midpt_kpc, dtype=f64)
+            if mp.shape != spec["midpt"].shape or not np.allclose(
+                    mp, spec["midpt"]):
+                raise ValueError(
+                    "annulus midpoints differ across the stack "
+                    "(knots AKM weights are baked per spec)")
 
     r_pad = _pad_to(r_pp, (NP,))
     r_pad[n_press:] = 1.0                              # keep powers finite
@@ -306,7 +324,7 @@ def _build_spec(sess, ablate: str = ""):
         r_pp=r_pp, conv_T=np.asarray(conv_T), conv_val=np.asarray(conv_val),
         Tlog=Tlog, lo_p=lo_p, hi_p=hi_p, isg_p=isg_p, mu_p=mu_p, sg_p=sg_p,
         D=D, Dp=Dp, family=family, t_family=t_family,
-        has_xray=has_xray,
+        has_xray=has_xray, midpt=midpt,
     )
     cnames = ["r", "pmask", "LT", "GT", "flux_v", "wres", "wT0"]
     if has_xray:

@@ -32,6 +32,26 @@ from ..ops.pallas_joint import make_step_kernel
 from ..sampling.stretch import EnsembleResult
 
 
+def _chunk_schedule(n_steps: int, thin: int, w_loc: int, dp: int,
+                    chain_space: str):
+    """Split a sampling run into per-invocation chunks whose chain
+    buffers respect the same budgets as KernelSampler.run: the HBM
+    chain budget per invocation, and — because the lp chain stays a
+    VMEM output — the hardware-proven ~26 MB VMEM cap (a 53 MB VMEM
+    output crashed Mosaic)."""
+    from ..sampling.kernel import _CHAIN_HBM_BYTES, _CHAIN_VMEM_BYTES
+
+    n_saved = n_steps // thin
+    if chain_space == "hbm":
+        cap = min(1024, _CHAIN_HBM_BYTES // (w_loc * (dp + 1) * 4),
+                  _CHAIN_VMEM_BYTES // (w_loc * 4))
+    else:
+        cap = min(256, _CHAIN_VMEM_BYTES // (w_loc * (dp + 1) * 4))
+    keep = max(1, min(n_saved, cap))
+    full, rem = divmod(n_saved, keep)
+    return [keep * thin] * full + ([rem * thin] if rem else [])
+
+
 def make_sharded_kernel_step(sess, mesh, n_inner: int,
                              walkers_per_device: int, thin=None,
                              a: float = 2.0, interpret: bool = False,
@@ -139,18 +159,34 @@ def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
     lp = core(x)
     acc = jnp.zeros(W, jnp.float32)
 
-    step = make_sharded_kernel_step(sess, mesh, n_inner=n_steps,
-                                    walkers_per_device=w_loc, thin=thin,
-                                    a=a, interpret=interpret,
-                                    chain_space=chain_space, axis=axis)
-    if step is None:
+    from ..ops.pallas_joint import _build_spec
+
+    spec = _build_spec(sess)
+    if spec is None:
         return None
-    seeds = jax.random.randint(key, (n_dev,), 0,
+    chunks = _chunk_schedule(n_steps, thin, w_loc, spec["Dp"],
+                             chain_space)
+    steps = {}
+    for n_inner in set(chunks):
+        st = make_sharded_kernel_step(sess, mesh, n_inner=n_inner,
+                                      walkers_per_device=w_loc,
+                                      thin=thin, a=a,
+                                      interpret=interpret,
+                                      chain_space=chain_space, axis=axis)
+        if st is None:
+            return None
+        steps[n_inner] = st
+    seeds = jax.random.randint(key, (len(chunks), n_dev), 0,
                                np.iinfo(np.int32).max, dtype=jnp.int32)
-    x, lp, acc, chain, chain_lp = step(x, lp, acc, seeds)
+    xs, lps = [], []
+    for i, n_inner in enumerate(chunks):
+        x, lp, acc, chain, chain_lp = steps[n_inner](x, lp, acc,
+                                                     seeds[i])
+        xs.append(chain)
+        lps.append(chain_lp)
     return EnsembleResult(
-        chain=np.asarray(chain),
-        log_prob=np.asarray(chain_lp),
+        chain=np.concatenate([np.asarray(c) for c in xs]),
+        log_prob=np.concatenate([np.asarray(c) for c in lps]),
         acceptance_fraction=np.asarray(acc) / float(n_steps),
         final_state=(x, lp, key),
     )
@@ -194,20 +230,36 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
     lp = jnp.stack([core(x[k]) for k in range(K)])
     acc = jnp.zeros((K, W), jnp.float32)
 
-    step = make_sharded_tempered_step(
-        sess, betas, mesh, n_inner=n_steps,
-        walkers_per_device=w_loc, thin=thin, a=a, interpret=interpret,
-        chain_space=chain_space, axis=axis)
-    if step is None:
+    from ..ops.pallas_joint import _build_spec
+
+    spec = _build_spec(sess)
+    if spec is None:
         return None
-    seeds = jax.random.randint(key, (n_dev,), 0,
+    chunks = _chunk_schedule(n_steps, thin, w_loc, spec["Dp"],
+                             chain_space)
+    steps = {}
+    for n_inner in set(chunks):
+        st = make_sharded_tempered_step(
+            sess, betas, mesh, n_inner=n_inner,
+            walkers_per_device=w_loc, thin=thin, a=a,
+            interpret=interpret, chain_space=chain_space, axis=axis)
+        if st is None:
+            return None
+        steps[n_inner] = st
+    seeds = jax.random.randint(key, (len(chunks), n_dev), 0,
                                np.iinfo(np.int32).max, dtype=jnp.int32)
-    x, lp, acc, sacc, chain, chain_lp = step(x, lp, acc, seeds)
+    xs, lps = [], []
+    sacc_tot = np.zeros(K - 1)
+    for i, n_inner in enumerate(chunks):
+        x, lp, acc, sacc, chain, chain_lp = steps[n_inner](
+            x, lp, acc, seeds[i])
+        sacc_tot = sacc_tot + np.asarray(sacc).sum(axis=0)
+        xs.append(chain)
+        lps.append(chain_lp)
     return TemperedResult(
-        chain=np.asarray(chain),
-        log_prob=np.asarray(chain_lp),
+        chain=np.concatenate([np.asarray(c) for c in xs]),
+        log_prob=np.concatenate([np.asarray(c) for c in lps]),
         acceptance_fraction=np.asarray(acc) / float(n_steps),
-        swap_acceptance=(np.asarray(sacc).sum(axis=0)
-                         / float(n_steps * W)),
+        swap_acceptance=sacc_tot / float(n_steps * W),
         final_state=(x, lp),
     )

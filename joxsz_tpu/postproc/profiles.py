@@ -97,8 +97,9 @@ def make_profile_fns(model, cosmo: Cosmology, r_kpc,
         pars = model.params.unpack(theta)
         ne = model.density(pars, r)
         press = model.pressure(pars, r)
-        # through the temperature component, so alternative models
-        # (parametric Vikhlinin T) post-process correctly too
+        # route T_SZ/T_X through the temperature component, so
+        # alternative models (parametric Vikhlinin T) post-process
+        # correctly too
         t_sz = model.temperature.t_sz(pars, r)
         t_x = model.temperature.t_x(pars, r)
         entropy = t_sz / ne ** (2.0 / 3.0)

@@ -98,8 +98,10 @@ def run_fit(
     (SURVEY.md §5.4: write-side only).  ``log_like_batch`` may override the
     batched likelihood (e.g. the fused Pallas path).  ``step_sampler`` (a
     sampling.kernel.KernelSampler) routes the prelim/burn/sampling phases
-    — including tempered sampling — through the fused Pallas kernels; it
-    is ignored for mesh-sharded runs (those stay on the XLA sampler)."""
+    — including tempered sampling — through the fused Pallas kernels; for
+    mesh runs only the SAMPLING phase is sharded (per-chip independent
+    kernel ensembles), prelim/burn stay on the single-device XLA
+    sampler."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 
@@ -112,15 +114,15 @@ def run_fit(
 
     sharded_step = None
     if step_sampler is not None and mesh is not None:
-        # prelim/burn and the batched likelihood stay on the XLA mesh
-        # path; the sampling phase routes through per-chip independent
-        # fused-kernel ensembles (parallel/kernel_sharded.py)
+        # only the SAMPLING phase is sharded (per-chip independent
+        # fused-kernel ensembles, parallel/kernel_sharded.py);
+        # prelim/burn run the single-device XLA sampler
         sharded_step = step_sampler
         step_sampler = None
         if verbose:
             print("note: mesh run — sampling phase uses per-chip "
-                  "fused-kernel ensembles; prelim/burn on the sharded "
-                  "XLA sampler")
+                  "fused-kernel ensembles; prelim/burn stay on the "
+                  "single-device XLA sampler")
 
     if log_like_batch is None:
         log_like_batch = (step_sampler.log_prob_batch if step_sampler

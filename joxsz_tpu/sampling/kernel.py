@@ -64,6 +64,16 @@ class KernelSampler:
     def log_prob_batch(self, thetas):
         return self._core(thetas)
 
+    @staticmethod
+    def _sharded_layout_ok(W, n_steps, thin, mesh, axis="walker"):
+        """Cheap pre-checks mirroring the runner's argument validation —
+        done HERE so a mismatch falls back to the XLA mesh sampler while
+        genuine runtime errors in the sharded path still propagate
+        (a broad except would mask real bugs as a silent fallback)."""
+        n_dev = mesh.shape[axis]
+        return (W % n_dev == 0 and (W // n_dev) % 2 == 0
+                and n_steps % thin == 0)
+
     def run_sharded(self, p0, n_steps: int, key, mesh, thin: int = 1):
         """Multi-chip sampling: independent per-device ensembles through
         the fused kernel under shard_map (parallel/kernel_sharded.py).
@@ -71,13 +81,12 @@ class KernelSampler:
         mesh or the configuration doesn't match the kernel."""
         from ..parallel.kernel_sharded import run_sharded_kernel_ensembles
 
-        try:
-            return run_sharded_kernel_ensembles(
-                self._sess, p0, n_steps, key, mesh, thin=thin, a=self._a,
-                interpret=self._interpret, chain_space=self._chain_space,
-                core=self._core)
-        except ValueError:
+        if not self._sharded_layout_ok(p0.shape[0], n_steps, thin, mesh):
             return None
+        return run_sharded_kernel_ensembles(
+            self._sess, p0, n_steps, key, mesh, thin=thin, a=self._a,
+            interpret=self._interpret, chain_space=self._chain_space,
+            core=self._core)
 
     def run_tempered_sharded(self, p0, betas, n_steps: int, key, mesh,
                              thin: int = 1):
@@ -87,13 +96,14 @@ class KernelSampler:
         match the kernel."""
         from ..parallel.kernel_sharded import run_sharded_tempered_ensembles
 
-        try:
-            return run_sharded_tempered_ensembles(
-                self._sess, p0, betas, n_steps, key, mesh, thin=thin,
-                a=self._a, interpret=self._interpret,
-                chain_space=self._chain_space, core=self._core)
-        except ValueError:
+        p0 = jnp.asarray(p0)
+        W = p0.shape[0] if p0.ndim == 2 else p0.shape[1]
+        if not self._sharded_layout_ok(W, n_steps, thin, mesh):
             return None
+        return run_sharded_tempered_ensembles(
+            self._sess, p0, betas, n_steps, key, mesh, thin=thin,
+            a=self._a, interpret=self._interpret,
+            chain_space=self._chain_space, core=self._core)
 
     def run_tempered(self, p0, betas, n_steps: int, key, thin: int = 1):
         """Parallel-tempered sampling through the fused kernel (see

@@ -199,9 +199,10 @@ def test_tempered_kernel_sharded_matches_per_device(ref_data):
     assert res.chain.shape == (2, W, theta0.size)
     assert res.swap_acceptance.shape == (K - 1,)
 
-    # per-device reference with the same seeds
+    # per-device reference with the same seeds (the chunked runner draws
+    # a (n_chunks, n_dev) grid; this schedule is a single chunk)
     seeds = np.asarray(jax.random.randint(
-        key, (n_dev,), 0, np.iinfo(np.int32).max, dtype=jnp.int32))
+        key, (1, n_dev), 0, np.iinfo(np.int32).max, dtype=jnp.int32))[0]
     step = make_tempered_step_kernel(sess, betas, n_inner=4,
                                      n_walkers=w_loc, interpret=True,
                                      thin=2)
