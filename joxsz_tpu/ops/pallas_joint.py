@@ -45,6 +45,13 @@ _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
                   "c_t"]
 
 
+class StackMismatch(ValueError):
+    """A multi-cluster stack violates the kernel's shared-instrument
+    requirement (raised by _cluster_arrays' validations; the multicluster
+    kernel catches exactly this to decline to the XLA path — genuine
+    bugs propagate)."""
+
+
 def _detect_family(thawed, has_xray: bool = True):
     """Model-family detection from the thawed-param layout.
 
@@ -121,22 +128,24 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
 
     r_pp = np.asarray(sz.r_press_kpc, dtype=f64)
     if r_pp.shape != (n_press,) or not np.allclose(r_pp, spec["r_pp"]):
-        raise ValueError("pressure radial grid differs across the stack")
+        raise StackMismatch("pressure radial grid differs across the stack")
     if int(sz.sep) != spec["sep"]:
-        raise ValueError("map geometry (sep) differs across the stack")
+        raise StackMismatch("map geometry (sep) differs across the stack")
     if not (np.allclose(np.asarray(sz.conv_T, dtype=f64), spec["conv_T"])
             and np.allclose(np.asarray(sz.conv_val, dtype=f64),
                             spec["conv_val"])):
-        raise ValueError("y->mJy conversion tables differ across the stack "
-                         "(baked into the kernel body)")
+        raise StackMismatch(
+            "y->mJy conversion tables differ across the stack "
+            "(baked into the kernel body)")
     if (xr is None) != (not spec["has_xray"]):
-        raise ValueError("X-ray data presence differs across the stack")
+        raise StackMismatch(
+            "X-ray data presence differs across the stack")
     if xr is not None:
         n_sh, n_band, nT = spec["n_sh"], spec["n_band"], spec["nT"]
         KG, NSK, NBS = spec["KG"], spec["NSK"], spec["NBS"]
         Tlog = np.asarray(xr.table.Tlog, dtype=f64)
         if Tlog.shape != (nT,) or not np.allclose(Tlog, spec["Tlog"]):
-            raise ValueError(
+            raise StackMismatch(
                 "count-rate log-T grids differ across the stack")
         if spec.get("family") == "knots":
             # the knots AKM lerp weights are baked from the SESSION
@@ -146,7 +155,7 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
             mp = np.asarray(xr.midpt_kpc, dtype=f64)
             if mp.shape != spec["midpt"].shape or not np.allclose(
                     mp, spec["midpt"]):
-                raise ValueError(
+                raise StackMismatch(
                     "annulus midpoints differ across the stack "
                     "(knots AKM weights are baked per spec)")
 
@@ -158,6 +167,9 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
     GT = _pad_to(np.asarray(G, dtype=f64).T, (PIX, ND))
     flux64 = np.asarray(sz.flux, dtype=f64)
     err64 = np.asarray(sz.flux_err, dtype=f64)
+    if flux64.shape[0] > ND:
+        raise StackMismatch("flux profile longer than the spec's padded "
+                            "data axis (heterogeneous stack)")
     valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
     flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
     w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
@@ -969,7 +981,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                                   vmem_limit_mb: int = 96,
                                   thin: int | None = None,
                                   unroll: int = 1,
-                                  chain_space: str = "hbm"):
+                                  chain_space: str = "hbm",
+                                  ll_tile: int = 256):
     """Cluster-grid fused sampler for multi-cluster batched fits
     (BASELINE config #5): grid dimension = cluster; each grid step runs
     ``n_inner`` full stretch-move ensemble steps for ONE cluster's
@@ -1016,7 +1029,6 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
         if thin <= 0 or n_inner % thin:
             raise ValueError("n_inner must be a positive multiple of thin")
         n_keep = n_inner // thin
-    ll_tile = 256
     f32 = jnp.float32
     sa = float(np.sqrt(a))
     inv24 = float(2.0 ** -24)
@@ -1032,23 +1044,30 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                 np.asarray(sz_stack.w_T0)[c])
             for c in range(C)
         ]
-    except ValueError:
+    except StackMismatch:
         return None     # heterogeneous stack: fall back to the XLA path
     const_vals = [jnp.asarray(np.stack([pc[i] for pc in per_cluster]), f32)
                   for i in range(len(per_cluster[0]))]
     const_shapes = [tuple(v.shape) for v in const_vals]
+    # fori_loop likelihood tiling — same compile-time fix as
+    # make_step_kernel (unrolled tile copies explode Mosaic compiles)
+    use_ll_loop = H > ll_tile and H % ll_tile == 0
 
     def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
-        sem = None
+        refs = list(refs)
+        sem = ysc_ref = lsc_ref = None
+        if use_ll_loop:
+            lsc_ref = refs.pop()
+            ysc_ref = refs.pop()
         if n_keep and chain_hbm:
-            const_refs = refs[:-6]
-            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref, sem = refs[-6:]
-        elif n_keep:
-            const_refs = refs[:-5]
-            xo_ref, lpo_ref, acco_ref, cx_ref, clp_ref = refs[-5:]
-        else:
-            const_refs = refs[:-3]
-            xo_ref, lpo_ref, acco_ref = refs[-3:]
+            sem = refs.pop()
+        if n_keep:
+            clp_ref = refs.pop()
+            cx_ref = refs.pop()
+        acco_ref = refs.pop()
+        lpo_ref = refs.pop()
+        xo_ref = refs.pop()
+        const_refs = refs
         cid = pl.program_id(0)
         if not interpret:
             pltpu.prng_seed(seed_ref[0], cid)
@@ -1084,7 +1103,18 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
             onehot = (row == pidx).astype(f32)
             xp = jnp.dot(onehot, xf, preferred_element_type=f32)
             y = xp + z * (xm - xp)
-            if H > ll_tile:
+            if use_ll_loop:
+                ysc_ref[:] = y
+
+                def tbody(t, c):
+                    sl = pl.ds(t * ll_tile, ll_tile)
+                    lsc_ref[sl, :] = ll_body(ysc_ref[sl, :],
+                                             *const_vals_in)
+                    return c
+
+                jax.lax.fori_loop(0, H // ll_tile, tbody, 0)
+                lp_y = lsc_ref[:]
+            elif H > ll_tile:
                 lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
                             for t in range(0, H, ll_tile)]
                 lp_y = jnp.concatenate(lp_parts, axis=0)
@@ -1162,7 +1192,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                     pl.BlockSpec((1, n_keep, W), lambda i: (i, 0, 0),
                                  memory_space=pltpu.VMEM)]
-                scratch_shapes = (pltpu.SemaphoreType.DMA,)
+                scratch_shapes = scratch_shapes + (
+                    pltpu.SemaphoreType.DMA,)
             else:
                 out_shape += [jax.ShapeDtypeStruct((C, n_keep, W, 1), f32)]
                 out_specs += [
@@ -1172,6 +1203,9 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                     pl.BlockSpec((1, n_keep, W, 1),
                                  lambda i: (i, 0, 0, 0),
                                  memory_space=pltpu.VMEM)]
+        if use_ll_loop:
+            scratch_shapes = scratch_shapes + (
+                pltpu.VMEM((H, Dp), f32), pltpu.VMEM((H, 1), f32))
         if not interpret:
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)

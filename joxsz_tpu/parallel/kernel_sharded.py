@@ -38,16 +38,25 @@ def _chunk_schedule(n_steps: int, thin: int, w_loc: int, dp: int,
     buffers respect the same budgets as KernelSampler.run: the HBM
     chain budget per invocation, and — because the lp chain stays a
     VMEM output — the hardware-proven ~26 MB VMEM cap (a 53 MB VMEM
-    output crashed Mosaic)."""
+    output crashed Mosaic).  Like KernelSampler.run, prefer a chunk
+    size that divides the schedule: one kernel shape instead of
+    main + remainder halves the Mosaic compile cost."""
     from ..sampling.kernel import _CHAIN_HBM_BYTES, _CHAIN_VMEM_BYTES
 
     n_saved = n_steps // thin
+    if n_saved == 0:
+        return []
     if chain_space == "hbm":
         cap = min(1024, _CHAIN_HBM_BYTES // (w_loc * (dp + 1) * 4),
                   _CHAIN_VMEM_BYTES // (w_loc * 4))
     else:
         cap = min(256, _CHAIN_VMEM_BYTES // (w_loc * (dp + 1) * 4))
-    keep = max(1, min(n_saved, cap))
+    cap = max(1, cap)
+    keep = min(n_saved, cap)
+    for cand in range(min(n_saved, cap), cap // 2, -1):
+        if n_saved % cand == 0:
+            keep = cand
+            break
     full, rem = divmod(n_saved, keep)
     return [keep * thin] * full + ([rem * thin] if rem else [])
 
@@ -159,13 +168,14 @@ def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
     lp = core(x)
     acc = jnp.zeros(W, jnp.float32)
 
-    from ..ops.pallas_joint import _build_spec
+    from ..ops.pallas_kernels import _round_up
 
-    spec = _build_spec(sess)
-    if spec is None:
-        return None
-    chunks = _chunk_schedule(n_steps, thin, w_loc, spec["Dp"],
-                             chain_space)
+    if n_steps == 0:
+        return EnsembleResult(
+            chain=np.empty((0, W, D)), log_prob=np.empty((0, W)),
+            acceptance_fraction=np.zeros(W), final_state=(x, lp, key))
+    dp = _round_up(D, 128)
+    chunks = _chunk_schedule(n_steps, thin, w_loc, dp, chain_space)
     steps = {}
     for n_inner in set(chunks):
         st = make_sharded_kernel_step(sess, mesh, n_inner=n_inner,
@@ -182,6 +192,11 @@ def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
     for i, n_inner in enumerate(chunks):
         x, lp, acc, chain, chain_lp = steps[n_inner](x, lp, acc,
                                                      seeds[i])
+        for arr in (chain, chain_lp):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
         xs.append(chain)
         lps.append(chain_lp)
     return EnsembleResult(
@@ -210,6 +225,9 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
     p0 = jnp.asarray(p0, jnp.float32)
     if p0.ndim == 2:
         p0 = jnp.broadcast_to(p0[None], (K,) + p0.shape)
+    if p0.shape[0] != K:
+        raise ValueError(f"p0 has {p0.shape[0]} rungs but "
+                         f"{K} betas were given")
     _, W, D = p0.shape
     n_dev = mesh.shape[axis]
     if W % n_dev:
@@ -230,13 +248,15 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
     lp = jnp.stack([core(x[k]) for k in range(K)])
     acc = jnp.zeros((K, W), jnp.float32)
 
-    from ..ops.pallas_joint import _build_spec
+    from ..ops.pallas_kernels import _round_up
 
-    spec = _build_spec(sess)
-    if spec is None:
-        return None
-    chunks = _chunk_schedule(n_steps, thin, w_loc, spec["Dp"],
-                             chain_space)
+    if n_steps == 0:
+        return TemperedResult(
+            chain=np.empty((0, W, D)), log_prob=np.empty((0, W)),
+            acceptance_fraction=np.zeros((K, W)),
+            swap_acceptance=np.zeros(K - 1), final_state=(x, lp))
+    dp = _round_up(D, 128)
+    chunks = _chunk_schedule(n_steps, thin, w_loc, dp, chain_space)
     steps = {}
     for n_inner in set(chunks):
         st = make_sharded_tempered_step(
@@ -254,6 +274,11 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
         x, lp, acc, sacc, chain, chain_lp = steps[n_inner](
             x, lp, acc, seeds[i])
         sacc_tot = sacc_tot + np.asarray(sacc).sum(axis=0)
+        for arr in (chain, chain_lp):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
         xs.append(chain)
         lps.append(chain_lp)
     return TemperedResult(

@@ -665,3 +665,38 @@ def test_multicluster_kernel_declines_heterogeneous_stack(sess32):
                                          n_inner=2, n_walkers=8,
                                          interpret=True)
     assert step is None
+
+
+def test_multicluster_kernel_ll_loop_matches_unrolled(sess32):
+    """The multicluster kernel's fori_loop likelihood tiling is
+    bit-identical to the single-call evaluation (same compile-time fix
+    as the plain/tempered kernels)."""
+    import dataclasses
+    from joxsz_tpu.models.multicluster import (
+        stack_sz_data, stack_xray_data, make_multicluster_log_like,
+    )
+    from joxsz_tpu.ops.pallas_joint import make_multicluster_step_kernel
+
+    sz0 = sess32.model.sz_data
+    C, W = 2, 16
+    sz_stack = stack_sz_data([
+        dataclasses.replace(sz0, flux=sz0.flux * (1 + 0.05 * c))
+        for c in range(C)
+    ])
+    xr_stack = stack_xray_data([sess32.model.xray_data] * C)
+    ref_ll = make_multicluster_log_like(sess32.model, sz_stack, xr_stack,
+                                        flatten=False)
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(23)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (C, W, theta0.size))), jnp.float32)
+    lp0 = jnp.asarray(ref_ll(x0), jnp.float32)
+
+    outs = {}
+    for tile in (256, 4):        # 256: single call; 4: loop (H=8, 2 tiles)
+        step = make_multicluster_step_kernel(
+            sess32, sz_stack, xr_stack, n_inner=4, n_walkers=W,
+            interpret=True, thin=2, ll_tile=tile)
+        outs[tile] = step(x0, lp0, jnp.zeros((C, W)), 33)
+    for a, b in zip(outs[256], outs[4]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
