@@ -186,25 +186,10 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
             if name in params:
                 params.freeze(name)
 
-    exclude_mass = cfg.exclude_unphysical_mass
-    if exclude_mass and cfg.pressure_model == "knots":
-        # the piecewise log-lerp gives the derived HSE mass a kinked,
-        # segment-slope-driven outer profile that the monotonicity veto
-        # rejects for most knot vectors INCLUDING the gNFW-seeded
-        # default init — the MLE warm start would begin at -inf.  The
-        # veto is designed around smooth analytic pressure profiles
-        # (reference joxsz_funcs.py:522-525, gNFW); disable it for the
-        # non-parametric model
-        import warnings
-        warnings.warn(
-            "mass-monotonicity veto disabled for the knot pressure "
-            "model (segment-slope mass kinks reject most knot vectors, "
-            "including the default init)", stacklevel=2)
-        exclude_mass = False
     model = JointModel(
         pressure=pressure, density=density, temperature=temperature,
         params=params, sz_data=sz_data, xray_data=xray_data,
-        exclude_unphysical_mass=exclude_mass,
+        exclude_unphysical_mass=cfg.exclude_unphysical_mass,
     )
     return FitSession(
         config=cfg, cosmology=cosmo, geometry=geom, beam_2d=beam_2d,

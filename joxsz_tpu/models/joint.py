@@ -50,6 +50,28 @@ class JointModel:
             self.mass = HSEMass(self.pressure, self.density)
 
     # -- likelihood ----------------------------------------------------------
+    def _mass_veto_ok(self, pars: dict, r_press_kpc) -> jnp.ndarray:
+        """Physical-mass criterion (reference veto,
+        /root/reference/joxsz_funcs.py:522-525), family-aware.
+
+        Smooth pressure families: the reference check verbatim —
+        np.gradient of M(<r) strictly positive on the dense pressure
+        grid (jnp.gradient matches numpy's central/one-sided scheme).
+
+        Knot pressure: the mass is discontinuous at the knots (piecewise
+        slope), so the dense-grid check rejects nearly all knot vectors
+        on kink artifacts.  Instead require the segment-averaged mass —
+        M evaluated at one log-midpoint per segment, where the slope is
+        exact — to be strictly increasing and to end positive (a
+        decreasing outer pressure), the same physical content without
+        penalising the interpolant's kinks."""
+        rv = getattr(self.pressure, "mass_veto_radii", None)
+        if rv is not None:
+            m = self.mass(pars, jnp.asarray(rv()))
+            return jnp.all(m[1:] > m[:-1]) & (m[-1] > 0.0)
+        m = self.mass(pars, r_press_kpc)
+        return jnp.all(jnp.gradient(m) > 0.0)
+
     def log_like(self, theta: jnp.ndarray, sz_data: SZData | None = None,
                  xray_data: XrayData | None = None) -> jnp.ndarray:
         """Joint log-likelihood (including priors) of a thawed vector.
@@ -66,11 +88,7 @@ class JointModel:
             total = total + self.density.log_prior(pars)
 
         if self.exclude_unphysical_mass and sz is not None:
-            m = self.mass(pars, sz.r_press_kpc)
-            # reference veto: np.gradient(m, 1) > 0 everywhere
-            # (joxsz_funcs.py:522-525); jnp.gradient matches numpy's
-            # central/one-sided differencing
-            mono = jnp.all(jnp.gradient(m) > 0.0)
+            mono = self._mass_veto_ok(pars, sz.r_press_kpc)
             total = total + jnp.where(mono, 0.0, -jnp.inf)
 
         if xr is not None:
@@ -123,8 +141,7 @@ class JointModel:
             if hasattr(self.density, "log_prior"):
                 total = total + self.density.log_prior(pars)
             if self.exclude_unphysical_mass:
-                m = self.mass(pars, sz.r_press_kpc)
-                mono = jnp.all(jnp.gradient(m) > 0.0)
+                mono = self._mass_veto_ok(pars, sz.r_press_kpc)
                 total = total + jnp.where(mono, 0.0, -jnp.inf)
             if self.xray_data is not None:
                 total = total + xray_log_like(

@@ -104,3 +104,15 @@ class KnotPressure:
         r = jnp.asarray(r_kpc)
         out = jax.vmap(jax.grad(f))(jnp.atleast_1d(r))
         return out.reshape(r.shape)
+
+    def mass_veto_radii(self) -> np.ndarray:
+        """Segment midpoints (log-space) for the HSE-mass physicality
+        veto.  The piecewise log-lerp makes dP/dr — hence the derived
+        mass — discontinuous at the knots, so the reference's dense-grid
+        monotonicity check (joxsz_funcs.py:522-525, designed for smooth
+        gNFW profiles) rejects nearly every knot vector on segment-slope
+        kinks alone.  The family-appropriate criterion evaluates the
+        segment-averaged mass (the slope is exact and constant inside
+        each segment) at one midpoint per segment and requires that
+        sequence to be increasing; see JointModel._mass_veto_ok."""
+        return 10.0 ** ((self.knots_logr[:-1] + self.knots_logr[1:]) / 2.0)

@@ -224,9 +224,11 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
 
     knot_arrays = []
     if spec.get("family") == "knots":
-        knot_arrays = [spec["AKP"], spec["SKP"]]
+        knot_arrays = [spec["AKP"]]
         if xr is not None:
             knot_arrays.append(spec["AKM"])
+        if "RMK" in spec:
+            knot_arrays += [spec["RMK"], spec["AKV"], spec["SKV"]]
     return [
         r_pad[None, :], press_mask[None, :],
         LT, GT,
@@ -344,7 +346,9 @@ def _build_spec(sess, ablate: str = ""):
                    "cmf", "ctf"]
     cnames += ["plo", "phi", "pig", "pmu", "psg", "wint", "mui"]
     if family == "knots":
-        cnames += ["AKP", "SKP"] + (["AKM"] if has_xray else [])
+        cnames += ["AKP"] + (["AKM"] if has_xray else [])
+        if mass_veto:
+            cnames += ["RMK", "AKV", "SKV"]
     spec["cnames"] = cnames
 
     if family == "knots":
@@ -388,10 +392,24 @@ def _build_spec(sess, ablate: str = ""):
         # error into O(100) log-likelihood shifts (measured on
         # hardware); 7 exact-f32 FMAs are also fewer FLOPs
         spec["AKP"] = Wg.T.copy()              # (nk, NP)
-        spec["SKP"] = Sg.T.copy()
         if has_xray:
             Wm_mid, _ = _lerp_w(np.log10(midpt))
             spec["AKM"] = Wm_mid.T.copy()      # (nk, n_sh)
+        if mass_veto:
+            # segment-averaged mass veto: M at one log-midpoint per
+            # segment (the family-appropriate criterion, see
+            # JointModel._mass_veto_ok); padded lanes replicate the
+            # last midpoint and are masked out in ll_body
+            n_mid = n_knots - 1
+            NM = _round_up(n_mid, 128)
+            logr_mid = (klogr[:-1] + klogr[1:]) / 2.0
+            logm_pad = np.full(NM, logr_mid[-1])
+            logm_pad[:n_mid] = logr_mid
+            Wv, Sv = _lerp_w(logm_pad)
+            spec["RMK"] = (10.0 ** logm_pad)[None, :]   # (1, NM)
+            spec["AKV"] = Wv.T.copy()                   # (nk, NM)
+            spec["SKV"] = Sv.T.copy()
+            spec["n_mid"] = n_mid
 
     f32 = jnp.float32
     const_list = _cluster_arrays(spec, sz, xr, op.L, op.G, op.w_T0)
@@ -401,6 +419,7 @@ def _build_spec(sess, ablate: str = ""):
     NEG = float("-inf")  # python scalar: kernels must not capture arrays
 
     LN10 = float(np.log(10.0))
+    n_mid = spec.get("n_mid", 0)  # knots veto: real midpoint count
 
     cnames = spec["cnames"]
 
@@ -442,7 +461,7 @@ def _build_spec(sess, ablate: str = ""):
             P0, a_, b_, rp_ = (ncol("P_0"), ncol("a"), ncol("b"),
                                ncol("r_p"))
         else:
-            AKP, SKP = C["AKP"], C["SKP"]
+            AKP = C["AKP"]
             kc0 = cix["logP_0"]
         if d_family == "double":
             log_n02 = ncol("log(n_{02})")
@@ -494,14 +513,13 @@ def _build_spec(sess, ablate: str = ""):
             # knot pressure: clamped log-log lerp is linear in th —
             # accumulate per-knot VPU FMAs (exact f32; an MXU matmul
             # here loses ~4e-3 relative and exp + chi^2 blow it up,
-            # measured on hardware)
+            # measured on hardware).  No grid-slope/dpress here: the
+            # mass veto for this family works on segment midpoints
+            # (below), not the dense grid
             logP = col(kc0) * AKP[0:1, :]
-            slope = col(kc0) * SKP[0:1, :]
             for ki in range(1, n_knots):
                 logP = logP + col(kc0 + ki) * AKP[ki:ki + 1, :]
-                slope = slope + col(kc0 + ki) * SKP[ki:ki + 1, :]
             press = jnp.exp(LN10 * logP)       # (B, NP)
-            dpress = press * slope / r
 
         # ---- Vikhlinin density ------------------------------------------------
         # frozen-exponent folds: alpha=0 drops its pow entirely, gamma=3
@@ -510,24 +528,48 @@ def _build_spec(sess, ablate: str = ""):
         rc = 10.0 ** log_rc
         rs = 10.0 ** log_rs
         n0 = 10.0 ** log_n0
-        xc = r / rc
-        xs = r / rs
-        if gamma == 3.0:
-            xs_g = xs * xs * xs
-        else:
-            xs_g = xs ** gamma
-        ne2 = (n0 * n0
-               * jnp.exp(-(3.0 * beta - alpha / 2.0) * jnp.log1p(xc * xc)
-                         - (eps / gamma) * jnp.log1p(xs_g)))
-        if alpha != 0.0:
-            ne2 = ne2 * xc ** (-alpha)
-        if d_family == "double":
-            ne2 = ne2 + double_beta_ne2(r)
-        ne = jnp.sqrt(ne2)
 
-        # ---- HSE mass monotonicity veto (config-gated like the XLA
-        # path's exclude_unphysical_mass, models/joint.py) ---------------------
-        if mass_veto:
+        def ne_of(rr):
+            xc = rr / rc
+            xs = rr / rs
+            if gamma == 3.0:
+                xs_g = xs * xs * xs
+            else:
+                xs_g = xs ** gamma
+            ne2 = (n0 * n0
+                   * jnp.exp(-(3.0 * beta - alpha / 2.0)
+                             * jnp.log1p(xc * xc)
+                             - (eps / gamma) * jnp.log1p(xs_g)))
+            if alpha != 0.0:
+                ne2 = ne2 * xc ** (-alpha)
+            if d_family == "double":
+                ne2 = ne2 + double_beta_ne2(rr)
+            return jnp.sqrt(ne2)
+
+        ne = ne_of(r)
+
+        # ---- HSE mass physicality veto (config-gated like the XLA
+        # path's exclude_unphysical_mass; criteria match
+        # models/joint.py::_mass_veto_ok per family) ---------------------------
+        if mass_veto and family == "knots":
+            # segment-averaged mass at one log-midpoint per segment,
+            # strictly increasing and ending positive
+            RMK, AKV, SKV = C["RMK"], C["AKV"], C["SKV"]
+            logPm = col(kc0) * AKV[0:1, :]
+            slopem = col(kc0) * SKV[0:1, :]
+            for ki in range(1, n_knots):
+                logPm = logPm + col(kc0 + ki) * AKV[ki:ki + 1, :]
+                slopem = slopem + col(kc0 + ki) * SKV[ki:ki + 1, :]
+            pressm = jnp.exp(LN10 * logPm)
+            # dP/dr = P * dlogP/dlogr / r  =>  M = -P * slope * r / ne * C
+            m = -pressm * slopem * RMK / ne_of(RMK) * mass_C   # (B, NM)
+            NM = m.shape[1]
+            idx = jax.lax.broadcasted_iota(jnp.int32, (B, NM - 1), 1)
+            inc_ok = (m[:, 1:] > m[:, :-1]) | (idx >= n_mid - 1)
+            mono = (jnp.all(inc_ok, axis=1, keepdims=True)
+                    & (m[:, n_mid - 1:n_mid] > 0.0))
+            total = jnp.where(mono, total, NEG)
+        elif mass_veto:
             m = -dpress * r * r / ne * mass_C  # (B, NP)
             # np.gradient(m) > 0 over the real grid == central
             # differences m[i+1] > m[i-1] at interior points plus

@@ -84,6 +84,44 @@ def test_knot_pressure_in_sz_likelihood(sz_session):
     assert np.allclose(lls, ll)
 
 
+def test_knots_mass_veto(ref_data):
+    """The knots family keeps a physicality veto (reference
+    joxsz_funcs.py:522-525) in segment-averaged form: the default
+    gNFW-seeded init passes, a mass-decreasing knot vector is rejected,
+    and the config flag is honoured (no silent disable)."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.pressure_model = "knots"
+    assert cfg.exclude_unphysical_mass
+    sess = build_session(cfg)
+    assert sess.model.exclude_unphysical_mass  # not overridden
+
+    theta0 = np.asarray(sess.params.thawed_values())
+    assert np.isfinite(float(sess.log_like(jnp.asarray(theta0))))
+
+    names = sess.params.thawed
+    kix = [i for i, n in enumerate(names) if n.startswith("logP_")]
+
+    # flatten the outer pressure segment: the segment-averaged HSE mass
+    # drops across the last midpoint -> -inf
+    th = theta0.copy()
+    th[kix[-1]] = th[kix[-2]] - 1e-3
+    assert float(sess.log_like(jnp.asarray(th))) == -np.inf
+
+    # increasing outer pressure (positive slope -> negative mass) is
+    # also unphysical
+    th2 = theta0.copy()
+    th2[kix[-1]] = th2[kix[-2]] + 0.5
+    assert float(sess.log_like(jnp.asarray(th2))) == -np.inf
+
+    # enough of a reference-style init cloud must survive for the
+    # rejection-resampled walker init to work
+    rng = np.random.default_rng(0)
+    cloud = theta0[None] * (1 + 0.1 * rng.standard_normal((256,
+                                                           theta0.size)))
+    lp = np.asarray(jax.vmap(sess.log_like)(jnp.asarray(cloud)))
+    assert np.isfinite(lp).mean() > 0.3
+
+
 def test_parametric_temperature():
     vt = VikhlininTemperature()
     pars = {n: p.val for n, p in

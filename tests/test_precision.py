@@ -43,6 +43,45 @@ def test_f32_loglike_consistency(sessions):
     assert np.array_equal(np.isfinite(ll64), np.isfinite(ll32))
 
 
+@pytest.mark.parametrize("fam,mod", [
+    ("flagship", {}),
+    ("double", {"density_mode": "double"}),
+    ("knots", {"pressure_model": "knots"}),
+])
+def test_veto_flip_rate_pinned(ref_data, fam, mod):
+    """PARITY.md deviation #5 regression: kernel-vs-XLA veto-structure
+    flips on a fixed 512-walker boundary-rich cloud are pinned at their
+    measured value (ZERO in interpret mode for every family, at both
+    0.1 and 0.2 multiplicative spread).  A kernel formula change that
+    widens the f32 veto-boundary divergence fails here instead of
+    slipping through CI.  (Hardware Mosaic rounding can still add
+    boundary flips — that residual is the documented deviation; this
+    test pins everything CI can see.)"""
+    from joxsz_tpu.ops.pallas_joint import make_joint_core
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    for k, v in mod.items():
+        setattr(cfg, k, v)
+    sess = build_session(cfg)
+    core = make_joint_core(sess, block_b=64, interpret=True)
+    assert core is not None
+    ref = jax.jit(jax.vmap(sess.log_like))
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float64)
+    for spread in (0.1, 0.2):
+        rng = np.random.default_rng(7)
+        batch = jnp.asarray(
+            (theta0[None] * (1 + spread * rng.standard_normal(
+                (512, theta0.size)))).astype(np.float32))
+        a = np.asarray(core(batch))
+        b = np.asarray(ref(batch))
+        # the cloud must actually straddle the veto boundary for the
+        # pin to mean anything
+        assert 0.05 < np.isfinite(b).mean() < 0.95
+        flips = int((np.isfinite(a) != np.isfinite(b)).sum())
+        assert flips == 0, (fam, spread, flips)
+
+
 def test_f32_no_spurious_inf(sessions):
     """Plausible parameter regions must not produce f32 overflow -inf."""
     _, s32 = sessions
