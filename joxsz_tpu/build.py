@@ -61,8 +61,15 @@ class FitSession:
         return self.model.params
 
 
+# bump when the operator-build NUMERICS change (cache files key on the
+# config hash only; v2 = transcription-faithful PyAbel row N-2 weight)
+_SZOP_VERSION = 2
+
+
 def _operator_cache_path(cfg: JoXSZConfig) -> pathlib.Path:
-    key = hashlib.sha256(cfg.to_json().encode()).hexdigest()[:16]
+    key = hashlib.sha256(
+        (cfg.to_json() + f"|szop_v{_SZOP_VERSION}").encode()
+    ).hexdigest()[:16]
     repo = pathlib.Path(__file__).resolve().parents[1]
     return repo / "data" / "cache" / f"szop_{key}.npz"
 

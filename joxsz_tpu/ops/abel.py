@@ -51,15 +51,24 @@ def forward_abel_matrix(r: np.ndarray, scheme: str = "pyabel") -> np.ndarray:
     if scheme == "pyabel":
         for j in range(n - 1):
             y2 = rr2[j]
-            # trapezoid over [r_{j+1}, r_{n-1}] of w(r)/sqrt(r^2-y^2)
             seg = np.arange(j + 1, n)
             g = 1.0 / np.sqrt(rr2[seg] - y2)
-            if seg.size > 1:
-                h = np.diff(r[seg])
-                tw = np.zeros(seg.size)
-                tw[:-1] += 0.5 * h
-                tw[1:] += 0.5 * h
-                W[j, seg] += tw * g
+            # PyAbel integrates np.trapz over the WHOLE row against the
+            # diagonal-zeroed kernel (which sneaks in a triangle
+            # 0.5 h_j g_{j+1} w_{j+1} from the singular cell), then
+            # subtracts HALF the trapezoid of the row masked to its
+            # first two points.  On interior rows of a uniform grid
+            # that recovers the plain trapezoid over [r_{j+1}, R]; on
+            # the second-to-last row the masked trapezoid only sees one
+            # adjacent cell, leaving a deliberate extra
+            # 0.25 h g_{n-1} w_{n-1} — reproduced here for bit parity
+            # (tests/pyabel_direct_transcription.py pins this).
+            h = np.diff(r[j:])                      # h[0] = r_{j+1}-r_j
+            tw = np.zeros(seg.size)
+            tw += 0.5 * h                           # left-cell halves
+            tw[:-1] += 0.5 * h[1:]                  # right-cell halves
+            tw[0] -= 0.25 * (h[0] + (h[1] if seg.size > 1 else 0.0))
+            W[j, seg] += tw * g
             # analytic singular cell [r_j, r_{j+1}], w linear on the cell
             y = r[j]
             r1 = r[j + 1]

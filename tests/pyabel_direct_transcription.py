@@ -1,0 +1,88 @@
+"""Numpy transcription of PyAbel's ``direct`` forward transform, Python
+backend (``abel.direct.direct_transform(..., direction='forward',
+backend='Python')``, correction=True default) — the exact configuration
+the reference uses at /root/reference/joxsz_funcs.py:457.
+
+PyAbel is not installed in this environment (and cannot be fetched), so
+this is a from-memory reconstruction of the upstream algorithm written
+for the parity test, NOT copied source text.  The algorithm, per the
+upstream implementation structure:
+
+1. forward direction: the integrand is w(r) = 2 r f(r).
+2. The Abel integral  F(y_i) = int_{y_i}^{R} w(r)/sqrt(r^2 - y_i^2) dr
+   is taken with np.trapz over the WHOLE row against a kernel matrix
+   I_isqrt[i, j] = 1/sqrt(r_j^2 - r_i^2) zeroed at and below the
+   diagonal — which implicitly adds a spurious triangle
+   0.5 * h_i * P_{i+1} in the singular cell [r_i, r_{i+1}].
+3. The "extra triangle" is removed by subtracting half the trapezoid of
+   the row masked to its first two points (columns i, i+1): on a
+   uniform grid that equals the triangle exactly.
+4. correction=1 then adds the analytic integral of the singular cell
+   assuming w linear on it:
+       int_y^{r1} (a + b(r-y))/sqrt(r^2-y^2) dr
+         = (w_i - s_i r_i) acosh(r1/y) + s_i sqrt(r1^2 - y^2),
+   with s_i the forward-difference slope of w on the cell.
+
+Step 3's masked-trapezoid form is the one behavior whose literal
+upstream expression could not be re-checked offline; on the UNIFORM
+grids this framework uses (r_pp is uniformly spaced) the two plausible
+readings are identical everywhere except the second-to-last row, where
+the masked trapezoid only sees one adjacent cell.  The parity test
+pins the matrix operator to THIS transcription on the real r_pp grid.
+"""
+
+import numpy as np
+
+
+def pyabel_direct_forward(fr: np.ndarray, r: np.ndarray,
+                          correction: bool = True) -> np.ndarray:
+    """Forward direct Abel transform of one profile on grid ``r``."""
+    fr = np.asarray(fr, dtype=np.float64)
+    r = np.asarray(r, dtype=np.float64)
+    f = np.atleast_2d(fr.copy())
+
+    # direction == 'forward': integrand w = 2 r f
+    f = f * 2 * r[None, :]
+
+    out = _pyabel_direct_integral(f, r, int(correction))
+    return out[0] if fr.ndim == 1 else out
+
+
+def _pyabel_direct_integral(f: np.ndarray, r: np.ndarray,
+                            correction: int) -> np.ndarray:
+    """int_y^R f(r)/sqrt(r^2 - y^2) dr for every y = r_i (row-wise)."""
+    if correction not in (0, 1):
+        raise ValueError("correction must be 0 or 1")
+
+    f = np.atleast_2d(f)
+    out = np.zeros(f.shape)
+    R, Y = np.meshgrid(r, r, indexing="ij")
+    i_vect = np.arange(len(r), dtype=int)
+    II, JJ = np.meshgrid(i_vect, i_vect, indexing="ij")
+    mask = II < JJ
+
+    I_sqrt = np.zeros(R.shape)
+    I_sqrt[mask] = np.sqrt((Y**2 - R**2)[mask])    # sqrt(r_j^2 - r_i^2)
+
+    I_isqrt = np.zeros(R.shape)
+    I_isqrt[mask] = 1.0 / I_sqrt[mask]
+
+    # mask of the first two points of each row's integral (cols i, i+1)
+    mask2 = (JJ >= II) & (JJ < II + 2)
+
+    for k, row in enumerate(f):
+        P = row[None, :] * I_isqrt                      # (n, n)
+        out[k, :] = np.trapz(P, r, axis=1)
+        # remove the extra triangle at the start of the integral
+        out[k, :] -= 0.5 * np.trapz(P * mask2, r, axis=1)
+
+    if correction == 1:
+        # singular-cell analytic correction, w linear on [r_i, r_{i+1}]
+        f_r = (f[:, 1:] - f[:, :-1]) / np.diff(r)[None, :]
+        n = len(r)
+        for i in range(0, n - 1):
+            out[:, i] += (I_sqrt[i, i + 1] * f_r[:, i]
+                          + np.arccosh(r[i + 1] / r[i])
+                          * (f[:, i] - f_r[:, i] * r[i]))
+
+    return out

@@ -54,6 +54,25 @@ def test_abel_convergence():
     assert err(8.0, "pyabel") < err(16.0, "pyabel")
 
 
+def test_abel_pyabel_transcription_parity():
+    """The matrix 'pyabel' scheme against the vendored numpy
+    transcription of PyAbel's direct/Python forward path
+    (tests/pyabel_direct_transcription.py) at <=1e-12 relative on the
+    313-pt reference-style grid — including the second-to-last-row
+    masked-triangle quirk — and on a non-uniform grid."""
+    from pyabel_direct_transcription import pyabel_direct_forward
+
+    for r in (np.arange(1, 314) * 16.00139123,
+              np.geomspace(3.0, 5000.0, 200)):
+        x = r / 300.0
+        f = 0.4 / (x**0.014 * (1 + x**1.33) ** 3.08)
+        ours = forward_abel_matrix(r, scheme="pyabel") @ f
+        theirs = pyabel_direct_forward(f, r, correction=True)
+        rel = np.abs(ours - theirs) / np.maximum(np.abs(theirs), 1e-300)
+        assert rel[:-1].max() < 1e-12      # last row is exactly zero
+        assert ours[-1] == theirs[-1] == 0.0
+
+
 def test_abel_matrix_linear():
     r = np.arange(10.0, 1000.0, 10.0)
     A = forward_abel_matrix(r)
