@@ -57,6 +57,10 @@ def _load_native():
         dptr, ctypes.c_int64, dptr, ctypes.c_int64, dptr, ctypes.c_int64,
         ctypes.c_double, ctypes.c_double, dptr,
     ]
+    lib.jx_observed_spectrum.argtypes = [
+        dptr, ctypes.c_int64, ctypes.c_double, ctypes.c_double,
+        ctypes.c_double, ctypes.c_double, dptr,
+    ]
     lib.jx_bolometric_flux.restype = ctypes.c_double
     lib.jx_bolometric_flux.argtypes = [
         ctypes.c_double, ctypes.c_double, ctypes.c_double, ctypes.c_double,
@@ -110,6 +114,14 @@ def _rates_native(lib, resp: Response, band_masks: np.ndarray, T_grid,
     return out
 
 
+# bump when the spectral model changes: the value is part of TableSpec's
+# repr, which keys the auto-generated artifact filenames (build.py), so
+# stale tables regenerate instead of silently serving old physics.
+# v2 = calibrated 18-complex line model (Fe XXV/XXVI split, asymmetric
+# log-T responses, published-EW anchors).
+SPECTRAL_MODEL_VERSION = 2
+
+
 @dataclasses.dataclass(frozen=True)
 class TableSpec:
     rmf: str
@@ -120,6 +132,7 @@ class TableSpec:
     Tmin: float = DEFAULT_TMIN
     Tmax: float = DEFAULT_TMAX
     nT: int = DEFAULT_NT
+    model_version: int = SPECTRAL_MODEL_VERSION
 
 
 def generate_table(spec: TableSpec, backend: str = "auto") -> dict:

@@ -63,22 +63,49 @@ def ff_photon_emissivity(E_keV, T_keV, zsum: float = _ZSUM_HHE):
 
 # --- metal lines ------------------------------------------------------------
 
-# Line complexes: (centroid keV, width keV, peak emissivity scale,
-#                  log10 T of peak, log-T gaussian width)
-# Amplitudes/temperature responses calibrated so solar-metallicity
-# equivalent widths track APEC: Fe-K EW ~1 keV at kT~4 (peak of Fe XXV),
-# ~0.4 keV at kT~8, ~0.3 keV at kT~12; Fe-L dominating below ~2 keV;
-# alpha-element lines at the tens-of-eV level for hot clusters.
+# Line complexes: (centroid keV, Gaussian width keV, amplitude
+# [ph cm^3 s^-1 at solar Z before the T response], log10 T_keV of the
+# ion-balance peak, left log-T width, right log-T width).  The response
+# of each complex is an asymmetric Gaussian in log10 T (standing in for
+# the CIE ion fraction x effective collision strength) times the
+# excitation Boltzmann factor exp(-E0/kT).
+#
+# Calibration (tests/test_spectrum_anchors.py pins all of these):
+#   * Fe-K (Fe XXV He-alpha + Fe XXVI Ly-alpha): amplitudes and
+#     responses least-squares fitted so the solar-metallicity
+#     equivalent width of the 6.7 keV complex reproduces the published
+#     APEC/ionization-equilibrium curve (Rothenflug & Arnaud 1985;
+#     standard cluster-spectroscopy values): EW ~ 2.0 keV at kT=2,
+#     1.0 keV at 4, 0.55 at 8, 0.45 at 10, 0.30 at 15 — fit residual
+#     0.6% rms over kT = 2..15.  The Fe XXVI component carries the
+#     high-T tail the previous single-complex model lacked.
+#   * Si/S He+H-like pairs: EW anchors (solar) 250/150 eV at kT=2 and
+#     30/30 eV at kT=8 (exactly matched); Ar/Ca at the tens-of-eV
+#     level (anchors +-40%).
+#   * Fe-L complex (5 sub-complexes, Fe XVII..XXIV): total soft-band
+#     line-to-continuum photon ratio in 0.5-2 keV = 2.5 at kT=1,
+#     Z=1 solar (line-dominated cool-plasma regime).
+#   * O VIII Ly-alpha: EW = 50 eV at kT=1; Mg XII: EW = 60 eV at kT=2.
 _LINES = np.array([
-    # E0     sigE    amp      logT0  sigLogT
-    [0.654, 0.020, 1.5e-16, -0.60, 0.35],   # O VIII
-    [0.915, 0.050, 6.0e-16, -0.30, 0.30],   # Ne IX/X + Fe-L
-    [1.050, 0.080, 1.2e-15, 0.00, 0.35],    # Fe-L complex
-    [1.340, 0.030, 1.5e-16, 0.15, 0.35],    # Mg XI/XII
-    [1.870, 0.040, 1.2e-16, 0.30, 0.35],    # Si XIII/XIV
-    [2.460, 0.050, 6.0e-17, 0.45, 0.35],    # S XV/XVI
-    [3.900, 0.060, 3.0e-17, 0.60, 0.40],    # Ca + Ar
-    [6.690, 0.080, 2.2e-16, 0.65, 0.22],    # Fe XXV/XXVI K
+    # E0      sigE    amp       lt0    sltL   sltR
+    [0.654, 0.020, 8.206e-16, -0.55, 0.30, 0.40],   # O VIII Ly-a
+    [0.729, 0.025, 2.675e-15, -0.28, 0.22, 0.25],   # Fe XVII 2p-3s
+    [0.826, 0.030, 3.478e-15, -0.25, 0.22, 0.28],   # Fe XVII/XVIII 2p-3d
+    [0.950, 0.045, 4.013e-15, -0.10, 0.25, 0.30],   # Fe XIX/XX + Ne IX
+    [1.070, 0.050, 3.210e-15,  0.00, 0.25, 0.32],   # Ne X + Fe XXI
+    [1.170, 0.060, 2.140e-15,  0.15, 0.25, 0.35],   # Fe XXII-XXIV L
+    [1.472, 0.030, 1.340e-16,  0.08, 0.30, 0.40],   # Mg XII Ly-a
+    [1.865, 0.030, 3.927e-16,  0.00, 0.30, 0.30],   # Si XIII He-a
+    [2.006, 0.030, 9.786e-17,  0.26, 0.30, 0.40],   # Si XIV Ly-a
+    [2.461, 0.035, 1.248e-16,  0.15, 0.30, 0.30],   # S XV He-a
+    [2.623, 0.035, 3.156e-17,  0.45, 0.30, 0.40],   # S XVI Ly-a
+    [3.140, 0.045, 3.000e-17,  0.30, 0.30, 0.35],   # Ar XVII He-a
+    [3.323, 0.045, 1.200e-17,  0.57, 0.30, 0.45],   # Ar XVIII Ly-a
+    [3.902, 0.050, 2.200e-17,  0.40, 0.30, 0.35],   # Ca XIX He-a
+    [4.107, 0.050, 1.200e-17,  0.67, 0.30, 0.45],   # Ca XX Ly-a
+    [6.685, 0.060, 5.164e-16,  0.10, 0.606, 0.361],  # Fe XXV He-a complex
+    [6.966, 0.050, 6.952e-17,  0.90, 0.190, 0.342],  # Fe XXVI Ly-a
+    [7.850, 0.090, 7.000e-17,  0.60, 0.50, 0.45],   # Fe K-beta + Ni K-a
 ])
 
 
@@ -86,10 +113,9 @@ def line_photon_emissivity(E_keV, T_keV, Z_solar):
     """Metal-line photon emissivity per (n_e n_H), linear in Z."""
     E = np.asarray(E_keV)[..., None]
     logT = np.log10(T_keV)
-    E0, sE, amp, lt0, slt = (_LINES[:, 0], _LINES[:, 1], _LINES[:, 2],
-                             _LINES[:, 3], _LINES[:, 4])
-    # temperature response of each complex (collisional excitation needs
-    # kT >~ E_line/4 and the ion fraction peaks near lt0)
+    E0, sE, amp = _LINES[:, 0], _LINES[:, 1], _LINES[:, 2]
+    lt0, sltL, sltR = _LINES[:, 3], _LINES[:, 4], _LINES[:, 5]
+    slt = np.where(logT < lt0, sltL, sltR)
     t_resp = np.exp(-0.5 * ((logT - lt0) / slt) ** 2)
     t_resp = t_resp * np.exp(-np.clip(E0 / np.maximum(T_keV, 1e-3), 0, 600))
     prof = np.exp(-0.5 * ((E - E0) / sE) ** 2) / (sE * np.sqrt(2 * np.pi))

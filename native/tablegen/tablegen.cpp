@@ -60,16 +60,29 @@ double ff_photon_emissivity(double E, double T) {
 }
 
 // ---- line complexes (must match spectrum.py _LINES) -----------------------
-struct Line { double E0, sE, amp, lt0, slt; };
+// Asymmetric log-T responses; amplitudes calibrated against published
+// APEC equivalent-width anchors (see spectrum.py docstring and
+// tests/test_spectrum_anchors.py).
+struct Line { double E0, sE, amp, lt0, sltL, sltR; };
 const Line LINES[] = {
-    {0.654, 0.020, 1.5e-16, -0.60, 0.35},
-    {0.915, 0.050, 6.0e-16, -0.30, 0.30},
-    {1.050, 0.080, 1.2e-15, 0.00, 0.35},
-    {1.340, 0.030, 1.5e-16, 0.15, 0.35},
-    {1.870, 0.040, 1.2e-16, 0.30, 0.35},
-    {2.460, 0.050, 6.0e-17, 0.45, 0.35},
-    {3.900, 0.060, 3.0e-17, 0.60, 0.40},
-    {6.690, 0.080, 2.2e-16, 0.65, 0.22},
+    {0.654, 0.020, 8.206e-16, -0.55, 0.30, 0.40},   // O VIII Ly-a
+    {0.729, 0.025, 2.675e-15, -0.28, 0.22, 0.25},   // Fe XVII 2p-3s
+    {0.826, 0.030, 3.478e-15, -0.25, 0.22, 0.28},   // Fe XVII/XVIII 2p-3d
+    {0.950, 0.045, 4.013e-15, -0.10, 0.25, 0.30},   // Fe XIX/XX + Ne IX
+    {1.070, 0.050, 3.210e-15,  0.00, 0.25, 0.32},   // Ne X + Fe XXI
+    {1.170, 0.060, 2.140e-15,  0.15, 0.25, 0.35},   // Fe XXII-XXIV L
+    {1.472, 0.030, 1.340e-16,  0.08, 0.30, 0.40},   // Mg XII Ly-a
+    {1.865, 0.030, 3.927e-16,  0.00, 0.30, 0.30},   // Si XIII He-a
+    {2.006, 0.030, 9.786e-17,  0.26, 0.30, 0.40},   // Si XIV Ly-a
+    {2.461, 0.035, 1.248e-16,  0.15, 0.30, 0.30},   // S XV He-a
+    {2.623, 0.035, 3.156e-17,  0.45, 0.30, 0.40},   // S XVI Ly-a
+    {3.140, 0.045, 3.000e-17,  0.30, 0.30, 0.35},   // Ar XVII He-a
+    {3.323, 0.045, 1.200e-17,  0.57, 0.30, 0.45},   // Ar XVIII Ly-a
+    {3.902, 0.050, 2.200e-17,  0.40, 0.30, 0.35},   // Ca XIX He-a
+    {4.107, 0.050, 1.200e-17,  0.67, 0.30, 0.45},   // Ca XX Ly-a
+    {6.685, 0.060, 5.164e-16,  0.10, 0.606, 0.361},  // Fe XXV He-a
+    {6.966, 0.050, 6.952e-17,  0.90, 0.190, 0.342},  // Fe XXVI Ly-a
+    {7.850, 0.090, 7.000e-17,  0.60, 0.50, 0.45},   // Fe K-beta + Ni K-a
 };
 const int N_LINES = sizeof(LINES) / sizeof(LINES[0]);
 
@@ -79,7 +92,8 @@ double line_photon_emissivity(double E, double T, double Z) {
   double total = 0.0;
   for (int k = 0; k < N_LINES; ++k) {
     const Line& L = LINES[k];
-    const double dt = (logT - L.lt0) / L.slt;
+    const double slt = logT < L.lt0 ? L.sltL : L.sltR;
+    const double dt = (logT - L.lt0) / slt;
     double boltz = L.E0 / (T > 1e-3 ? T : 1e-3);
     if (boltz > 600.0) boltz = 600.0;
     const double t_resp = std::exp(-0.5 * dt * dt) * std::exp(-boltz);
