@@ -34,31 +34,40 @@ from ..sampling.stretch import EnsembleResult
 
 def _chunk_schedule(n_steps: int, thin: int, w_loc: int, dp: int,
                     chain_space: str):
-    """Split a sampling run into per-invocation chunks whose chain
-    buffers respect the same budgets as KernelSampler.run: the HBM
-    chain budget per invocation, and — because the lp chain stays a
-    VMEM output — the hardware-proven ~26 MB VMEM cap (a 53 MB VMEM
-    output crashed Mosaic).  Like KernelSampler.run, prefer a chunk
-    size that divides the schedule: one kernel shape instead of
-    main + remainder halves the Mosaic compile cost."""
-    from ..sampling.kernel import _CHAIN_HBM_BYTES, _CHAIN_VMEM_BYTES
+    """Per-device chunk sizes; the budget logic lives in ONE place
+    (sampling.kernel.chain_chunk_schedule) shared with the
+    single-device sampler."""
+    from ..sampling.kernel import chain_chunk_schedule
 
-    n_saved = n_steps // thin
-    if n_saved == 0:
-        return []
-    if chain_space == "hbm":
-        cap = min(1024, _CHAIN_HBM_BYTES // (w_loc * (dp + 1) * 4),
-                  _CHAIN_VMEM_BYTES // (w_loc * 4))
-    else:
-        cap = min(256, _CHAIN_VMEM_BYTES // (w_loc * (dp + 1) * 4))
-    cap = max(1, cap)
-    keep = min(n_saved, cap)
-    for cand in range(min(n_saved, cap), cap // 2, -1):
-        if n_saved % cand == 0:
-            keep = cand
-            break
-    full, rem = divmod(n_saved, keep)
-    return [keep * thin] * full + ([rem * thin] if rem else [])
+    return chain_chunk_schedule(n_steps, thin, w_loc, dp, chain_space)
+
+
+def _guard_per_device_walkers(w_loc: int, ndim: int,
+                              allow_small: bool = False):
+    """Independent per-chip ensembles are statistically equivalent to
+    one big ensemble only when each chip's ensemble is itself healthy.
+    Goodman-Weare needs W >> ndim (the move proposes along directions
+    spanned by the complementary half); measured equivalence numbers
+    for this posterior are in docs/PERFORMANCE.md.  Hard-error below
+    2*ndim+2 (the move's span degenerates), warn below 64 where mixing
+    per walker measurably degrades.  ``allow_small`` skips the guard
+    for mechanics tests / dry runs that verify plumbing, not
+    statistics."""
+    if allow_small:
+        return
+    if w_loc < 2 * ndim + 2:
+        raise ValueError(
+            f"walkers per device ({w_loc}) < 2*ndim+2 = {2 * ndim + 2}: "
+            f"a per-chip Goodman-Weare ensemble this small cannot span "
+            f"the parameter space — use fewer devices or more walkers "
+            f"(pass allow_small=True only for plumbing tests)")
+    if w_loc < 64:
+        import warnings
+        warnings.warn(
+            f"only {w_loc} walkers per device: small independent "
+            f"ensembles mix measurably worse per walker (see "
+            f"docs/PERFORMANCE.md); prefer >= 64 per device",
+            stacklevel=3)
 
 
 def make_sharded_kernel_step(sess, mesh, n_inner: int,
@@ -140,7 +149,9 @@ def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
                                  interpret: bool = False,
                                  chain_space: str = "hbm",
                                  axis: str = "walker",
-                                 core=None) -> EnsembleResult | None:
+                                 core=None,
+                                 allow_small: bool = False,
+                                 ) -> EnsembleResult | None:
     """Device-parallel kernel sampling mirroring ``KernelSampler.run``:
     ``p0`` is (W, D) with W divisible by the mesh's ``axis`` size and an
     even per-device share.  The chain is (n_steps//thin, W, D) with each
@@ -155,6 +166,7 @@ def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
     w_loc = W // n_dev
     if w_loc % 2:
         raise ValueError(f"walkers per device ({w_loc}) must be even")
+    _guard_per_device_walkers(w_loc, D, allow_small)
     if n_steps % thin:
         raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
                          f"thin ({thin})")
@@ -211,7 +223,8 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
                                    mesh, thin: int = 1, a: float = 2.0,
                                    interpret: bool = False,
                                    chain_space: str = "hbm",
-                                   axis: str = "walker", core=None):
+                                   axis: str = "walker", core=None,
+                                   allow_small: bool = False):
     """Device-parallel tempered sampling: independent K-rung tempered
     ensembles per chip.  ``p0`` is (K, W, D) or (W, D) replicated across
     rungs; W must split evenly over the mesh with an even per-device
@@ -235,6 +248,7 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
     w_loc = W // n_dev
     if w_loc % 2:
         raise ValueError(f"walkers per device ({w_loc}) must be even")
+    _guard_per_device_walkers(w_loc, D, allow_small)
     if n_steps % thin:
         raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
                          f"thin ({thin})")

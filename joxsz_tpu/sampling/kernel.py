@@ -38,6 +38,40 @@ _CHAIN_HBM_BYTES = 256 * 1024 * 1024
 _PLAIN_CHUNK = 1000          # steps per invocation when no chain is kept
 
 
+def chain_chunk_schedule(n_steps: int, thin: int, n_walkers: int, dp: int,
+                         chain_space: str = "hbm") -> list[int]:
+    """Per-invocation chunk sizes (steps, multiples of ``thin``) whose
+    chain buffers respect the budgets — the ONE schedule used by both
+    the single-device sampler (KernelSampler.run) and the sharded
+    runner (parallel/kernel_sharded.py), so the budget constants can't
+    drift between them.
+
+    A chain frame costs n_walkers * (dp + 1) * 4 bytes in the chain
+    buffer (HBM by default, VMEM under chain_space="vmem"); the lp
+    chain stays a VMEM output even in HBM mode, so its
+    n_keep * n_walkers * 4 bytes are capped against the
+    hardware-proven ~26 MB VMEM limit in both modes (a 53 MB VMEM
+    output crashed Mosaic).  Prefers a chunk size that divides the
+    schedule: one kernel shape instead of main + remainder halves the
+    Mosaic compile cost."""
+    n_saved = n_steps // thin
+    if n_saved == 0:
+        return []
+    if chain_space == "hbm":
+        cap = min(1024, _CHAIN_HBM_BYTES // (n_walkers * (dp + 1) * 4),
+                  _CHAIN_VMEM_BYTES // (n_walkers * 4))
+    else:
+        cap = min(256, _CHAIN_VMEM_BYTES // (n_walkers * (dp + 1) * 4))
+    cap = max(1, cap)
+    keep = min(n_saved, cap)
+    for cand in range(min(n_saved, cap), cap // 2, -1):
+        if n_saved % cand == 0:
+            keep = cand
+            break
+    full, rem = divmod(n_saved, keep)
+    return [keep * thin] * full + ([rem * thin] if rem else [])
+
+
 class KernelSampler:
     """Factory-validated wrapper; build with :func:`make_kernel_sampler`."""
 
@@ -64,15 +98,29 @@ class KernelSampler:
     def log_prob_batch(self, thetas):
         return self._core(thetas)
 
-    @staticmethod
-    def _sharded_layout_ok(W, n_steps, thin, mesh, axis="walker"):
+    def _sharded_layout_ok(self, W, n_steps, thin, mesh, axis="walker"):
         """Cheap pre-checks mirroring the runner's argument validation —
         done HERE so a mismatch falls back to the XLA mesh sampler while
         genuine runtime errors in the sharded path still propagate
-        (a broad except would mask real bugs as a silent fallback)."""
+        (a broad except would mask real bugs as a silent fallback).
+        Includes the small-per-chip-ensemble guard: below 2*ndim+2
+        walkers per device the independent-ensemble path is
+        statistically unsound, so the caller should fall back to the
+        XLA mesh sampler (ONE properly sized sharded ensemble)."""
         n_dev = mesh.shape[axis]
-        return (W % n_dev == 0 and (W // n_dev) % 2 == 0
-                and n_steps % thin == 0)
+        if not (W % n_dev == 0 and (W // n_dev) % 2 == 0
+                and n_steps % thin == 0):
+            return False
+        ndim = len(self._sess.params.thawed)
+        if W // n_dev < 2 * ndim + 2:
+            import warnings
+            warnings.warn(
+                f"{W // n_dev} walkers per device is below 2*ndim+2 = "
+                f"{2 * ndim + 2}: falling back to the XLA mesh sampler "
+                f"(one walker-sharded ensemble) instead of independent "
+                f"per-chip kernel ensembles", stacklevel=3)
+            return False
+        return True
 
     def run_sharded(self, p0, n_steps: int, key, mesh, thin: int = 1):
         """Multi-chip sampling: independent per-device ensembles through
@@ -137,29 +185,10 @@ class KernelSampler:
                 final_state=(x, lp, key),
             )
 
-        # schedule: chunks of n_keep saved samples per invocation; a chain
-        # frame costs W * (Dp + 1) * 4 bytes of chain buffer (HBM by
-        # default, VMEM under chain_space="vmem")
-        n_saved = n_steps // thin
-        if self._chain_space == "hbm":
-            max_keep = max(1, min(1024, _CHAIN_HBM_BYTES
-                                  // (W * (self._dp + 1) * 4)))
-        else:
-            max_keep = max(1, min(256, _CHAIN_VMEM_BYTES
-                                  // (W * (self._dp + 1) * 4)))
         chunks: list[tuple[int, int | None]] = []   # (n_inner, thin or None)
         if store_chain:
-            # prefer a keep that divides n_saved: one kernel shape instead
-            # of main + remainder halves the compile cost of new schedules
-            keep = min(n_saved, max_keep)
-            for cand in range(min(n_saved, max_keep), max_keep // 2, -1):
-                if n_saved % cand == 0:
-                    keep = cand
-                    break
-            full, rem = divmod(n_saved, keep)
-            chunks += [(keep * thin, thin)] * full
-            if rem:
-                chunks.append((rem * thin, thin))
+            chunks = [(n, thin) for n in chain_chunk_schedule(
+                n_steps, thin, W, self._dp, self._chain_space)]
         else:
             full, rem = divmod(n_steps, _PLAIN_CHUNK)
             chunks += [(_PLAIN_CHUNK, None)] * full

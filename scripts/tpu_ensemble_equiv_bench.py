@@ -1,0 +1,105 @@
+"""Measure (not assert) the statistical equivalence of independent
+per-chip ensembles vs one big ensemble (VERDICT r1 weak #3 /
+docs/PERFORMANCE.md): from one equilibrated walker cloud, compare
+
+  A: one W=2048 Goodman-Weare ensemble,
+  B: 8 x 256 independent ensembles (the multi-chip kernel layout),
+  C: 32 x 64 independent ensembles (small-per-chip regime),
+  D: 128 x 16 independent ensembles (guard-violating regime, run here
+     only to quantify why the guard exists)
+
+all through the SAME fused step kernel for the same number of steps,
+and report the integrated autocorrelation time and effective samples
+per likelihood eval of each.  Independent ensembles target the same
+posterior either way; the question is purely mixing per walker.
+
+Run: setsid nohup python scripts/tpu_ensemble_equiv_bench.py > /tmp/equiv.log 2>&1 &
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+t0 = time.time()
+
+
+def log(m):
+    print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from joxsz_tpu.config import JoXSZConfig
+from joxsz_tpu.build import build_session
+from joxsz_tpu.sampling.kernel import make_kernel_sampler
+from joxsz_tpu.sampling.stretch import generate_init_positions
+from joxsz_tpu.postproc.summary import integrated_autocorr_time
+
+W_TOTAL = 2048
+N_BURN = 4000
+N_STEPS = 10000
+THIN = 5
+LAYOUTS = [("1 x 2048", 1), ("8 x 256", 8), ("32 x 64", 32),
+           ("128 x 16", 128)]
+
+cfg = JoXSZConfig.cl1226()
+cfg.dtype = "float32"
+sess = build_session(cfg)
+ks = make_kernel_sampler(sess)
+assert ks is not None
+log(f"backend {jax.default_backend()}; session + kernel sampler ready")
+
+theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+key = jax.random.PRNGKey(20240817)
+p0 = generate_init_positions(
+    ks.log_prob_batch, jnp.asarray(theta0), W_TOTAL, key, spread=0.1)
+log(f"init positions generated ({W_TOTAL} walkers)")
+
+# equilibrate once; every layout starts from the same cloud
+burn = ks.run(p0, N_BURN, jax.random.PRNGKey(1), thin=N_BURN,
+              store_chain=False)
+x_eq = np.asarray(burn.final_state[0])
+log(f"equilibrated {N_BURN} steps; acc "
+    f"{float(burn.acceptance_fraction.mean()):.3f}")
+
+results = {}
+for name, n_ens in LAYOUTS:
+    w = W_TOTAL // n_ens
+    chains = []
+    t1 = time.time()
+    for e in range(n_ens):
+        blk = jnp.asarray(x_eq[e * w:(e + 1) * w])
+        res = ks.run(blk, N_STEPS, jax.random.PRNGKey(1000 + 7 * e),
+                     thin=THIN)
+        chains.append(res.chain)          # (n_saved, w, D)
+    wall = time.time() - t1
+    chain = np.concatenate(chains, axis=1)  # (n_saved, W_TOTAL, D)
+    tau_saved = np.asarray(integrated_autocorr_time(chain))
+    tau_steps = tau_saved * THIN
+    # effective samples of the worst-mixing parameter, totalled over
+    # all walkers; per likelihood eval = the figure of merit
+    n_saved = chain.shape[0]
+    neff = n_saved * W_TOTAL / tau_saved
+    evals = W_TOTAL * N_STEPS
+    results[name] = dict(tau_max=float(tau_steps.max()),
+                         tau_mean=float(tau_steps.mean()),
+                         neff_min=float(neff.min()),
+                         neff_per_eval=float(neff.min() / evals),
+                         wall=wall)
+    log(f"{name}: tau(steps) mean {tau_steps.mean():7.1f} "
+        f"max {tau_steps.max():7.1f}; N_eff(worst) {neff.min():9.0f}; "
+        f"N_eff/eval {neff.min()/evals:.5f}; wall {wall:6.1f}s")
+
+base = results["1 x 2048"]["neff_per_eval"]
+print("\nlayout        tau_mean  tau_max   N_eff(worst)  Neff/eval  vs 1x2048")
+for name, _ in LAYOUTS:
+    r = results[name]
+    print(f"{name:12} {r['tau_mean']:8.1f} {r['tau_max']:8.1f} "
+          f"{r['neff_min']:12.0f} {r['neff_per_eval']:10.5f} "
+          f"{r['neff_per_eval']/base:8.2f}x")

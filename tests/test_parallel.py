@@ -125,7 +125,7 @@ def test_kernel_sharded_matches_per_device_runs(ref_data):
     res = run_sharded_kernel_ensembles(sess, x0, n_steps=6,
                                        key=jax.random.PRNGKey(3),
                                        mesh=mesh, thin=2, interpret=True,
-                                       core=core)
+                                       core=core, allow_small=True)
     assert res.chain.shape == (3, W, theta0.size)
     lp_re = np.asarray(core(jnp.asarray(res.chain[-1])))
     np.testing.assert_allclose(res.log_prob[-1], lp_re, rtol=2e-5,
@@ -149,16 +149,18 @@ def test_run_fit_routes_mesh_through_sharded_kernel(ref_data, tmp_path):
     sess = build_session(cfg)
     ks = make_kernel_sampler(sess, interpret=True)
     assert ks is not None
-    mesh = make_mesh(4, axis_names=("walker",))
+    mesh = make_mesh(2, axis_names=("walker",))
     p = sess.params
 
+    # 28 walkers/device: the smallest per-chip ensemble the
+    # statistical guard admits (2*ndim+2 with ndim=13)
     res = run_fit(sess.log_like, np.asarray(p.thawed_values()),
                   np.asarray(p.lo), np.asarray(p.hi), list(p.thawed),
-                  nwalkers=16, nburn=4, nsteps=8, nthin=2, seed=0,
+                  nwalkers=56, nburn=4, nsteps=8, nthin=2, seed=0,
                   initspread=0.02, prelim_iterations=2,
                   max_prelim_rounds=1, do_mle=False, mesh=mesh,
                   step_sampler=ks, verbose=False)
-    assert res.chain.shape == (4, 16, len(p.thawed))
+    assert res.chain.shape == (4, 56, len(p.thawed))
     # stored lp matches recomputation (kernel-recorded frames)
     lp_re = np.asarray(ks.log_prob_batch(jnp.asarray(res.chain[-1])))
     np.testing.assert_allclose(res.log_prob[-1], lp_re, rtol=2e-5,
@@ -194,7 +196,8 @@ def test_tempered_kernel_sharded_matches_per_device(ref_data):
     key = jax.random.PRNGKey(4)
     res = run_sharded_tempered_ensembles(sess, p0, betas, n_steps=4,
                                          key=key, mesh=mesh, thin=2,
-                                         interpret=True, core=core)
+                                         interpret=True, core=core,
+                                         allow_small=True)
     assert res is not None
     assert res.chain.shape == (2, W, theta0.size)
     assert res.swap_acceptance.shape == (K - 1,)
@@ -220,3 +223,35 @@ def test_tempered_kernel_sharded_matches_per_device(ref_data):
         sacc_tot += np.asarray(saccd)
     np.testing.assert_allclose(res.swap_acceptance,
                                sacc_tot / float(4 * W))
+
+
+@needs_devices
+def test_small_per_device_ensemble_guard(ref_data):
+    """Statistical guard on independent per-chip ensembles: the library
+    runner hard-errors below 2*ndim+2 walkers per device (unless
+    allow_small for plumbing tests), and KernelSampler.run_sharded
+    falls back (None + warning) so the driver can route to the XLA
+    mesh sampler instead."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.parallel.kernel_sharded import (
+        run_sharded_kernel_ensembles,
+    )
+    from joxsz_tpu.sampling.kernel import make_kernel_sampler
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    mesh = make_mesh(8, axis_names=("walker",))
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    x0 = jnp.asarray(np.tile(theta0, (32, 1)))   # 4 walkers/device
+
+    with pytest.raises(ValueError, match="2\\*ndim\\+2"):
+        run_sharded_kernel_ensembles(sess, x0, n_steps=2,
+                                     key=jax.random.PRNGKey(0),
+                                     mesh=mesh, thin=2, interpret=True)
+
+    ks = make_kernel_sampler(sess, interpret=True)
+    with pytest.warns(UserWarning, match="falling back"):
+        out = ks.run_sharded(x0, 2, jax.random.PRNGKey(0), mesh, thin=2)
+    assert out is None
