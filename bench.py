@@ -60,6 +60,7 @@ def main():
         except Exception:
             step = None
 
+    neff_metrics = None
     if step is not None:
         lp0 = core(p0)
         x, lp, acc = step(p0, lp0, jnp.zeros(W), 1)   # compile + warm
@@ -69,6 +70,42 @@ def main():
             x, lp, acc = step(x, lp, acc, 2 + i)
         jax.block_until_ready(x)
         wall = time.time() - t0
+
+        # ---- sampling QUALITY: N_eff/s (VERDICT r1 weak #5) -------------
+        # Record a thinned chain fully on-device and fetch only a
+        # 64-walker slice (the full chain is ~1.7 GB; the tunnel moves
+        # ~20 MB/s).  tau is a property of the move, not of which
+        # walkers we look at, so 64 walkers estimate it fine.
+        from joxsz_tpu.postproc.summary import integrated_autocorr_time
+
+        THIN, N_Q, N_CHUNKS = 5, 2000, 2
+        step_c = make_step_kernel(sess, n_inner=N_Q, n_walkers=W,
+                                  thin=THIN)
+        sl = jax.jit(lambda c: c[:, :64, :theta0.size])
+        x2, lp2, acc2, ch, chlp = step_c(x, lp, acc, 97)   # compile+warm
+        jax.block_until_ready(x2)
+        t0 = time.time()
+        subs = []
+        for i in range(N_CHUNKS):
+            x2, lp2, acc2, ch, chlp = step_c(x2, lp2, acc2, 98 + i)
+            subs.append(sl(ch))
+        jax.block_until_ready(x2)
+        wall_q = time.time() - t0
+        # one continuous chain across chunks (each starts from the last
+        # state of the previous)
+        sub = np.concatenate([np.asarray(s) for s in subs])
+        tau_saved = np.asarray(integrated_autocorr_time(sub))
+        tau_steps = float(tau_saved.max()) * THIN     # worst parameter
+        neff = sub.shape[0] * W / float(tau_saved.max())
+        neff_per_s = neff / wall_q
+        # reference quality throughput: same Goodman-Weare move => same
+        # tau in steps; emcee at ~107 evals/s gives 107/tau N_eff/s
+        neff_metrics = {
+            "neff_per_sec": round(neff_per_s, 1),
+            "tau_steps_worst": round(tau_steps, 1),
+            "neff_vs_baseline": round(
+                neff_per_s / (REFERENCE_EVALS_PER_S / tau_steps), 1),
+        }
     else:
         log_like_batch = jax.jit(jax.vmap(sess.log_like))
         # ONE compiled program (the remote-TPU compile path is expensive):
@@ -82,12 +119,19 @@ def main():
     evals = n_steps * W
     evals_per_s = evals / wall
 
-    print(json.dumps({
+    primary = {
         "metric": "joint_likelihood_evals_per_sec",
         "value": round(evals_per_s, 1),
         "unit": f"evals/s ({W} walkers, {jax.default_backend()})",
         "vs_baseline": round(evals_per_s / REFERENCE_EVALS_PER_S, 1),
-    }))
+    }
+    if neff_metrics is not None:
+        # sampling QUALITY alongside raw throughput: effective samples
+        # per second (worst-mixing parameter) and the autocorrelation
+        # time it derives from; baseline = reference emcee at the same
+        # tau (same Goodman-Weare move)
+        primary.update(neff_metrics)
+    print(json.dumps(primary))
 
 
 if __name__ == "__main__":

@@ -15,7 +15,7 @@ Mpc_cm = 3.0856775807e24        # cm per Mpc
 Mpc_km = 3.0856775807e19        # km per Mpc
 yr_s = 31556926.0               # seconds per (tropical) year
 keV_erg = 1.6021766e-9          # erg per keV
-keV_K = 1.1604505e7             # Kelvin per keV
+keV_K = 1.160451812e7           # Kelvin per keV (CODATA 2018)
 erg_keV = 1.0 / keV_erg
 
 # --- physical constants -----------------------------------------------------

@@ -8,10 +8,14 @@ docs/PERFORMANCE.md): from one equilibrated walker cloud, compare
   D: 128 x 16 independent ensembles (guard-violating regime, run here
      only to quantify why the guard exists)
 
-all through the SAME fused step kernel for the same number of steps,
-and report the integrated autocorrelation time and effective samples
-per likelihood eval of each.  Independent ensembles target the same
-posterior either way; the question is purely mixing per walker.
+all through the SAME fused step kernel for the same number of total
+steps, and report the integrated autocorrelation time and effective
+samples per likelihood eval of each.  Independent ensembles target the
+same posterior either way; the question is purely mixing per walker.
+
+Chains are recorded in-kernel and only a small walker slice is fetched
+per ensemble (the tunnel moves ~20 MB/s; tau doesn't care which
+walkers we look at).
 
 Run: setsid nohup python scripts/tpu_ensemble_equiv_bench.py > /tmp/equiv.log 2>&1 &
 """
@@ -37,55 +41,65 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
-from joxsz_tpu.sampling.kernel import make_kernel_sampler
+from joxsz_tpu.ops.pallas_joint import make_joint_core, make_step_kernel
 from joxsz_tpu.sampling.stretch import generate_init_positions
 from joxsz_tpu.postproc.summary import integrated_autocorr_time
 
 W_TOTAL = 2048
 N_BURN = 4000
-N_STEPS = 10000
+N_STEPS = 10000            # per layout (total walker-steps equal for all)
 THIN = 5
+CHUNK = 2000               # steps per kernel invocation (chain in HBM)
 LAYOUTS = [("1 x 2048", 1), ("8 x 256", 8), ("32 x 64", 32),
            ("128 x 16", 128)]
 
 cfg = JoXSZConfig.cl1226()
 cfg.dtype = "float32"
 sess = build_session(cfg)
-ks = make_kernel_sampler(sess)
-assert ks is not None
-log(f"backend {jax.default_backend()}; session + kernel sampler ready")
+core = make_joint_core(sess, block_b=256)
+log(f"backend {jax.default_backend()}; session ready")
 
 theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
-key = jax.random.PRNGKey(20240817)
-p0 = generate_init_positions(
-    ks.log_prob_batch, jnp.asarray(theta0), W_TOTAL, key, spread=0.1)
+D = theta0.size
+p0 = generate_init_positions(core, jnp.asarray(theta0), W_TOTAL,
+                             jax.random.PRNGKey(20240817), spread=0.1)
 log(f"init positions generated ({W_TOTAL} walkers)")
 
 # equilibrate once; every layout starts from the same cloud
-burn = ks.run(p0, N_BURN, jax.random.PRNGKey(1), thin=N_BURN,
-              store_chain=False)
-x_eq = np.asarray(burn.final_state[0])
+eq = make_step_kernel(sess, n_inner=N_BURN, n_walkers=W_TOTAL)
+x_eq, lp_eq, acc_eq = eq(p0, core(p0), jnp.zeros(W_TOTAL, jnp.float32), 7)
+jax.block_until_ready(x_eq)
+x_eq = np.asarray(x_eq)
 log(f"equilibrated {N_BURN} steps; acc "
-    f"{float(burn.acceptance_fraction.mean()):.3f}")
+    f"{float(np.asarray(acc_eq).mean()) / N_BURN:.3f}")
 
 results = {}
 for name, n_ens in LAYOUTS:
     w = W_TOTAL // n_ens
+    n_slice = min(w, max(4, 512 // n_ens))   # ~512 fetched series total
+    step_c = make_step_kernel(sess, n_inner=CHUNK, n_walkers=w, thin=THIN)
+    sl = jax.jit(lambda c, n=n_slice: c[:, :n, :D])
     chains = []
     t1 = time.time()
     for e in range(n_ens):
-        blk = jnp.asarray(x_eq[e * w:(e + 1) * w])
-        res = ks.run(blk, N_STEPS, jax.random.PRNGKey(1000 + 7 * e),
-                     thin=THIN)
-        chains.append(res.chain)          # (n_saved, w, D)
+        x = jnp.asarray(x_eq[e * w:(e + 1) * w])
+        lp = core(x)
+        acc = jnp.zeros(w, jnp.float32)
+        subs = []
+        for i in range(N_STEPS // CHUNK):
+            x, lp, acc, ch, chlp = step_c(x, lp, acc,
+                                          1000 + 97 * e + i)
+            subs.append(sl(ch))
+        chains.append(subs)
+    # fetch after all dispatches (overlaps device work)
+    chain = np.concatenate(
+        [np.concatenate([np.asarray(s) for s in subs], axis=0)
+         for subs in chains], axis=1)        # (n_saved, n_ens*n_slice, D)
     wall = time.time() - t1
-    chain = np.concatenate(chains, axis=1)  # (n_saved, W_TOTAL, D)
     tau_saved = np.asarray(integrated_autocorr_time(chain))
     tau_steps = tau_saved * THIN
-    # effective samples of the worst-mixing parameter, totalled over
-    # all walkers; per likelihood eval = the figure of merit
     n_saved = chain.shape[0]
-    neff = n_saved * W_TOTAL / tau_saved
+    neff = n_saved * W_TOTAL / tau_saved     # scaled to the full cloud
     evals = W_TOTAL * N_STEPS
     results[name] = dict(tau_max=float(tau_steps.max()),
                          tau_mean=float(tau_steps.mean()),
@@ -103,3 +117,4 @@ for name, _ in LAYOUTS:
     print(f"{name:12} {r['tau_mean']:8.1f} {r['tau_max']:8.1f} "
           f"{r['neff_min']:12.0f} {r['neff_per_eval']:10.5f} "
           f"{r['neff_per_eval']/base:8.2f}x")
+print("DONE", flush=True)
