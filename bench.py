@@ -78,7 +78,10 @@ def main():
         # walkers we look at, so 64 walkers estimate it fine.
         from joxsz_tpu.postproc.summary import integrated_autocorr_time
 
-        THIN, N_Q, N_CHUNKS = 5, 2000, 2
+        # tau on this posterior is ~850 steps (scripts/
+        # tpu_ensemble_equiv_bench.py), so the window needs >> 5 tau of
+        # chain: 20k steps, saved every 25 (tau_saved ~ 34, n/tau ~ 23)
+        THIN, N_Q, N_CHUNKS = 25, 2000, 10
         step_c = make_step_kernel(sess, n_inner=N_Q, n_walkers=W,
                                   thin=THIN)
         sl = jax.jit(lambda c: c[:, :64, :theta0.size])

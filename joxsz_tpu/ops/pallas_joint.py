@@ -742,11 +742,20 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
     return joint_ll
 
 
+# partner="auto" switches from the emcee-parity one-hot gather to the
+# hashed rotation above this ensemble size: the one-hot matmul is
+# O(H^2 Dp) and measured (same claim, scripts/tpu_scaling_partner_bench)
+# at 8/38/146 us per step at W=4096/8192/16384 — past this threshold it
+# dominates scaling while roll keeps throughput rising (23.3M -> 29.5M
+# evals/s at W=16384); mixing is equivalent (tau within 2% at W=2048).
+_PARTNER_AUTO_THRESHOLD = 4096
+
+
 def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      interpret: bool = False, vmem_limit_mb: int = 96,
                      thin: int | None = None, ablate: str = "",
                      unroll: int = 1, chain_space: str = "hbm",
-                     partner: str = "onehot", ll_tile: int = 256):
+                     partner: str = "auto", ll_tile: int = 256):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
@@ -774,22 +783,28 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     ``"vmem"`` is the original VMEM-output path, kept for A/B testing.
 
     ``partner`` selects how each moving walker's complementary-half
-    partner is drawn: ``"onehot"`` (default, emcee-parity) draws an
+    partner is drawn: ``"onehot"`` (emcee-parity) draws an
     i.i.d. uniform index per walker and gathers via an (H, H) one-hot
-    MXU matmul — O(H^2 Dp) FLOPs, ~40%% of the step's FLOP budget at
-    W=4096 and growing quadratically; ``"roll"`` rotates the fixed half
-    by one hashed state-independent shift per substep (pltpu.roll,
-    O(H Dp)).  Both are valid Goodman-Weare updates: conditional on any
+    MXU matmul — O(H^2 Dp) FLOPs, growing quadratically with the
+    ensemble; ``"roll"`` rotates the fixed half by one hashed
+    state-independent shift per substep (pltpu.roll, O(H Dp)).  Both
+    are valid Goodman-Weare updates: conditional on any
     state-independent partner assignment each walker's Metropolis update
     leaves the product target invariant, and the rotation makes partner
     choice marginally uniform — only cross-walker correlation within one
     substep differs (same device as the swap pairing in the tempered
-    kernel).  Keep "onehot" where exact emcee stream semantics matter;
-    "roll" is a throughput option for large ensembles.
+    kernel).  ``"auto"`` (default) keeps "onehot" up to
+    _PARTNER_AUTO_THRESHOLD walkers (where its cost hides behind the
+    VPU work) and switches to "roll" above it, where the quadratic
+    gather is the measured scaling ceiling and the mixing A/B shows no
+    autocorrelation penalty (docs/PERFORMANCE.md).
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
                          f"got {chain_space!r}")
+    if partner == "auto":
+        partner = ("roll" if n_walkers > _PARTNER_AUTO_THRESHOLD
+                   else "onehot")
     if partner not in ("onehot", "roll"):
         raise ValueError(f"partner must be 'onehot' or 'roll', "
                          f"got {partner!r}")

@@ -13,12 +13,16 @@ either, /root/reference/joxsz_main.py:203-208 only parallelises
 likelihood evaluations *within* one ensemble).
 
 Why per-chip ensembles instead of one sharded ensemble: the stretch
-move's partner gather is a (H, H) one-hot matmul against the fixed half
-— chip-local here; sharding a single ensemble through the kernel would
-need a remote-DMA all-gather inside the kernel every substep.  With
-W >= ~256 per chip the ensembles mix identically (acceptance and
-autocorrelation depend on the move, not on W), so there is no
-statistical cost — only linear throughput scaling.
+move's partner gather is chip-local here; sharding a single ensemble
+through the kernel would need a remote-DMA all-gather inside the
+kernel every substep.  MEASURED equivalence
+(scripts/tpu_ensemble_equiv_bench.py, docs/PERFORMANCE.md): splitting
+one equilibrated 2048-walker cloud into 8x256 / 32x64 independent
+ensembles changes the integrated autocorrelation time by <= 3%
+(within estimator noise), so there is no statistical cost — only
+linear throughput scaling.  Below ~2*ndim+2 walkers per chip the move
+cannot span the parameter space; `_guard_per_device_walkers` enforces
+that floor.
 """
 
 from __future__ import annotations
