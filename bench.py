@@ -39,12 +39,14 @@ def main():
 
     # fastest measured production sampler (docs/PERFORMANCE.md): the fused
     # Pallas step-loop kernel — whole MCMC steps (proposal + joint
-    # likelihood + accept, hardware PRNG) VMEM-resident, 100 steps per
+    # likelihood + accept, hardware PRNG) VMEM-resident, 500 steps per
     # invocation.  XLA scan sampler as the fallback / CPU path.
     step = None
-    # W=4096 is the measured throughput peak (docs/PERFORMANCE.md); the
-    # fori_loop likelihood tiling keeps its cold Mosaic compile at ~13s
-    W = 4096 if on_tpu else 1024
+    # W=16384 is the measured throughput peak now that partner="auto"
+    # swaps the quadratic one-hot gather for the O(W) rotation above
+    # 4096 walkers (docs/PERFORMANCE.md round-2 scaling section);
+    # W=32768 fails Mosaic compilation (VMEM state)
+    W = 16384 if on_tpu else 1024
     n_steps = 2000 if on_tpu else 200
     rng = np.random.default_rng(0)
     p0 = jnp.asarray(theta0[None] * (
@@ -73,19 +75,27 @@ def main():
 
         # ---- sampling QUALITY: N_eff/s (VERDICT r1 weak #5) -------------
         # Record a thinned chain fully on-device and fetch only a
-        # 64-walker slice (the full chain is ~1.7 GB; the tunnel moves
+        # 64-walker slice (a full chain is GBs; the tunnel moves
         # ~20 MB/s).  tau is a property of the move, not of which
-        # walkers we look at, so 64 walkers estimate it fine.
+        # walkers we look at, so 64 walkers estimate it fine.  Run the
+        # quality phase at W=4096 (chain-buffer sizes proven there; tau
+        # doesn't depend on W — measured, docs/PERFORMANCE.md).
         from joxsz_tpu.postproc.summary import integrated_autocorr_time
 
+        W_Q = 4096
         # tau on this posterior is ~850 steps (scripts/
         # tpu_ensemble_equiv_bench.py), so the window needs >> 5 tau of
         # chain: 20k steps, saved every 25 (tau_saved ~ 34, n/tau ~ 23)
         THIN, N_Q, N_CHUNKS = 25, 2000, 10
-        step_c = make_step_kernel(sess, n_inner=N_Q, n_walkers=W,
+        step_c = make_step_kernel(sess, n_inner=N_Q, n_walkers=W_Q,
                                   thin=THIN)
         sl = jax.jit(lambda c: c[:, :64, :theta0.size])
-        x2, lp2, acc2, ch, chlp = step_c(x, lp, acc, 97)   # compile+warm
+        xq = jnp.asarray(theta0[None] * (
+            1 + 0.01 * rng.standard_normal((W_Q, theta0.size))
+        ).astype(np.float32))
+        x2, lp2, acc2 = xq, core(xq), jnp.zeros(W_Q, jnp.float32)
+        # first invocation = compile + equilibration warm-up
+        x2, lp2, acc2, ch, chlp = step_c(x2, lp2, acc2, 97)
         jax.block_until_ready(x2)
         t0 = time.time()
         subs = []
@@ -99,7 +109,7 @@ def main():
         sub = np.concatenate([np.asarray(s) for s in subs])
         tau_saved = np.asarray(integrated_autocorr_time(sub))
         tau_steps = float(tau_saved.max()) * THIN     # worst parameter
-        neff = sub.shape[0] * W / float(tau_saved.max())
+        neff = sub.shape[0] * W_Q / float(tau_saved.max())
         neff_per_s = neff / wall_q
         # reference quality throughput: same Goodman-Weare move => same
         # tau in steps; emcee at ~107 evals/s gives 107/tau N_eff/s
