@@ -31,6 +31,14 @@ from joxsz_tpu.parallel import make_mesh, run_multi_cluster
 
 
 def main():
+    import os
+
+    # honor JAX_PLATFORMS=cpu in-process: some launchers (e.g. a
+    # site-customized remote-accelerator boot) override the env var
+    # after import, which would silently put the "virtual mesh" run on
+    # one real device
+    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     cfg = JoXSZConfig.cl1226()
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
