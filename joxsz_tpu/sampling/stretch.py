@@ -202,17 +202,27 @@ def generate_init_positions(
     resampled until every walker has finite log-probability (the
     reference's `_generateInitPars`, /root/reference/joxsz_funcs.py:548-570).
 
+    One deliberate deviation from the reference's pure-multiplicative
+    scheme: a coordinate whose centre value is exactly 0 (e.g. the
+    default log(T_X/T_{SZ})) would make EVERY walker identical there,
+    and an affine-invariant ensemble can never develop diversity in a
+    degenerate direction — the stretch move preserves it forever.  A
+    small additive floor (spread * max(|theta_i|, 1e-2)) keeps every
+    coordinate non-degenerate; affine invariance then grows the cloud
+    to the posterior width during burn-in.
+
     Implemented as a batched resampling loop: draw a full batch, keep
     finite rows, redraw only the rest — O(few) batched likelihood calls
     instead of one call per walker."""
     theta0 = jnp.asarray(theta0)
     D = theta0.shape[0]
+    scale = spread * jnp.maximum(jnp.abs(theta0), 1e-2)
     pos = jnp.zeros((n_walkers, D), dtype=theta0.dtype)
     ok = jnp.zeros((n_walkers,), dtype=bool)
     for _ in range(max_tries):
         key, sub = jax.random.split(key)
-        cand = theta0 * (1.0 + spread * jax.random.normal(
-            sub, (n_walkers, D), dtype=theta0.dtype))
+        cand = theta0 + scale * jax.random.normal(
+            sub, (n_walkers, D), dtype=theta0.dtype)
         lp = log_prob_batch(cand)
         fine = jnp.isfinite(lp)
         take = fine & ~ok

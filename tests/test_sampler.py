@@ -85,6 +85,25 @@ def test_walker_init_rejection():
     assert bool(jnp.all(jnp.isfinite(lp_b(pos))))
 
 
+def test_walker_init_zero_coordinate_not_degenerate():
+    """A centre value of exactly 0 (the default log(T_X/T_{SZ})) must
+    still get per-walker diversity: a pure multiplicative perturbation
+    would freeze the whole affine-invariant ensemble in that direction
+    FOREVER (the stretch move preserves degenerate directions)."""
+    def log_prob(x):
+        return -0.5 * jnp.sum(x**2)
+
+    lp_b = jax.jit(jax.vmap(log_prob))
+    theta0 = np.array([1.0, 0.0, -2.0])
+    pos = np.asarray(generate_init_positions(
+        lp_b, theta0, 64, jax.random.PRNGKey(3), spread=0.1))
+    assert np.std(pos[:, 1]) > 0.0
+    # and the ensemble expands the tiny seed to the posterior width
+    res = run_ensemble(lp_b, jnp.asarray(pos), 800,
+                       jax.random.PRNGKey(4), thin=8)
+    assert np.std(np.asarray(res.chain[-20:, :, 1])) > 0.3
+
+
 def test_reproducibility():
     """Same seed -> identical chain (counter-based PRNG)."""
     def log_prob(x):
