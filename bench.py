@@ -80,7 +80,7 @@ def main():
         # walkers we look at, so 64 walkers estimate it fine.  Run the
         # quality phase at W=4096 (chain-buffer sizes proven there; tau
         # doesn't depend on W — measured, docs/PERFORMANCE.md).
-        from joxsz_tpu.postproc.summary import integrated_autocorr_time
+        from joxsz_tpu.postproc.summary import chain_tau_steps
 
         W_Q = 4096
         # tau on this posterior is ~850 steps (scripts/
@@ -94,7 +94,11 @@ def main():
             1 + 0.01 * rng.standard_normal((W_Q, theta0.size))
         ).astype(np.float32))
         x2, lp2, acc2 = xq, core(xq), jnp.zeros(W_Q, jnp.float32)
-        # first invocation = compile + equilibration warm-up
+        # compile + equilibrate: two invocations = 4000 steps (~4-5 tau),
+        # matching the standalone tau benches — a single 2000-step chunk
+        # leaves a relaxation transient from the tight init cloud that
+        # inflates the measured tau
+        x2, lp2, acc2, ch, chlp = step_c(x2, lp2, acc2, 96)
         x2, lp2, acc2, ch, chlp = step_c(x2, lp2, acc2, 97)
         jax.block_until_ready(x2)
         t0 = time.time()
@@ -105,11 +109,12 @@ def main():
         jax.block_until_ready(x2)
         wall_q = time.time() - t0
         # one continuous chain across chunks (each starts from the last
-        # state of the previous)
+        # state of the previous); tau rules (negative-ACF clamp, max()
+        # reduction) live in postproc.summary.chain_tau_steps
         sub = np.concatenate([np.asarray(s) for s in subs])
-        tau_saved = np.asarray(integrated_autocorr_time(sub))
-        tau_steps = float(tau_saved.max()) * THIN     # worst parameter
-        neff = sub.shape[0] * W_Q / float(tau_saved.max())
+        tau_steps_all = chain_tau_steps(sub, THIN)
+        tau_steps = float(tau_steps_all.max())        # worst parameter
+        neff = sub.shape[0] * W_Q * THIN / tau_steps
         neff_per_s = neff / wall_q
         # reference quality throughput: same Goodman-Weare move => same
         # tau in steps; emcee at ~107 evals/s gives 107/tau N_eff/s

@@ -30,7 +30,8 @@ from .models import (
     VikhlininTemperature, SZData, XrayData, CountRateTable, JointModel,
     build_reference_params,
 )
-from .tablegen import TableSpec, generate_table, save_table
+from .tablegen import (SPECTRAL_MODEL_VERSION, TableSpec, generate_table,
+                       save_table)
 
 
 _DTYPES = {"float64": jnp.float64, "float32": jnp.float32,
@@ -147,7 +148,8 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
         bands = [load_band(cfg.xray.fg_template, cfg.xray.bg_template, b)
                  for b in cfg.xray.bands_eV]
         expect = {"z": cfg.redshift, "NH_1022pcm2": cfg.xray.NH_1022pcm2,
-                  "bands_eV": tuple(cfg.xray.bands_eV)}
+                  "bands_eV": tuple(cfg.xray.bands_eV),
+                  "model_version": SPECTRAL_MODEL_VERSION}
         table_path = cfg.xray.table_path
         if table_path is None or not pathlib.Path(table_path).exists():
             # no explicit table: use (or create) a config-keyed artifact;

@@ -114,6 +114,16 @@ class CountRateTable:
                 if want is not None and got is not None and \
                         abs(float(want) - float(got)) > tol:
                     errs.append(f"{key}: table {got} != config {want}")
+            want_ver = expect.get("model_version")
+            if want_ver is not None and meta.get("backend") != "xspec":
+                # fallback-model tables must carry the current spectral
+                # model version; a missing field means a pre-versioning
+                # (stale-physics) artifact.  XSPEC-backend tables are
+                # exact physics and exempt.
+                got_ver = meta.get("model_version")
+                if got_ver != want_ver:
+                    errs.append(f"spectral model_version: table "
+                                f"{got_ver} != current {want_ver}")
             want_bands = expect.get("bands_eV")
             if want_bands is not None and "bands_eV" in d:
                 got_bands = np.asarray(d["bands_eV"], dtype=float)

@@ -59,9 +59,12 @@ def _guard_per_device_walkers(w_loc: int, ndim: int,
     statistics."""
     if allow_small:
         return
-    if w_loc < 2 * ndim + 2:
+    from ..sampling.kernel import min_walkers_per_device
+
+    floor = min_walkers_per_device(ndim)
+    if w_loc < floor:
         raise ValueError(
-            f"walkers per device ({w_loc}) < 2*ndim+2 = {2 * ndim + 2}: "
+            f"walkers per device ({w_loc}) < 2*ndim+2 = {floor}: "
             f"a per-chip Goodman-Weare ensemble this small cannot span "
             f"the parameter space — use fewer devices or more walkers "
             f"(pass allow_small=True only for plumbing tests)")

@@ -59,6 +59,45 @@ def effective_samples(chain: np.ndarray) -> np.ndarray:
     return n_steps * n_walkers / np.maximum(tau, 1.0)
 
 
+def chain_tau_steps(sub: np.ndarray, thin: int) -> np.ndarray:
+    """Per-parameter integrated autocorrelation in RAW sampler steps from
+    a thinned chain slice — the one place encoding the estimation rules
+    the TPU tau benches share (bench.py + scripts/tpu_*_bench.py):
+
+    * the window must be long: chain length >> 5*tau_saved (the caller's
+      responsibility — with tau ~ 850 raw steps use >= 20k steps, thin 25);
+    * clamp tau_saved >= 1: a noisy ACF can return NEGATIVE tau for an
+      effectively-uncorrelated parameter, which poisons any N_eff ratio;
+    * reduce with tau.max() (worst-mixing parameter sets the budget),
+      never (n/tau).min().
+    """
+    tau_saved = np.maximum(
+        np.asarray(integrated_autocorr_time(sub)), 1.0)
+    return tau_saved * thin
+
+
+def collect_kernel_subchain(run_chunk, n_chunks: int, *, n_sub: int = 64,
+                            ndim: int | None = None) -> np.ndarray:
+    """Chunked thinned-chain collection for the kernel tau benches.
+
+    ``run_chunk(i)`` advances the caller's sampler state by one kernel
+    invocation and returns the chunk's thinned chain block as a device
+    array ``(n_keep, n_walkers, >= ndim)``; chunks must be continuous
+    (each starting from the previous chunk's final state).  Only a
+    ``(:, :n_sub, :ndim)`` slice is fetched — tau is a property of the
+    move, not of which walkers are watched, and the remote tunnel moves
+    ~20 MB/s so a full chain would be transfer-bound.  Slicing is jitted
+    and fetches start only after all chunks are dispatched, overlapping
+    the device work.  Returns the concatenated numpy subchain
+    ``(n_saved, n_sub, ndim)`` for ``chain_tau_steps``."""
+    import jax
+
+    sl = jax.jit(lambda c: c[:, :n_sub, :ndim] if ndim is not None
+                 else c[:, :n_sub, :])
+    subs = [sl(run_chunk(i)) for i in range(n_chunks)]
+    return np.concatenate([np.asarray(s) for s in subs])
+
+
 def summary_dict(flat_chain: np.ndarray, param_names: list[str],
                  units: list[str] | None = None, ci: float = 95.0,
                  chain_3d: np.ndarray | None = None) -> dict:

@@ -72,6 +72,16 @@ def chain_chunk_schedule(n_steps: int, thin: int, n_walkers: int, dp: int,
     return [keep * thin] * full + ([rem * thin] if rem else [])
 
 
+def min_walkers_per_device(ndim: int) -> int:
+    """Statistical floor for an independent per-chip Goodman-Weare
+    ensemble: below 2*ndim+2 walkers the complementary half cannot span
+    the parameter space and the move degenerates.  The ONE constant used
+    by both the sampler's fallback predicate (_sharded_layout_ok) and
+    the sharded runner's hard guard (parallel/kernel_sharded.py), so
+    they can't drift apart."""
+    return 2 * ndim + 2
+
+
 class KernelSampler:
     """Factory-validated wrapper; build with :func:`make_kernel_sampler`."""
 
@@ -112,11 +122,12 @@ class KernelSampler:
                 and n_steps % thin == 0):
             return False
         ndim = len(self._sess.params.thawed)
-        if W // n_dev < 2 * ndim + 2:
+        floor = min_walkers_per_device(ndim)
+        if W // n_dev < floor:
             import warnings
             warnings.warn(
                 f"{W // n_dev} walkers per device is below 2*ndim+2 = "
-                f"{2 * ndim + 2}: falling back to the XLA mesh sampler "
+                f"{floor}: falling back to the XLA mesh sampler "
                 f"(one walker-sharded ensemble) instead of independent "
                 f"per-chip kernel ensembles", stacklevel=3)
             return False

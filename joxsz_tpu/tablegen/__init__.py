@@ -1,3 +1,5 @@
-from .generate import TableSpec, generate_table, save_table, build_native
+from .generate import (SPECTRAL_MODEL_VERSION, TableSpec, generate_table,
+                       save_table, build_native)
 
-__all__ = ["TableSpec", "generate_table", "save_table", "build_native"]
+__all__ = ["SPECTRAL_MODEL_VERSION", "TableSpec", "generate_table",
+           "save_table", "build_native"]

@@ -191,6 +191,7 @@ def generate_table(spec: TableSpec, backend: str = "auto") -> dict:
             "rmf": os.path.basename(spec.rmf),
             "arf": os.path.basename(spec.arf),
             "backend": "native" if lib is not None else "numpy",
+            "model_version": spec.model_version,
             "model": "ff+lines fallback (regenerate with --backend xspec "
                      "for APEC-exact rates)",
         }).encode()),
@@ -271,7 +272,10 @@ def _generate_with_xspec(spec, resp, band_masks, Tlog):
             "z": spec.z, "NH_1022pcm2": spec.NH_1022pcm2,
             "rmf": os.path.basename(spec.rmf),
             "arf": os.path.basename(spec.arf),
+            # model_version tracks the FALLBACK spectral model; XSPEC
+            # tables are exact-physics and exempt from the version check
             "backend": "xspec", "model": "phabs(apec)",
+            "model_version": spec.model_version,
         }).encode()),
     }
 

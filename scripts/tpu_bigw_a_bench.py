@@ -33,7 +33,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
 from joxsz_tpu.ops.pallas_joint import make_joint_core, make_step_kernel
-from joxsz_tpu.postproc.summary import integrated_autocorr_time
+from joxsz_tpu.postproc.summary import (chain_tau_steps,
+                                        collect_kernel_subchain)
 
 cfg = JoXSZConfig.cl1226()
 cfg.dtype = "float32"
@@ -72,19 +73,18 @@ x_eq, lp_eq, _ = eq(x0, core(x0), jnp.zeros(W, jnp.float32), 11)
 jax.block_until_ready(x_eq)
 log("equilibrated 4000 steps at W=2048 (a=2)")
 
-sl = jax.jit(lambda c: c[:, :64, :theta0.size])
 for a in (2.0, 1.5, 1.3, 1.15):
     step_c = make_step_kernel(sess, n_inner=N_Q, n_walkers=W, thin=THIN,
                               a=a)
-    x, lp, acc = x_eq, lp_eq, jnp.zeros(W, jnp.float32)
-    subs = []
-    for i in range(N_CHUNKS):
-        x, lp, acc, ch, chlp = step_c(x, lp, acc, 500 + i)
-        subs.append(sl(ch))
-    jax.block_until_ready(x)
-    sub = np.concatenate([np.asarray(s) for s in subs])
-    tau = np.asarray(integrated_autocorr_time(sub)) * THIN
-    acc_frac = float(np.asarray(acc).mean()) / (N_Q * N_CHUNKS)
+    st = [x_eq, lp_eq, jnp.zeros(W, jnp.float32)]
+
+    def run_chunk(i, st=st, step_c=step_c):
+        st[0], st[1], st[2], ch, chlp = step_c(st[0], st[1], st[2], 500 + i)
+        return ch
+
+    sub = collect_kernel_subchain(run_chunk, N_CHUNKS, ndim=theta0.size)
+    tau = chain_tau_steps(sub, THIN)
+    acc_frac = float(np.asarray(st[2]).mean()) / (N_Q * N_CHUNKS)
     log(f"a={a}: tau(steps) mean {tau.mean():7.1f} max {tau.max():7.1f}; "
         f"acc {acc_frac:.3f}")
 print("DONE", flush=True)

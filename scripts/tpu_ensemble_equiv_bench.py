@@ -43,7 +43,7 @@ from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
 from joxsz_tpu.ops.pallas_joint import make_joint_core, make_step_kernel
 from joxsz_tpu.sampling.stretch import generate_init_positions
-from joxsz_tpu.postproc.summary import integrated_autocorr_time
+from joxsz_tpu.postproc.summary import chain_tau_steps
 
 W_TOTAL = 2048
 N_BURN = 4000
@@ -96,13 +96,11 @@ for name, n_ens in LAYOUTS:
         [np.concatenate([np.asarray(s) for s in subs], axis=0)
          for subs in chains], axis=1)        # (n_saved, n_ens*n_slice, D)
     wall = time.time() - t1
-    tau_saved = np.asarray(integrated_autocorr_time(chain))
-    tau_steps = tau_saved * THIN
+    # tau rules (negative-ACF clamp, max() reduction) shared via
+    # postproc.summary.chain_tau_steps
+    tau_steps = chain_tau_steps(chain, THIN)
     n_saved = chain.shape[0]
-    # worst-mixing parameter sets the budget (a noisy ACF can return a
-    # negative tau for an effectively-uncorrelated parameter — max() is
-    # the meaningful reduction, not min of N_eff)
-    neff_worst = n_saved * W_TOTAL / float(tau_saved.max())
+    neff_worst = n_saved * THIN * W_TOTAL / float(tau_steps.max())
     evals = W_TOTAL * N_STEPS
     results[name] = dict(tau_max=float(tau_steps.max()),
                          tau_mean=float(tau_steps.mean()),

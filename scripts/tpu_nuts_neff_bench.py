@@ -34,7 +34,7 @@ from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
 from joxsz_tpu.sampling.nuts import run_nuts
 from joxsz_tpu.sampling.stretch import generate_init_positions
-from joxsz_tpu.postproc.summary import integrated_autocorr_time
+from joxsz_tpu.postproc.summary import chain_tau_steps
 
 C = 256          # chains
 N_WARM = 500
@@ -57,7 +57,9 @@ res = run_nuts(sess.log_like, p0, n_steps=N_STEPS,
                key=jax.random.PRNGKey(7), n_warmup=N_WARM,
                max_depth=8, thin=1)
 wall = time.time() - t1
-tau = np.asarray(integrated_autocorr_time(res.chain))
+# tau rules (negative-ACF clamp, max() reduction) shared via
+# postproc.summary.chain_tau_steps; thin=1 (units: transitions)
+tau = chain_tau_steps(res.chain, 1)
 neff = res.chain.shape[0] * C / tau
 worst = int(np.argmax(tau))
 log(f"NUTS: wall {wall:.1f}s (incl. warmup {N_WARM}), accept "
@@ -65,7 +67,7 @@ log(f"NUTS: wall {wall:.1f}s (incl. warmup {N_WARM}), accept "
     f"eps {res.step_size:.2e}")
 log(f"tau (transitions): mean {tau.mean():6.2f} max {tau.max():6.2f} "
     f"(worst={names[worst]}); tau[a]={tau[names.index('a')]:6.2f}")
-log(f"N_eff: worst-param {neff.min():9.0f} -> {neff.min()/wall:8.1f} "
+log(f"N_eff: worst-param {neff[worst]:9.0f} -> {neff[worst]/wall:8.1f} "
     f"N_eff/s (incl warmup wall)")
 for n, t, ne in zip(names, tau, neff):
     print(f"   {n:18} tau {t:8.2f}  N_eff {ne:9.0f}", flush=True)

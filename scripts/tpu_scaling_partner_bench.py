@@ -39,7 +39,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
 from joxsz_tpu.ops.pallas_joint import make_joint_core, make_step_kernel
-from joxsz_tpu.postproc.summary import integrated_autocorr_time
+from joxsz_tpu.postproc.summary import chain_tau_steps
 
 cfg = JoXSZConfig.cl1226()
 cfg.dtype = "float32"
@@ -71,7 +71,9 @@ def timed_steps(W, n_inner, reps, **kw):
 print("\nW       onehot(us)  roll(us)  no_ll(us)  partner(us)  "
       "evals/s(onehot)  evals/s(roll)")
 for W in (4096, 8192, 16384):
-    t_one = timed_steps(W, 100, 10)
+    # explicit partner= (the kernel default became "auto", which resolves
+    # to roll above 4096 walkers — unlabeled, this column would time roll)
+    t_one = timed_steps(W, 100, 10, partner="onehot")
     t_roll = timed_steps(W, 100, 10, partner="roll")
     t_floor = timed_steps(W, 100, 10, ablate="no_ll")
     print(f"{W:6d} {t_one*1e6:10.1f} {t_roll*1e6:9.1f} "
@@ -103,7 +105,7 @@ for partner in ("onehot", "roll"):
     jax.block_until_ready(x)
     wall = time.time() - t1
     sub = np.concatenate([np.asarray(s) for s in subs])
-    tau = np.asarray(integrated_autocorr_time(sub)) * THIN
+    tau = chain_tau_steps(sub, THIN)
     acc_frac = float(np.asarray(acc).mean()) / (N_Q * N_CHUNKS)
     log(f"partner={partner}: tau(steps) mean {tau.mean():6.1f} "
         f"max {tau.max():6.1f}; acc {acc_frac:.3f}; "

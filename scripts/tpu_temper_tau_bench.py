@@ -38,7 +38,7 @@ from joxsz_tpu.build import build_session
 from joxsz_tpu.ops.pallas_joint import (make_joint_core, make_step_kernel,
                                         make_tempered_step_kernel)
 from joxsz_tpu.sampling.tempered import default_betas
-from joxsz_tpu.postproc.summary import integrated_autocorr_time
+from joxsz_tpu.postproc.summary import chain_tau_steps
 
 cfg = JoXSZConfig.cl1226()
 cfg.dtype = "float32"
@@ -70,7 +70,7 @@ for i in range(N_CHUNKS):
 jax.block_until_ready(x)
 wall = time.time() - t1
 sub = np.concatenate([np.asarray(s) for s in subs])
-tau = np.asarray(integrated_autocorr_time(sub)) * THIN
+tau = chain_tau_steps(sub, THIN)
 tau_plain = float(tau.max())
 log(f"plain: tau mean {tau.mean():7.1f} max {tau.max():7.1f}; "
     f"evals/step 1.0x; wall {wall:.1f}s")
@@ -93,7 +93,7 @@ for K in (4, 6):
     jax.block_until_ready(xk)
     wall = time.time() - t1
     sub = np.concatenate([np.asarray(s) for s in subs])
-    tau = np.asarray(integrated_autocorr_time(sub)) * THIN
+    tau = chain_tau_steps(sub, THIN)
     log(f"K={K}: tau mean {tau.mean():7.1f} max {tau.max():7.1f}; "
         f"swap rates {np.round(sacc/(N_Q*N_CHUNKS*W), 3)}; "
         f"tau_max*K (per-eval cost) {tau.max()*K:7.1f} vs plain "

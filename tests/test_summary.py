@@ -41,6 +41,37 @@ def test_effective_samples_monotone():
     assert effective_samples(fast)[0] > effective_samples(slow)[0]
 
 
+def test_chain_tau_steps_guard_and_units():
+    """The shared tau helper clamps noisy-negative tau at one saved step
+    and converts to raw steps via thin."""
+    from joxsz_tpu.postproc.summary import chain_tau_steps
+
+    rng = np.random.default_rng(4)
+    chain = _ar1_chain(0.9, 20000, 8, 1, rng)
+    thin = 5
+    tau = chain_tau_steps(chain, thin)
+    assert np.isclose(tau[0] / thin,
+                      integrated_autocorr_time(chain)[0], rtol=1e-12)
+    # anti-correlated series drives the raw estimator below 1 (or even
+    # negative for noisier ACFs) — the helper must floor at 1 saved step
+    alt = _ar1_chain(-0.6, 20000, 8, 1, rng)
+    assert integrated_autocorr_time(alt)[0] < 1.0
+    assert chain_tau_steps(alt, thin)[0] == thin
+
+
+def test_collect_kernel_subchain_slices_and_concats():
+    from joxsz_tpu.postproc.summary import collect_kernel_subchain
+
+    import jax.numpy as jnp
+
+    blocks = [jnp.arange(2 * 128 * 16, dtype=jnp.float32).reshape(
+        2, 128, 16) + 1000 * i for i in range(3)]
+    sub = collect_kernel_subchain(lambda i: blocks[i], 3, n_sub=64, ndim=13)
+    assert sub.shape == (6, 64, 13)
+    assert np.array_equal(sub[:2], np.asarray(blocks[0])[:, :64, :13])
+    assert np.array_equal(sub[4:], np.asarray(blocks[2])[:, :64, :13])
+
+
 def test_summary_roundtrip(tmp_path):
     rng = np.random.default_rng(3)
     chain = _ar1_chain(0.6, 500, 10, 3, rng)

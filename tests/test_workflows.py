@@ -46,6 +46,46 @@ def test_table_mismatch_raises(ref_data):
                                                    "NH_1022pcm2": 0.0183})
 
 
+def test_table_model_version_guard(ref_data, tmp_path):
+    """A pre-versioning (stale-physics) fallback table must be rejected;
+    XSPEC-backend tables are exact physics and exempt from the check."""
+    import json
+    import pathlib
+
+    from joxsz_tpu.models.xray import CountRateTable
+    from joxsz_tpu.tablegen import SPECTRAL_MODEL_VERSION
+
+    repo = pathlib.Path(__file__).resolve().parents[1]
+    src = repo / "data" / "tables" / "cl1226_ctrate.npz"
+    d = dict(np.load(str(src)))
+    meta = json.loads(bytes(d["meta"]).decode())
+    assert meta["model_version"] == SPECTRAL_MODEL_VERSION  # bundled is current
+
+    def save_with_meta(m, name):
+        d2 = dict(d)
+        d2["meta"] = np.bytes_(json.dumps(m).encode())
+        p = tmp_path / name
+        np.savez_compressed(p, **d2)
+        return str(p)
+
+    expect = {"z": meta["z"], "NH_1022pcm2": meta["NH_1022pcm2"],
+              "model_version": SPECTRAL_MODEL_VERSION}
+
+    # stale: fallback-backend table with no (or old) version field
+    stale = {k: v for k, v in meta.items() if k != "model_version"}
+    with pytest.raises(ValueError, match="model_version"):
+        CountRateTable.from_npz(save_with_meta(stale, "stale.npz"),
+                                expect=expect)
+    old = dict(meta, model_version=SPECTRAL_MODEL_VERSION - 1)
+    with pytest.raises(ValueError, match="model_version"):
+        CountRateTable.from_npz(save_with_meta(old, "old.npz"),
+                                expect=expect)
+
+    # xspec-backend tables load regardless of the fallback-model version
+    xs = dict(stale, backend="xspec", model="phabs(apec)")
+    CountRateTable.from_npz(save_with_meta(xs, "xspec.npz"), expect=expect)
+
+
 def test_sz_outputs_named(ref_data):
     from joxsz_tpu.models import sz_outputs
 
