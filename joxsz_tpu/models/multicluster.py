@@ -58,7 +58,15 @@ def make_multicluster_log_like(model, sz_stack: SZData | None,
     are verified equal in tests).  ``flatten=False`` keeps the simple
     nested-vmap reference path."""
     if flatten and sz_stack is not None:
-        return _make_flat_log_like(model, sz_stack, xray_stack)
+        if _flat_shared_grids_ok(sz_stack, xray_stack):
+            return _make_flat_log_like(model, sz_stack, xray_stack)
+        import warnings
+
+        warnings.warn(
+            "multicluster stack has per-cluster radial/temperature grids "
+            "(different redshift or geometry): the flat widened-GEMM path "
+            "assumes shared grids, falling back to the nested-vmap path",
+            stacklevel=2)
 
     def one(theta, sz, xr):
         return model.log_like(theta, sz_data=sz, xray_data=xr)
@@ -96,6 +104,21 @@ def _small_table_lerp(tx, ty, x):
     return y0 + (x - x0) / (x1 - x0) * (y1 - y0)
 
 
+def _flat_shared_grids_ok(sz: SZData, xr: XrayData | None) -> bool:
+    """The flat path evaluates every cluster's model profiles on cluster
+    0's grids (r_press_kpc, w_T0, midpt_kpc, Tlog) — valid only when the
+    stack genuinely shares them.  Equal leaf SHAPES don't guarantee equal
+    VALUES (two clusters at different redshifts have equal-length
+    pressure grids with different kpc spacing), so check values
+    host-side at build time; heterogeneous stacks take the nested-vmap
+    path, mirroring the Pallas kernel's StackMismatch fallback."""
+    shared = [np.asarray(sz.r_press_kpc), np.asarray(sz.w_T0)]
+    if xr is not None:
+        shared += [np.asarray(xr.midpt_kpc), np.asarray(xr.table.Tlog)]
+    return all(np.array_equal(a, np.broadcast_to(a[:1], a.shape))
+               for a in shared)
+
+
 def _make_flat_log_like(model, sz: SZData, xr: XrayData | None):
     """Flat-batch multicluster likelihood: one (C*W)-row program.
 
@@ -109,10 +132,8 @@ def _make_flat_log_like(model, sz: SZData, xr: XrayData | None):
     n_pix = sz.L.shape[1]
     n_press = sz.L.shape[2]
     n_data = sz.flux.shape[1]
-    r_pp = sz.r_press_kpc[0]          # shared radial grid (validated below)
-    sep = sz.sep
-    # radial grids must agree across the stack for a flat evaluation
-    # (enforced by stack_sz_data's geometry check)
+    r_pp = sz.r_press_kpc[0]          # shared radial grid — the caller
+    sep = sz.sep                      # checked _flat_shared_grids_ok
 
     # widened operators
     LT_all = jnp.transpose(sz.L, (2, 0, 1)).reshape(n_press, C * n_pix)
@@ -140,9 +161,11 @@ def _make_flat_log_like(model, sz: SZData, xr: XrayData | None):
             if hasattr(model.density, "log_prior"):
                 prior = prior + model.density.log_prior(pars)
             if model.exclude_unphysical_mass:
-                m = model.mass(pars, r_pp)
+                # family-aware criterion (knot pressure uses segment
+                # midpoints — the dense-grid gradient check rejects
+                # nearly all knot vectors on interpolant kinks)
                 prior = prior + jnp.where(
-                    jnp.all(jnp.gradient(m) > 0.0), 0.0, -jnp.inf)
+                    model._mass_veto_ok(pars, r_pp), 0.0, -jnp.inf)
             cal = pars["calibration"]
             if xr is not None:
                 ne_s = model.density(pars, midpt)

@@ -695,12 +695,17 @@ def _build_spec(sess, ablate: str = ""):
                 spec=spec)
 
 
-def make_joint_core(sess, block_b: int = 128, interpret: bool = False):
+def make_joint_core(sess, block_b: int = 128, interpret: bool = False,
+                    spec=None):
     """Build ``ll(thetas) -> (B,)`` as one pallas_call per walker tile.
 
     Returns None when the session's configuration does not match the
-    flagship specialisation or Pallas is unavailable."""
-    spec = _build_spec(sess)
+    flagship specialisation or Pallas is unavailable.  Pass a prebuilt
+    ``spec`` (from ``_build_spec(sess)``) to skip rebuilding the constant
+    set — the construction pays the full table-operator assembly and is
+    noticeable on this 1-core host."""
+    if spec is None:
+        spec = _build_spec(sess)
     if spec is None:
         return None
     kernel = spec["kernel"]

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..sampling.stretch import make_step
+from ..sampling.stretch import make_step, validate_schedule
 
 
 def make_sharded_drive(log_prob_batch, ndim: int, mesh: Mesh,
@@ -34,7 +34,7 @@ def make_sharded_drive(log_prob_batch, ndim: int, mesh: Mesh,
     xs = NamedSharding(mesh, P(walker_axis))
     vs = NamedSharding(mesh, P(walker_axis))
 
-    n_saved = max(n_steps // thin, 1)
+    n_saved = n_steps // thin
 
     @partial(jax.jit,
              in_shardings=(xs, vs, vs, None),
@@ -56,6 +56,7 @@ def run_sharded_ensemble(log_prob_batch, p0, n_steps, key, mesh,
                          thin: int = 1, a: float = 2.0):
     """Convenience wrapper mirroring ``run_ensemble`` on a mesh."""
     W, D = p0.shape
+    validate_schedule(n_steps, thin, W)
     xs = NamedSharding(mesh, P("walker"))
     x = jax.device_put(jnp.asarray(p0), xs)
     lp = log_prob_batch(x)
@@ -82,6 +83,7 @@ def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
     Compiled drivers are cached per (fn, schedule, shapes) like the
     single-cluster sampler — repeat calls reuse the program."""
     C, W, D = p0.shape
+    validate_schedule(n_steps, thin, W)
     cache_key = (log_prob_batch_cluster, n_steps, thin, a, C, W, D, mesh)
     cached = _MC_DRIVE_CACHE.get(cache_key)
     if cached is not None:
@@ -123,7 +125,7 @@ def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
         x, lp, acc = half(x, lp, acc, u_all[1], 1)
         return (x, lp, acc), None
 
-    n_saved = max(n_steps // thin, 1)
+    n_saved = n_steps // thin
 
     @partial(jax.jit, in_shardings=(sh3, sh2, sh2, None),
              out_shardings=((sh3, sh2, sh2), None))

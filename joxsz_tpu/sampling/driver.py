@@ -207,6 +207,46 @@ def run_fit(
     # 5. sampling (optionally parallel-tempered for multimodal posteriors)
     t0 = time.time()
     key, sub = jax.random.split(key)
+
+    _mesh_note = [verbose]
+
+    def _sample_call(state_x, n, k):
+        """One (possibly chunked) sampling call honoring the configured
+        execution path: mesh-sharded (kernel ensembles, falling back to
+        the XLA mesh sampler) > single-device fused kernel > XLA scan.
+        Used by both the incremental-checkpoint loop and the one-shot
+        path so the mesh cannot be silently dropped by branch order."""
+        if mesh is not None:
+            r = None
+            if sharded_step is not None:
+                # per-chip independent fused-kernel ensembles; falls
+                # through to the XLA mesh sampler when the walker count
+                # doesn't split evenly or the config mismatches the kernel
+                r = sharded_step.run_sharded(state_x, n, k, mesh,
+                                             thin=nthin)
+                if r is None and _mesh_note[0]:
+                    _mesh_note[0] = False
+                    print("note: sharded kernel sampler declined; falling "
+                          "back to the XLA mesh sampler")
+            if r is None:
+                # walker-sharded sampling over a device mesh (multi-chip);
+                # the program is identical to the single-device path
+                # (tested bit-exact) — the mesh is a layout annotation
+                from ..parallel.sharded import run_sharded_ensemble
+
+                out = run_sharded_ensemble(log_like_batch, state_x, n, k,
+                                           mesh, thin=nthin)
+                r = EnsembleResult(
+                    chain=out["chain"], log_prob=out["log_prob"],
+                    acceptance_fraction=out["acceptance_fraction"],
+                    final_state=(out["final"][0], out["final"][1], k),
+                )
+            return r
+        if step_sampler is not None:
+            return step_sampler.run(state_x, n, k, thin=nthin)
+        return run_ensemble(log_like_batch, state_x, n, k, thin=nthin,
+                            store_chain=True)
+
     if n_temper_rungs > 1:
         from .tempered import run_tempered_ensemble, default_betas
 
@@ -245,11 +285,7 @@ def run_fit(
         while done < nsteps:
             n = min(checkpoint_every * nthin, nsteps - done)
             key, sub = jax.random.split(key)
-            if step_sampler is not None:
-                r = step_sampler.run(state_x, n, sub, thin=nthin)
-            else:
-                r = run_ensemble(log_like_batch, state_x, n, sub, thin=nthin,
-                                 store_chain=True)
+            r = _sample_call(state_x, n, sub)
             chunks.append(r.chain)
             lps.append(r.log_prob)
             acc_total = (r.acceptance_fraction * n if acc_total is None
@@ -273,38 +309,14 @@ def run_fit(
             acceptance_fraction=acc_total / done,
             final_state=(state_x, r.final_state[1], key),
         )
-    elif mesh is not None:
-        res = None
-        if sharded_step is not None:
-            # per-chip independent fused-kernel ensembles; falls through
-            # to the XLA mesh sampler when the walker count doesn't
-            # split evenly or the configuration mismatches the kernel
-            res = sharded_step.run_sharded(p1, nsteps, sub, mesh,
-                                           thin=nthin)
-            if res is None and verbose:
-                print("note: sharded kernel sampler declined; falling "
-                      "back to the XLA mesh sampler")
-        if res is None:
-            # walker-sharded sampling over a device mesh (multi-chip);
-            # the program is identical to the single-device path (tested
-            # bit-exact) — the mesh is a layout annotation
-            from ..parallel.sharded import run_sharded_ensemble
-
-            out = run_sharded_ensemble(log_like_batch, p1, nsteps, sub,
-                                       mesh, thin=nthin)
-            res = EnsembleResult(
-                chain=out["chain"], log_prob=out["log_prob"],
-                acceptance_fraction=out["acceptance_fraction"],
-                final_state=(out["final"][0], out["final"][1], sub),
-            )
-    elif step_sampler is not None:
-        res = step_sampler.run(p1, nsteps, sub, thin=nthin)
     else:
-        res = run_ensemble(log_like_batch, p1, nsteps, sub, thin=nthin,
-                           store_chain=True)
+        res = _sample_call(p1, nsteps, sub)
     timings["sample_s"] = time.time() - t0
     sample_mult = max(n_temper_rungs, 1)
-    n_evals = (rounds * prelim_iterations + nburn
+    # a resumed run skips burn-in — don't count its phantom evals in the
+    # reported throughput
+    burn_evals = 0 if resumed is not None else nburn
+    n_evals = (rounds * prelim_iterations + burn_evals
                + nsteps * sample_mult) * nwalkers
     total_s = (timings["prelim_s"] + timings["burn_s"] + timings["sample_s"])
     timings["likelihood_evals"] = n_evals

@@ -340,6 +340,7 @@ def make_kernel_sampler(sess, a: float = 2.0, interpret: bool = False,
     spec = _build_spec(sess)
     if spec is None:
         return None
-    core = make_joint_core(sess, block_b=256, interpret=interpret)
+    core = make_joint_core(sess, block_b=256, interpret=interpret,
+                           spec=spec)
     return KernelSampler(sess, core, dp=spec["Dp"], a=a,
                          interpret=interpret, chain_space=chain_space)

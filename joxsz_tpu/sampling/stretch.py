@@ -149,6 +149,22 @@ def _get_drive(log_prob_batch, n_saved: int, thin: int, a: float,
     return drive
 
 
+def validate_schedule(n_steps: int, thin: int, n_walkers: int | None = None):
+    """Shared sampling-schedule validation: every driver that scans
+    (n_steps // thin) x thin must reject a non-dividing thin up front —
+    silently running ``max(n_steps // thin, 1) * thin`` steps would skew
+    acceptance/throughput normalisation (and n_steps=0 would still run
+    ``thin`` steps then divide rates by zero)."""
+    if n_walkers is not None and n_walkers % 2:
+        raise ValueError("need an even number of walkers")
+    if n_steps <= 0:
+        raise ValueError(f"n_steps ({n_steps}) must be positive")
+    if n_steps % thin:
+        # emcee v3 semantics: iterations must divide by thin
+        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
+                         f"thin ({thin})")
+
+
 def run_ensemble(
     log_prob_batch,
     p0: jnp.ndarray,
@@ -165,13 +181,7 @@ def run_ensemble(
     steps.  Matches the reference's sampling semantics with thinning
     (/root/reference/joxsz_funcs.py:621-623)."""
     W, D = p0.shape
-    if W % 2:
-        raise ValueError("need an even number of walkers")
-    if n_steps % thin:
-        # emcee v3 semantics: iterations must divide by thin — silently
-        # dropping the remainder would skew acceptance/throughput accounting
-        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
-                         f"thin ({thin})")
+    validate_schedule(n_steps, thin, W)
     n_saved = n_steps // thin
 
     lp0 = log_prob_batch(p0)

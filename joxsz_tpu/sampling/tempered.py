@@ -56,8 +56,9 @@ def run_tempered_ensemble(
     if p0.ndim == 2:
         p0 = jnp.broadcast_to(p0[None], (K,) + p0.shape)
     _, W, D = p0.shape
-    if W % 2:
-        raise ValueError("need an even number of walkers")
+    from .stretch import validate_schedule
+
+    validate_schedule(n_steps, thin, W)
     H = W // 2
     dtype = p0.dtype
     betas = betas.astype(dtype)
@@ -126,7 +127,7 @@ def run_tempered_ensemble(
 
     @jax.jit
     def drive(x, lp, acc, sacc, rkey):
-        n_saved = max(n_steps // thin, 1)
+        n_saved = n_steps // thin
 
         def outer(state, k):
             keys = jax.random.split(k, thin)

@@ -60,6 +60,55 @@ def test_flat_matches_nested(sess):
     assert np.allclose(a, b, rtol=1e-10, equal_nan=True), np.abs(a - b).max()
 
 
+def test_heterogeneous_grids_fall_back_to_nested(sess):
+    """The flat widened-GEMM path evaluates all clusters on cluster 0's
+    grids; a stack whose radial grids differ (e.g. different redshifts)
+    must decline to the nested-vmap path instead of silently targeting
+    the wrong posterior (regression)."""
+    sz_list, xr_list = _perturbed_clusters(sess, 2)
+    # same grid LENGTH, different values — the failure the shape-level
+    # checks can't see
+    sz_list[1] = dataclasses.replace(
+        sz_list[1], r_press_kpc=sz_list[1].r_press_kpc * 1.01)
+    sz_stack = stack_sz_data(sz_list)
+    xr_stack = stack_xray_data(xr_list)
+    with pytest.warns(UserWarning, match="per-cluster radial"):
+        fn = make_multicluster_log_like(sess.model, sz_stack, xr_stack,
+                                        flatten=True)
+    nested = make_multicluster_log_like(sess.model, sz_stack, xr_stack,
+                                        flatten=False)
+    theta0 = sess.params.thawed_values()
+    thetas = jnp.asarray(np.broadcast_to(theta0, (2, 3, theta0.size)))
+    np.testing.assert_array_equal(np.asarray(fn(thetas)),
+                                  np.asarray(nested(thetas)))
+
+
+def test_flat_mass_veto_is_family_aware(ref_data):
+    """A knots-pressure multicluster fit through the flat path must use
+    the knots segment-midpoint mass criterion — the dense-grid gradient
+    check rejects nearly every knot vector on interpolant kinks
+    (regression: the flat path hardcoded the smooth-family check)."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.pressure_model = "knots"
+    ksess = build_session(cfg)
+    assert ksess.model.exclude_unphysical_mass
+    sz_stack = stack_sz_data([ksess.model.sz_data] * 2)
+    xr_stack = stack_xray_data([ksess.model.xray_data] * 2)
+    flat = jax.jit(make_multicluster_log_like(ksess.model, sz_stack,
+                                              xr_stack, flatten=True))
+    theta0 = ksess.params.thawed_values()
+    thetas = jnp.asarray(np.broadcast_to(theta0, (2, 2, theta0.size)))
+    out = np.asarray(flat(thetas))
+    # the default knot vector is physical: must NOT be vetoed, and must
+    # match the single-cluster likelihood exactly
+    ref = float(ksess.model.log_like(jnp.asarray(theta0)))
+    assert np.all(np.isfinite(out))
+    np.testing.assert_allclose(out, ref, rtol=1e-10)
+
+
 def test_stacked_matches_per_cluster(sess):
     sz_list, xr_list = _perturbed_clusters(sess, 3)
     sz_stack = stack_sz_data(sz_list)

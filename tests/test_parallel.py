@@ -168,6 +168,45 @@ def test_run_fit_routes_mesh_through_sharded_kernel(ref_data, tmp_path):
 
 
 @needs_devices
+def test_run_fit_chunked_checkpointing_honours_mesh(tmp_path, monkeypatch):
+    """A mesh run with a chain_path long enough to trigger incremental
+    checkpointing must still sample through the mesh path (regression:
+    the chunked branch used to shadow the mesh branch and silently
+    sample single-device)."""
+    from joxsz_tpu.sampling.driver import run_fit
+    import joxsz_tpu.parallel.sharded as shd
+
+    calls = {"n": 0}
+    real = shd.run_sharded_ensemble
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(shd, "run_sharded_ensemble", spy)
+
+    mu = jnp.asarray(np.linspace(-1, 1, 3))
+
+    def log_like(x):
+        return -0.5 * jnp.sum((x - mu) ** 2) * 50.0
+
+    mesh = make_mesh(2, axis_names=("walker",))
+    res = run_fit(log_like, np.zeros(3), np.full(3, -10.0),
+                  np.full(3, 10.0), ["a", "b", "c"], nwalkers=16,
+                  nburn=20, nsteps=200, nthin=2, seed=5,
+                  prelim_iterations=10, max_prelim_rounds=1, do_mle=False,
+                  checkpoint_every=25, mesh=mesh,
+                  chain_path=str(tmp_path / "c.hdf5"),
+                  state_path=str(tmp_path / "s.npz"), verbose=False)
+    # 200 steps / (25 saved * 2 thin) = 4 sampling chunks, all sharded
+    assert calls["n"] == 4
+    assert res.chain.shape == (100, 16, 3)
+    from joxsz_tpu.io.checkpoint import load_chain_hdf5
+    on_disk = load_chain_hdf5(str(tmp_path / "c.hdf5"))
+    assert np.array_equal(on_disk["chain"], res.chain)
+
+
+@needs_devices
 def test_tempered_kernel_sharded_matches_per_device(ref_data):
     """shard_map'd tempered kernel ensembles are bit-exact with running
     each device's walker block through the plain tempered kernel with

@@ -24,6 +24,22 @@ def _bimodal_logprob(sep=8.0, sigma=0.5):
     return jax.jit(jax.vmap(lp))
 
 
+def test_schedule_validation():
+    """All scan drivers reject a thin that doesn't divide n_steps (the
+    old max(n_steps//thin, 1) silently ran a different step count and
+    mis-normalised acceptance/swap rates) and n_steps=0."""
+    lp_b = jax.jit(jax.vmap(lambda x: -0.5 * jnp.sum(x * x)))
+    p0 = jnp.zeros((8, 2))
+    key = jax.random.PRNGKey(0)
+    betas = default_betas(3)
+    with pytest.raises(ValueError, match="multiple of"):
+        run_tempered_ensemble(lp_b, p0, betas, 100, key, thin=33)
+    with pytest.raises(ValueError, match="positive"):
+        run_tempered_ensemble(lp_b, p0, betas, 0, key, thin=25)
+    with pytest.raises(ValueError, match="multiple of"):
+        run_ensemble(lp_b, p0, 100, key, thin=33)
+
+
 def test_cold_chain_matches_unimodal_target():
     def lp(x):
         return -0.5 * jnp.sum(x * x)
