@@ -756,6 +756,87 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False,
 _PARTNER_AUTO_THRESHOLD = 4096
 
 
+# --- shared in-kernel building blocks ---------------------------------------
+# One implementation of the PRNG/uniform/accept/tiled-likelihood machinery
+# for all three step-kernel factories (plain / multicluster / tempered):
+# these pieces MUST stay in lockstep — a fix applied to one copy and not
+# the others (e.g. the int32 bit-masking rule) would silently diverge the
+# samplers.  All helpers are pure compositions traced inside the kernel
+# bodies, so extracting them is bit-exact.
+
+def _make_random_bits(interpret, seed_ref, default_shape, extra=None):
+    """Per-substep random-bits source.  Hardware: pltpu.prng_random_bits
+    (int32 — convert via _uniforms, never a bare shift).  Interpret mode
+    has no prng_* lowering: a deterministic integer hash stands in —
+    adequate for mechanics tests, NOT for production randomness.
+    ``extra`` folds one more stream id into the hash (e.g. the cluster
+    grid index); the hardware path instead folds it into prng_seed."""
+
+    def random_bits(i, which, shape=default_shape):
+        if not interpret:
+            return pltpu.prng_random_bits(shape)
+        idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * shape[1]
+               + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
+        v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
+             + jnp.uint32(i) * jnp.uint32(40503)
+             + jnp.uint32(which) * jnp.uint32(10007))
+        if extra is not None:
+            v = v + extra.astype(jnp.uint32) * jnp.uint32(7919)
+        v = v ^ (v >> 15)
+        v = v * jnp.uint32(2246822519)
+        v = v ^ (v >> 13)
+        v = v * jnp.uint32(3266489917)
+        return v ^ (v >> 16)
+
+    return random_bits
+
+
+def _uniforms(bits, inv24):
+    """Bits -> uniforms on [0, 1).  Hardware bits are INT32: ``>> 8`` is
+    an arithmetic shift, so mask to the low 24 bits before the float
+    conversion (Mosaic has no uint32->f32 cast) — without the mask the
+    uniforms span [-0.5, 0.5) and the sampler silently targets a wrong
+    posterior (hardware-only; interpret mode cannot catch it)."""
+    return ((bits >> 8) & 0xFFFFFF).astype(jnp.float32) * inv24
+
+
+def _stretch_z(u0, sa):
+    """Goodman-Weare stretch factor z ~ g(z) ∝ 1/sqrt(z) on [1/a, a] via
+    inverse-CDF of one uniform (sa = sqrt(a))."""
+    return (1.0 / sa + u0 * (sa - 1.0 / sa)) ** 2
+
+
+def _gw_accept(u2, z, lp_y, lm, D, beta=None):
+    """Stretch-move acceptance: ln U < (d-1) ln z + [beta*](lp_y - lm).
+    log(u)=-inf at u==0 -> always accept (the correct MH limit)."""
+    dlp = lp_y - lm if beta is None else beta * (lp_y - lm)
+    return jnp.log(u2) < (D - 1.0) * jnp.log(z) + dlp
+
+
+def _eval_ll_tiled(y, ll_body, const_vals_in, n_rows, ll_tile,
+                   use_ll_loop, ysc_ref, lsc_ref):
+    """Row-tiled likelihood evaluation (rows are independent, so any
+    tiling is bit-identical).  ``use_ll_loop``: fori_loop over a VMEM
+    scratch — inlining n_rows/ll_tile copies of the likelihood body
+    makes Mosaic compile time explode with the ensemble size (99s at
+    W=2048 -> 672s at W=4096 unrolled; 13-75s looped at W=4096-16384)."""
+    if use_ll_loop:
+        ysc_ref[:] = y
+
+        def tbody(t, c):
+            sl = pl.ds(t * ll_tile, ll_tile)
+            lsc_ref[sl, :] = ll_body(ysc_ref[sl, :], *const_vals_in)
+            return c
+
+        jax.lax.fori_loop(0, n_rows // ll_tile, tbody, 0)
+        return lsc_ref[:]
+    if n_rows > ll_tile:
+        return jnp.concatenate([ll_body(y[t:t + ll_tile], *const_vals_in)
+                                for t in range(0, n_rows, ll_tile)],
+                               axis=0)
+    return ll_body(y, *const_vals_in)
+
+
 def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      interpret: bool = False, vmem_limit_mb: int = 96,
                      thin: int | None = None, ablate: str = "",
@@ -869,20 +950,7 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
         acco_ref[:] = acc0_ref[:]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)  # partner cols
-
-        def random_bits(i, which):
-            if not interpret:
-                return pltpu.prng_random_bits((H, 4))
-            # interpret-mode fallback (prng_* has no CPU lowering): a
-            # deterministic integer hash — adequate for mechanics tests,
-            # NOT for production randomness
-            idx = jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 0) * 4                 + jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 1)
-            v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
-                 + jnp.uint32(i) * jnp.uint32(40503)
-                 + jnp.uint32(which) * jnp.uint32(10007))
-            v = v ^ (v >> 15); v = v * jnp.uint32(2246822519)
-            v = v ^ (v >> 13); v = v * jnp.uint32(3266489917)
-            return v ^ (v >> 16)
+        random_bits = _make_random_bits(interpret, seed_ref, (H, 4))
 
         const_vals_in = [r[:] for r in const_refs]   # loaded ONCE
 
@@ -890,12 +958,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             xm = xo_ref[base:base + H, :]
             lm = lpo_ref[base:base + H, :]
             xf = xo_ref[fixed_base:fixed_base + H, :]
-            bits = random_bits(i, which)
-            # hardware bits are int32: arithmetic >> keeps the sign, so mask
-            # to the low 24 bits to get a non-negative value (Mosaic has no
-            # uint32->f32 cast); u is then uniform on [0,1)
-            u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
-            z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
+            u = _uniforms(random_bits(i, which), inv24)
+            z = _stretch_z(u[:, 0:1], sa)
             if partner == "roll":
                 # one hashed state-independent rotation per substep
                 # (same device as the tempered kernel's swap pairing)
@@ -914,28 +978,9 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                 onehot = (row == pidx).astype(f32)       # (H, H)
                 xp = jnp.dot(onehot, xf, preferred_element_type=f32)
             y = xp + z * (xm - xp)
-            # evaluate the likelihood in row tiles (per-row independent,
-            # so any tiling is bit-identical)
-            if use_ll_loop:
-                ysc_ref[:] = y
-
-                def tbody(t, c):
-                    sl = pl.ds(t * ll_tile, ll_tile)
-                    lsc_ref[sl, :] = ll_body(ysc_ref[sl, :],
-                                             *const_vals_in)
-                    return c
-
-                jax.lax.fori_loop(0, H // ll_tile, tbody, 0)
-                lp_y = lsc_ref[:]
-            elif H > ll_tile:
-                lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
-                            for t in range(0, H, ll_tile)]
-                lp_y = jnp.concatenate(lp_parts, axis=0)
-            else:
-                lp_y = ll_body(y, *const_vals_in)
-            # log(u)=-inf when u==0 -> always accept (correct MH limit)
-            logu = jnp.log(u[:, 2:3])
-            accept = logu < (D - 1.0) * jnp.log(z) + lp_y - lm
+            lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, H, ll_tile,
+                                  use_ll_loop, ysc_ref, lsc_ref)
+            accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D)
             xo_ref[base:base + H, :] = jnp.where(accept, y, xm)
             lpo_ref[base:base + H, :] = jnp.where(accept, lp_y, lm)
             acco_ref[base:base + H, :] = (acco_ref[base:base + H, :]
@@ -1138,19 +1183,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
         acco_ref[:] = acc0_ref[:]
 
         row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-
-        def random_bits(i, which):
-            if not interpret:
-                return pltpu.prng_random_bits((H, 4))
-            idx = (jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 0) * 4
-                   + jax.lax.broadcasted_iota(jnp.uint32, (H, 4), 1))
-            v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
-                 + cid.astype(jnp.uint32) * jnp.uint32(7919)
-                 + jnp.uint32(i) * jnp.uint32(40503)
-                 + jnp.uint32(which) * jnp.uint32(10007))
-            v = v ^ (v >> 15); v = v * jnp.uint32(2246822519)
-            v = v ^ (v >> 13); v = v * jnp.uint32(3266489917)
-            return v ^ (v >> 16)
+        random_bits = _make_random_bits(interpret, seed_ref, (H, 4),
+                                        extra=cid)
 
         const_vals_in = [r[0] for r in const_refs]   # this cluster's block
 
@@ -1158,32 +1192,15 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
             xm = xo_ref[0, base:base + H, :]
             lm = lpo_ref[0, base:base + H, :]
             xf = xo_ref[0, fixed_base:fixed_base + H, :]
-            bits = random_bits(i, which)
-            u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
-            z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
+            u = _uniforms(random_bits(i, which), inv24)
+            z = _stretch_z(u[:, 0:1], sa)
             pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
             onehot = (row == pidx).astype(f32)
             xp = jnp.dot(onehot, xf, preferred_element_type=f32)
             y = xp + z * (xm - xp)
-            if use_ll_loop:
-                ysc_ref[:] = y
-
-                def tbody(t, c):
-                    sl = pl.ds(t * ll_tile, ll_tile)
-                    lsc_ref[sl, :] = ll_body(ysc_ref[sl, :],
-                                             *const_vals_in)
-                    return c
-
-                jax.lax.fori_loop(0, H // ll_tile, tbody, 0)
-                lp_y = lsc_ref[:]
-            elif H > ll_tile:
-                lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
-                            for t in range(0, H, ll_tile)]
-                lp_y = jnp.concatenate(lp_parts, axis=0)
-            else:
-                lp_y = ll_body(y, *const_vals_in)
-            logu = jnp.log(u[:, 2:3])
-            accept = logu < (D - 1.0) * jnp.log(z) + lp_y - lm
+            lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, H, ll_tile,
+                                  use_ll_loop, ysc_ref, lsc_ref)
+            accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D)
             xo_ref[0, base:base + H, :] = jnp.where(accept, y, xm)
             lpo_ref[0, base:base + H, :] = jnp.where(accept, lp_y, lm)
             acco_ref[0, base:base + H, :] = (
@@ -1380,17 +1397,7 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
         beta = const_refs[-1][:]                     # (KH, 1)
         core_refs = const_refs[:-1]
 
-        def random_bits(i, which, shape=(KH, 4)):
-            if not interpret:
-                return pltpu.prng_random_bits(shape)
-            idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * shape[1]
-                   + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
-            v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
-                 + jnp.uint32(i) * jnp.uint32(40503)
-                 + jnp.uint32(which) * jnp.uint32(10007))
-            v = v ^ (v >> 15); v = v * jnp.uint32(2246822519)
-            v = v ^ (v >> 13); v = v * jnp.uint32(3266489917)
-            return v ^ (v >> 16)
+        random_bits = _make_random_bits(interpret, seed_ref, (KH, 4))
 
         const_vals_in = [r[:] for r in core_refs]
 
@@ -1398,9 +1405,8 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
             xm = xo_ref[base:base + KH, :]
             lm = lpo_ref[base:base + KH, :]
             xf = xo_ref[fixed_base:fixed_base + KH, :]
-            bits = random_bits(i, which)
-            u = ((bits >> 8) & 0xFFFFFF).astype(f32) * inv24
-            z = (1.0 / sa + u[:, 0:1] * (sa - 1.0 / sa)) ** 2
+            u = _uniforms(random_bits(i, which), inv24)
+            z = _stretch_z(u[:, 0:1], sa)
             pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
             # partner selection is block-diagonal per rung: K per-rung
             # (H, H) one-hot GEMMs instead of one (KH, KH) GEMM (K-fold
@@ -1412,25 +1418,9 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                 for r in range(K)
             ], axis=0)
             y = xp + z * (xm - xp)
-            if use_ll_loop:
-                ysc_ref[:] = y
-
-                def tbody(t, c):
-                    sl = pl.ds(t * ll_tile, ll_tile)
-                    lsc_ref[sl, :] = ll_body(ysc_ref[sl, :],
-                                             *const_vals_in)
-                    return c
-
-                jax.lax.fori_loop(0, KH // ll_tile, tbody, 0)
-                lp_y = lsc_ref[:]
-            elif KH > ll_tile:
-                lp_parts = [ll_body(y[t:t + ll_tile], *const_vals_in)
-                            for t in range(0, KH, ll_tile)]
-                lp_y = jnp.concatenate(lp_parts, axis=0)
-            else:
-                lp_y = ll_body(y, *const_vals_in)
-            logu = jnp.log(u[:, 2:3])
-            accept = logu < (D - 1.0) * jnp.log(z) + beta * (lp_y - lm)
+            lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, KH, ll_tile,
+                                  use_ll_loop, ysc_ref, lsc_ref)
+            accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D, beta=beta)
             xo_ref[base:base + KH, :] = jnp.where(accept, y, xm)
             lpo_ref[base:base + KH, :] = jnp.where(accept, lp_y, lm)
             acco_ref[base:base + KH, :] = (acco_ref[base:base + KH, :]
@@ -1457,8 +1447,9 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                     lp_h = roll_rows(lpo_ref[h0:h0 + H, :], shift)
                     # one uniform per (walker, boundary, half): draw a
                     # fresh (H, 1) block
-                    ub = random_bits(i, 16 + 2 * kk + ucol, shape=(H, 1))
-                    uu = ((ub >> 8) & 0xFFFFFF).astype(f32) * inv24
+                    uu = _uniforms(
+                        random_bits(i, 16 + 2 * kk + ucol, shape=(H, 1)),
+                        inv24)
                     accept = jnp.log(uu) < db * (lp_h - lp_c)   # (H, 1)
                     new_c = jnp.where(accept, x_h, x_c)
                     new_clp = jnp.where(accept, lp_h, lp_c)
