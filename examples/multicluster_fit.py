@@ -42,6 +42,10 @@ def main():
     cfg = JoXSZConfig.cl1226()
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
+    else:
+        # accelerator backends run f32 (like the CLI): a f64 request
+        # without x64 enabled truncates with a warning per array
+        cfg.dtype = "float32"
     sess = build_session(cfg)
 
     # --- stack clusters (here: clones with scaled SZ flux) ------------------

@@ -75,6 +75,9 @@ def run_hmc(
     p0 = jnp.asarray(p0)
     C, D = p0.shape
     dtype = p0.dtype
+    from .stretch import validate_schedule
+
+    validate_schedule(n_steps, thin)
 
     safe_lp = lambda x: jnp.where(jnp.isfinite(log_prob(x)),
                                   log_prob(x), -jnp.inf)
@@ -133,7 +136,7 @@ def run_hmc(
     # --- sampling -----------------------------------------------------------
     @jax.jit
     def sample(x, lp, eps, mass, rkey):
-        n_saved = max(n_steps // thin, 1)
+        n_saved = n_steps // thin
 
         def outer(carry, k):
             x, lp, acc = carry

@@ -231,11 +231,9 @@ def run_nuts(
     p0 = jnp.asarray(p0)
     C, D = p0.shape
     dtype = p0.dtype
-    if n_steps % thin:
-        # silently running extra transitions would skew the reported
-        # accept/depth statistics (same contract as run_ensemble)
-        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
-                         f"thin ({thin})")
+    from .stretch import validate_schedule
+
+    validate_schedule(n_steps, thin)
 
     safe_lp = lambda x: jnp.where(jnp.isfinite(log_prob(x)),
                                   log_prob(x), -jnp.inf)
@@ -276,7 +274,7 @@ def run_nuts(
 
     @jax.jit
     def sample(x, lp, eps, mass, rkey):
-        n_saved = max(n_steps // thin, 1)
+        n_saved = n_steps // thin
 
         def outer(carry, k):
             x, lp, asum, dsum = carry

@@ -29,7 +29,7 @@ from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
 from joxsz_tpu.sampling.kernel import make_kernel_sampler
 from joxsz_tpu.sampling.stretch import run_ensemble
-from joxsz_tpu.postproc.summary import integrated_autocorr_time
+from joxsz_tpu.postproc.summary import chain_tau_steps
 
 state = np.load(sys.argv[1])
 x0 = jnp.asarray(state["positions"], jnp.float32)
@@ -46,10 +46,11 @@ N_STEPS, THIN = 5000, 5
 
 
 def report(name, chain, wall):
-    # chain (n_saved, W, D); tau in saved-sample units per parameter
-    tau = np.asarray(integrated_autocorr_time(chain))
+    # chain (n_saved, W, D); shared tau rules (negative-ACF clamp) via
+    # postproc.summary.chain_tau_steps; tau here in saved-sample units
+    tau = chain_tau_steps(chain, 1)
     n_saved = chain.shape[0]
-    neff = n_saved * W / np.maximum(tau, 1.0)
+    neff = n_saved * W / tau
     log(f"{name}: {wall:.2f}s wall, worst tau {tau.max():.1f} "
         f"(x{THIN} steps), worst-param N_eff {neff.min():,.0f} -> "
         f"{neff.min()/wall:,.0f} N_eff/s (median-param "
