@@ -761,8 +761,13 @@ _PARTNER_AUTO_THRESHOLD = 4096
 # for all three step-kernel factories (plain / multicluster / tempered):
 # these pieces MUST stay in lockstep — a fix applied to one copy and not
 # the others (e.g. the int32 bit-masking rule) would silently diverge the
-# samplers.  All helpers are pure compositions traced inside the kernel
-# bodies, so extracting them is bit-exact.
+# samplers.  The PRNG/uniform/tiling helpers are bit-exact extractions;
+# the accept threshold is normalised to the tempered kernel's
+# (D-1)*ln z + (lp_y - lm) association (cancelling the ~1e4-magnitude
+# log-likes FIRST is the better-conditioned f32 form), which can flip
+# borderline accepts vs pre-refactor plain/multicluster chains — the
+# move targets the same posterior, but seed-pinned chains from before
+# the refactor are not reproduced bit-for-bit.
 
 def _make_random_bits(interpret, seed_ref, default_shape, extra=None):
     """Per-substep random-bits source.  Hardware: pltpu.prng_random_bits

@@ -5,11 +5,13 @@ from .profiles import (
 )
 from .summary import (
     integrated_autocorr_time, effective_samples, summary_dict, save_summary,
+    chain_tau_steps, collect_kernel_subchain,
 )
 
 __all__ = [
     "equal_tailed", "cumulative_gas_mass", "ProfileSet", "make_profile_fns",
     "compute_profiles", "compute_mass_profiles", "compute_gas_fraction",
     "posterior_predictive", "integrated_autocorr_time", "effective_samples",
-    "summary_dict", "save_summary",
+    "summary_dict", "save_summary", "chain_tau_steps",
+    "collect_kernel_subchain",
 ]

@@ -86,5 +86,11 @@ class LogReparam:
         return lp_u
 
     def chain_to_theta(self, chain):
-        """Map a (n_saved, W, D) u-space chain back to theta-space."""
-        return np.asarray(self.inv(jnp.asarray(chain)))
+        """Map a (n_saved, W, D) u-space chain back to theta-space.
+
+        Pure numpy on purpose: an elementwise exp on a few columns of a
+        possibly-hundreds-of-MB recorded chain must not round-trip the
+        array through the device (the remote tunnel moves ~20 MB/s)."""
+        chain = np.asarray(chain)
+        mask = np.asarray(self._mask)
+        return np.where(mask, np.exp(np.where(mask, chain, 0.0)), chain)

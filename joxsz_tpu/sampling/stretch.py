@@ -159,6 +159,8 @@ def validate_schedule(n_steps: int, thin: int, n_walkers: int | None = None):
         raise ValueError("need an even number of walkers")
     if n_steps <= 0:
         raise ValueError(f"n_steps ({n_steps}) must be positive")
+    if thin <= 0:
+        raise ValueError(f"thin ({thin}) must be positive")
     if n_steps % thin:
         # emcee v3 semantics: iterations must divide by thin
         raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
@@ -174,12 +176,19 @@ def run_ensemble(
     a: float = 2.0,
     store_chain: bool = True,
     unroll_inner: int = 1,
+    keep_walkers: int | None = None,
 ) -> EnsembleResult:
     """Run ``n_steps`` ensemble steps, saving every ``thin``-th state.
 
     The whole loop is one jitted scan: (n_saved outer) x (thin inner)
     steps.  Matches the reference's sampling semantics with thinning
-    (/root/reference/joxsz_funcs.py:621-623)."""
+    (/root/reference/joxsz_funcs.py:621-623).
+
+    ``keep_walkers``: fetch only the first k walkers of the saved chain
+    / log-prob to the host (the sampling itself always runs the full
+    ensemble).  Device->host transfer on this infrastructure runs at
+    ~20 MB/s, so tau benches that only need a walker slice should ask
+    for the slice instead of discarding host-side."""
     W, D = p0.shape
     validate_schedule(n_steps, thin, W)
     n_saved = n_steps // thin
@@ -191,8 +200,13 @@ def run_ensemble(
     state, saved = drive(p0, lp0, acc0, key)
     x, lp, acc = state
     if store_chain:
-        chain = np.asarray(saved[0])
-        logp = np.asarray(saved[1])
+        if keep_walkers is not None:
+            # slice on device; np.asarray then moves only the slice
+            chain = np.asarray(saved[0][:, :keep_walkers, :])
+            logp = np.asarray(saved[1][:, :keep_walkers])
+        else:
+            chain = np.asarray(saved[0])
+            logp = np.asarray(saved[1])
     else:
         chain = np.empty((0, W, D))
         logp = np.empty((0, W))

@@ -67,13 +67,13 @@ for arm, lpf, to_space, to_theta in (
     t1 = time.time()
     for i in range(N_CHUNKS):
         r = run_ensemble(lpf, x, N_Q, jax.random.PRNGKey(100 + i),
-                         thin=THIN)
+                         thin=THIN, keep_walkers=64)
         x = r.final_state[0]
-        subs.append(r.chain[:, :64, :])
+        subs.append(r.chain)
     jax.block_until_ready(x)
     wall = time.time() - t1
     acc = float(np.asarray(r.acceptance_fraction).mean())
-    sub = to_theta(jnp.concatenate(subs, axis=0))
+    sub = to_theta(np.concatenate(subs, axis=0))
     tau = chain_tau_steps(sub, THIN)
     worst = int(np.argmax(tau))
     order = np.argsort(tau)[::-1][:4]

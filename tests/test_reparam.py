@@ -35,6 +35,24 @@ def test_roundtrip_and_jacobian():
     assert rp.log_jacobian(U).shape == (2,)
 
 
+def test_chain_to_theta_matches_inv_and_stays_numpy():
+    """chain_to_theta is pure numpy (a big recorded chain must not
+    round-trip through the device) and must agree with the device-side
+    inverse bijection elementwise — including not overflowing on large
+    unmasked coordinates (e.g. r_p ~ 300, where a naive np.exp would
+    produce inf before the where discards it)."""
+    rp = LogReparam(_FakeParams(["s", "x", "t"], [0.0, -5.0, 0.1]),
+                    names=("s", "t"))
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(7, 5, 3))
+    chain[..., 1] = 300.0  # unmasked, exp() would overflow f32
+    out = rp.chain_to_theta(chain)
+    assert isinstance(out, np.ndarray)
+    np.testing.assert_allclose(
+        out, np.asarray(rp.inv(jnp.asarray(chain))), rtol=1e-12)
+    assert np.isfinite(out).all()
+
+
 def test_rejects_negative_lower_bound_and_unthawed():
     with pytest.raises(ValueError, match="lower bound"):
         LogReparam(_FakeParams(["a"], [-1.0]), names=("a",))

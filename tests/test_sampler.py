@@ -116,3 +116,41 @@ def test_reproducibility():
     assert np.array_equal(r1.chain, r2.chain)
     r3 = run_ensemble(lp_b, p0, 100, jax.random.PRNGKey(10), thin=10)
     assert not np.array_equal(r1.chain, r3.chain)
+
+
+def test_validate_schedule_rejects_bad_thin():
+    """The shared schedule guard must reject thin<=0 up front (run_hmc /
+    run_nuts now rely on it exclusively): thin=0 used to raise a raw
+    ZeroDivisionError and thin=-1 passed (n % -1 == 0) then produced a
+    negative saved count downstream."""
+    from joxsz_tpu.sampling.stretch import validate_schedule
+
+    validate_schedule(100, 10, 4)
+    with pytest.raises(ValueError, match="thin"):
+        validate_schedule(100, 0, 4)
+    with pytest.raises(ValueError, match="thin"):
+        validate_schedule(100, -1, 4)
+    with pytest.raises(ValueError, match="n_steps"):
+        validate_schedule(0, 1, 4)
+    with pytest.raises(ValueError, match="multiple"):
+        validate_schedule(100, 7, 4)
+
+
+def test_run_ensemble_keep_walkers_slices_chain():
+    """keep_walkers fetches only the first k walkers of the saved chain
+    (device-side slice) while sampling the full ensemble: the sliced
+    result must equal the full result's prefix at identical seed."""
+    def lp_b(x):
+        return -0.5 * jnp.sum(x * x, axis=-1)
+
+    p0 = jax.random.normal(jax.random.PRNGKey(0), (16, 3))
+    full = run_ensemble(lp_b, p0, 40, jax.random.PRNGKey(1), thin=10)
+    part = run_ensemble(lp_b, p0, 40, jax.random.PRNGKey(1), thin=10,
+                        keep_walkers=4)
+    assert part.chain.shape == (4, 4, 3)
+    assert part.log_prob.shape == (4, 4)
+    np.testing.assert_array_equal(part.chain, full.chain[:, :4, :])
+    np.testing.assert_array_equal(part.log_prob, full.log_prob[:, :4])
+    # the final state is the full ensemble either way
+    np.testing.assert_array_equal(np.asarray(part.final_state[0]),
+                                  np.asarray(full.final_state[0]))
