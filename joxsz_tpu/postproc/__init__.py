@@ -5,7 +5,7 @@ from .profiles import (
 )
 from .summary import (
     integrated_autocorr_time, effective_samples, summary_dict, save_summary,
-    chain_tau_steps, collect_kernel_subchain,
+    chain_tau_steps, collect_kernel_subchain, split_rhat,
 )
 
 __all__ = [
@@ -13,5 +13,5 @@ __all__ = [
     "compute_profiles", "compute_mass_profiles", "compute_gas_fraction",
     "posterior_predictive", "integrated_autocorr_time", "effective_samples",
     "summary_dict", "save_summary", "chain_tau_steps",
-    "collect_kernel_subchain",
+    "collect_kernel_subchain", "split_rhat",
 ]

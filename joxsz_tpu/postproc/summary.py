@@ -98,6 +98,58 @@ def collect_kernel_subchain(run_chunk, n_chunks: int, *, n_sub: int = 64,
     return np.concatenate([np.asarray(s) for s in subs])
 
 
+def split_rhat(chain: np.ndarray, rank_normalize: bool = True) -> np.ndarray:
+    """Split-R̂ convergence diagnostic per parameter (Gelman-Rubin with
+    the split-chain + rank-normalization refinements of Vehtari et al.
+    2021, "Rank-normalization, folding, and localization").
+
+    chain: (n_steps, n_sequences, ndim).  Each sequence is split in half
+    (m doubles, stationarity within a sequence shows up as between-half
+    variance); with ``rank_normalize`` the draws are replaced by normal
+    scores of their pooled ranks per parameter, making the statistic
+    robust to heavy tails.  Converged: R̂ ≈ 1 (< 1.01 is the standard
+    threshold); R̂ >> 1 means the sequences have not mixed into the same
+    distribution.
+
+    Statistical caveat for ensemble samplers: walkers within ONE
+    Goodman-Weare ensemble interact, so walker-sequences are not
+    independent and within-ensemble R̂ is mildly optimistic — still a
+    useful stuck-walker/multimodality alarm.  Across INDEPENDENT
+    ensembles (the multi-chip layout of
+    ``parallel.run_sharded_kernel_ensembles``, or separate seeded fits)
+    the sequences are truly independent and R̂ has its textbook meaning.
+    The reference has no convergence diagnostic at all (SURVEY §5.5 —
+    print-only observability)."""
+    chain = np.asarray(chain, dtype=float)
+    if chain.ndim != 3:
+        raise ValueError(f"chain must be (n_steps, n_seq, ndim), "
+                         f"got shape {chain.shape}")
+    n, m, d = chain.shape
+    if n < 4:
+        raise ValueError(f"need >= 4 steps for split-Rhat, got {n}")
+    half = n // 2
+    # split each sequence into first/last halves (odd middle draw dropped)
+    seqs = np.concatenate([chain[:half], chain[n - half:]], axis=1)
+    if rank_normalize:
+        from scipy.special import ndtri
+        from scipy.stats import rankdata
+
+        flat = seqs.reshape(half * 2 * m, d)
+        r = rankdata(flat, axis=0, method="average")
+        # Blom offset keeps the normal scores finite at the extremes
+        seqs = ndtri((r - 0.375) / (flat.shape[0] + 0.25)).reshape(
+            half, 2 * m, d)
+    seq_mean = seqs.mean(axis=0)                  # (2m, d)
+    seq_var = seqs.var(axis=0, ddof=1)            # (2m, d)
+    w = seq_var.mean(axis=0)                      # within-sequence
+    b = half * seq_mean.var(axis=0, ddof=1)       # between-sequence
+    var_plus = (half - 1) / half * w + b / half
+    with np.errstate(divide="ignore", invalid="ignore"):
+        rhat = np.sqrt(var_plus / w)
+    # a parameter constant across all draws carries no mixing signal
+    return np.where(w > 0, rhat, 1.0)
+
+
 def summary_dict(flat_chain: np.ndarray, param_names: list[str],
                  units: list[str] | None = None, ci: float = 95.0,
                  chain_3d: np.ndarray | None = None) -> dict:
@@ -110,9 +162,12 @@ def summary_dict(flat_chain: np.ndarray, param_names: list[str],
     units = units or ["."] * len(param_names)
     taus = None
     neff = None
+    rhats = None
     if chain_3d is not None:
         taus = integrated_autocorr_time(chain_3d)
         neff = effective_samples(chain_3d)
+        if chain_3d.shape[0] >= 4:
+            rhats = split_rhat(chain_3d)
     for i, name in enumerate(param_names):
         entry = {
             "median": float(med[i]),
@@ -124,6 +179,8 @@ def summary_dict(flat_chain: np.ndarray, param_names: list[str],
         if taus is not None:
             entry["autocorr_time"] = float(taus[i])
             entry["n_eff"] = float(neff[i])
+        if rhats is not None:
+            entry["rhat"] = float(rhats[i])
         out["parameters"][name] = entry
     return out
 

@@ -332,7 +332,8 @@ def run_fit(
         print(f"throughput: {timings['evals_per_s']:.0f} likelihood "
               f"evals/s over {n_evals} evals")
         if res.chain.shape[0] >= 64:
-            from ..postproc.summary import integrated_autocorr_time
+            from ..postproc.summary import (integrated_autocorr_time,
+                                            split_rhat)
 
             tau = integrated_autocorr_time(res.chain)
             worst = float(np.max(tau)) * nthin
@@ -341,6 +342,14 @@ def run_fit(
                       f"steps; chain of {nsteps} steps may be "
                       "under-converged (consider more steps or more "
                       "walkers)")
+            rh = float(np.max(split_rhat(res.chain)))
+            if rh > 1.01:
+                # walker sequences within one ensemble interact, so this
+                # R-hat is optimistic — exceeding the 1.01 threshold
+                # anyway is a strong stuck-walker/multimodality signal
+                print(f"WARNING: split-Rhat max {rh:.3f} > 1.01 — "
+                      "sequences disagree (stuck walkers or unresolved "
+                      "multimodality; consider more burn-in or --temper)")
 
     # 6. checkpoint
     if best_path:

@@ -85,3 +85,63 @@ def test_summary_roundtrip(tmp_path):
     import json
     loaded = json.loads(path.read_text())
     assert loaded["parameters"]["b"]["unit"] == "u2"
+
+
+def test_split_rhat_converged_near_one():
+    """Independent stationary AR(1) sequences from the same distribution:
+    R-hat ~ 1 (the Vehtari et al. 2021 threshold is 1.01)."""
+    from joxsz_tpu.postproc.summary import split_rhat
+
+    rng = np.random.default_rng(0)
+    chain = _ar1_chain(0.5, 2000, 8, 3, rng)
+    rh = split_rhat(chain)
+    assert rh.shape == (3,)
+    assert np.all(rh < 1.01)
+    # plain (non-rank-normalized) variant agrees on a Gaussian chain
+    rh_plain = split_rhat(chain, rank_normalize=False)
+    np.testing.assert_allclose(rh, rh_plain, atol=5e-3)
+
+
+def test_split_rhat_flags_unmixed_sequences():
+    """Sequences stuck in different modes (between-variance >> within)
+    and a within-sequence trend (first half != second half) must both
+    push R-hat far above 1; heavy tails must not hide the former from
+    the rank-normalized statistic."""
+    from joxsz_tpu.postproc.summary import split_rhat
+
+    rng = np.random.default_rng(1)
+    n, m = 1000, 6
+    modes = np.arange(m)[None, :, None] * 5.0
+    stuck = rng.standard_normal((n, m, 1)) + modes
+    assert split_rhat(stuck)[0] > 1.5
+    # heavy-tailed noise around the separated modes: still detected
+    heavy = rng.standard_t(df=1.5, size=(n, m, 1)) + modes
+    assert split_rhat(heavy)[0] > 1.2
+    # a common linear trend: split halves disagree within each sequence
+    trend = rng.standard_normal((n, m, 1)) \
+        + np.linspace(0, 8, n)[:, None, None]
+    assert split_rhat(trend)[0] > 1.5
+
+
+def test_split_rhat_edge_cases():
+    from joxsz_tpu.postproc.summary import split_rhat
+    import pytest
+
+    rng = np.random.default_rng(2)
+    # constant parameter: defined as 1 (no mixing information)
+    chain = np.concatenate(
+        [np.full((100, 4, 1), 2.5), rng.standard_normal((100, 4, 1))],
+        axis=-1)
+    rh = split_rhat(chain)
+    assert rh[0] == 1.0 and np.isfinite(rh).all()
+    with pytest.raises(ValueError, match="4 steps"):
+        split_rhat(rng.standard_normal((3, 4, 1)))
+    with pytest.raises(ValueError, match="n_steps, n_seq"):
+        split_rhat(rng.standard_normal((10, 4)))
+
+
+def test_summary_dict_includes_rhat():
+    rng = np.random.default_rng(4)
+    chain = _ar1_chain(0.3, 400, 6, 2, rng)
+    s = summary_dict(chain.reshape(-1, 2), ["a", "b"], chain_3d=chain)
+    assert 0.9 < s["parameters"]["a"]["rhat"] < 1.05
