@@ -102,6 +102,49 @@ class JointModel:
         # keep NaNs (e.g. 0*inf products under masking) out of the chain
         return jnp.where(jnp.isnan(total), -jnp.inf, total)
 
+    # -- prior/likelihood decomposition (evidence estimation) ---------------
+    # log_like above is the full posterior density (the reference's
+    # getLikelihood semantics, priors folded in).  The evidence ladder
+    # (sampling/evidence.py) needs the two factors separately:
+    # p_beta ∝ exp(log_prior_only + beta * log_data_like).  The split is
+    # exact: log_like == log_prior_only + log_data_like wherever the
+    # prior is finite (asserted by tests/test_evidence.py).
+
+    def log_prior_only(self, theta: jnp.ndarray,
+                       sz_data: SZData | None = None) -> jnp.ndarray:
+        """Prior factor: box/Gaussian parameter priors, the density's
+        structural prior (r_c < r_s), and the physical-mass veto —
+        support restrictions are prior semantics (they do not involve
+        the data), so evidence is defined w.r.t. this veto-restricted
+        normalized prior."""
+        sz = sz_data if sz_data is not None else self.sz_data
+        pars = self.params.unpack(theta)
+        total = self.params.log_prior(theta)
+        if hasattr(self.density, "log_prior"):
+            total = total + self.density.log_prior(pars)
+        if self.exclude_unphysical_mass and sz is not None:
+            mono = self._mass_veto_ok(pars, sz.r_press_kpc)
+            total = total + jnp.where(mono, 0.0, -jnp.inf)
+        return jnp.where(jnp.isnan(total), -jnp.inf, total)
+
+    def log_data_like(self, theta: jnp.ndarray,
+                      sz_data: SZData | None = None,
+                      xray_data: XrayData | None = None) -> jnp.ndarray:
+        """Data factor: the X-ray Cash and SZ chi^2 terms only (includes
+        the predicted-counts positivity veto — zero likelihood is a
+        statement about the data model, not the prior)."""
+        sz = sz_data if sz_data is not None else self.sz_data
+        xr = xray_data if xray_data is not None else self.xray_data
+        pars = self.params.unpack(theta)
+        total = jnp.zeros(())
+        if xr is not None:
+            total = total + xray_log_like(
+                pars, xr, self.density, self.temperature, self.Z_name)
+        if sz is not None:
+            total = total + sz_log_like(
+                pars, sz, self.pressure, self.temperature)
+        return jnp.where(jnp.isnan(total), -jnp.inf, total)
+
     def log_like_batch(self):
         """vmapped version: (n_walkers, ndim) -> (n_walkers,)."""
         return jax.vmap(self.log_like)

@@ -2,6 +2,9 @@ from .stretch import (
     run_ensemble, make_step, generate_init_positions, EnsembleResult,
 )
 from .tempered import run_tempered_ensemble, default_betas, TemperedResult
+from .evidence import (
+    run_evidence_ladder, model_evidence, power_betas, EvidenceResult,
+)
 from .mle import find_mle, find_mle_multistart
 from .hmc import run_hmc, HMCResult
 from .nuts import run_nuts, NUTSResult
@@ -14,5 +17,7 @@ __all__ = [
     "TemperedResult", "find_mle", "find_mle_multistart", "run_fit",
     "run_hmc", "HMCResult", "run_nuts", "NUTSResult",
     "make_kernel_sampler", "KernelSampler",
+    "run_evidence_ladder", "model_evidence", "power_betas",
+    "EvidenceResult",
     "FitResult",
 ]

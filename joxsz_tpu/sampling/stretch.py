@@ -50,16 +50,23 @@ def _sample_z(key, shape, a: float, dtype):
 
 
 def stretch_half_update(lp_fn, u3, x_move, lp_move, x_fixed, a, ndim,
-                        beta=None):
+                        beta=None, has_aux=False, aux_move=None):
     """Stretch-move update of one half-ensemble against the fixed
     complementary half — the SINGLE implementation shared by the plain,
-    tempered, and multi-cluster samplers.
+    tempered, multi-cluster, and evidence samplers.
 
     Shapes support arbitrary leading batch axes (temperature rungs,
     clusters): x_move (..., H, D), x_fixed (..., Hf, D), u3 (..., 3, H).
     ``lp_fn`` maps the proposal block (..., H, D) -> (..., H) UNtempered
     log-probs; ``beta`` (broadcastable to (..., H)) scales the log-prob
-    difference for tempered rungs."""
+    difference for tempered rungs.
+
+    ``has_aux``: ``lp_fn`` returns ``(lp, aux)`` where aux is a pytree of
+    per-walker (..., H)-shaped values carried alongside the state (the
+    evidence ladder tracks the prior/likelihood decomposition this way);
+    ``aux_move`` holds the current values and the accepted proposals'
+    aux is merged elementwise.  Returns ``(x, lp, aux, accept)`` with
+    aux, else ``(x, lp, accept)``."""
     dtype = x_move.dtype
     z = _z_from_uniform(u3[..., 0, :], a, dtype)          # (..., H)
     Hf = x_fixed.shape[-2]
@@ -68,7 +75,10 @@ def stretch_half_update(lp_fn, u3, x_move, lp_move, x_fixed, a, ndim,
     pidx = jnp.minimum((u3[..., 1, :] * Hf).astype(jnp.int32), Hf - 1)
     xp = jnp.take_along_axis(x_fixed, pidx[..., None], axis=-2)
     y = xp + z[..., None] * (x_move - xp)
-    lp_y = lp_fn(y)
+    if has_aux:
+        lp_y, aux_y = lp_fn(y)
+    else:
+        lp_y = lp_fn(y)
     dlp = lp_y - lp_move
     if beta is not None:
         dlp = beta * dlp
@@ -76,6 +86,10 @@ def stretch_half_update(lp_fn, u3, x_move, lp_move, x_fixed, a, ndim,
     accept = jnp.log(u3[..., 2, :]) < log_ratio
     x_new = jnp.where(accept[..., None], y, x_move)
     lp_new = jnp.where(accept, lp_y, lp_move)
+    if has_aux:
+        aux_new = jax.tree.map(lambda n, o: jnp.where(accept, n, o),
+                               aux_y, aux_move)
+        return x_new, lp_new, aux_new, accept
     return x_new, lp_new, accept
 
 
