@@ -25,7 +25,14 @@ Two estimators from the same run:
   E_beta[log L] over the ladder.  Reported as a cross-check; it is
   undefined (−inf) when the prior carries mass where L = 0 (e.g. the
   X-ray positivity veto at diffuse prior corners), which the result
-  flags rather than hides.
+  flags rather than hides.  Caveat: with very diffuse priors and a
+  sharp likelihood (the CL J1226 joint fit: log L ~ −1e20 at prior
+  corners vs +3.4e4 at the mode) the TI integrand near beta = 0 is
+  astronomically negative and the trapezoid is worthless at any
+  practical ladder size — that is a property of the TI path integral,
+  not a bug; the stepping-stone sum stays well-conditioned because
+  exp(dbeta·logL) simply vanishes for such samples.  Trust log_z; use
+  log_z_ti only when the two are comparable.
 
 Both need ladder density near beta = 0 where E[log L] varies fastest —
 ``power_betas`` (beta_k = (k/(K−1))^p, p ≈ 5, the Xie et al.

@@ -1,0 +1,91 @@
+"""Synthetic-observation generation from known parameters.
+
+First-class mock-data API (the reference has none — its only validation
+is the published-fit comparison, SURVEY §4): draw a simulated dataset
+from any parameter vector through the SAME forward models the
+likelihood uses, with each probe's real noise model —
+
+* SZ: Gaussian noise with the bundled per-point flux errors on the
+  beam/TF-convolved model profile (the chi^2 likelihood's own model,
+  models/sz.py);
+* X-ray: Poisson counts around the predicted per-band annular profile
+  (source + background terms, the Cash likelihood's own mean,
+  models/xray.py).
+
+Used for parameter-recovery/coverage tests (tests/test_recovery.py),
+survey-scale multicluster demos, and posterior-predictive model
+checking; injection-recovery on mock skies is the standard way to
+validate a cluster-fitting pipeline end to end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass
+class MockObservation:
+    """A simulated dataset bound to a fit-ready model."""
+    model: object                       # JointModel with mock data bound
+    theta_true: np.ndarray              # generating parameter vector
+    sz_flux: np.ndarray | None          # noisy mock flux (data radii)
+    sz_flux_true: np.ndarray | None     # noiseless model flux
+    xray_counts: np.ndarray | None      # noisy mock counts (band, annulus)
+    xray_pred_true: np.ndarray | None   # noiseless predicted counts
+
+
+def simulate_observation(model, theta, rng, *, sz_noise: bool = True,
+                         xray_noise: bool = True) -> MockObservation:
+    """Draw one mock observation of ``model`` at parameter vector
+    ``theta`` and return a copy of the model with the mock data bound
+    (ready to fit — same shapes, masks, exposures as the originals).
+
+    ``rng``: numpy Generator (noise draws are host-side; simulation is
+    a setup-time operation, not a hot path).  ``sz_noise=False`` /
+    ``xray_noise=False`` bind the noiseless model prediction instead —
+    useful for bias (not scatter) diagnostics.
+
+    The parameter vector is NOT validated against the priors: simulating
+    from outside the fitted prior support is a legitimate
+    mis-specification test (the fit will then show the veto/prior pull).
+    """
+    theta = np.asarray(theta, dtype=float)
+    theta_j = jnp.asarray(theta)
+    replace = {}
+
+    sz_flux = sz_true = None
+    if model.sz_data is not None:
+        sz = model.sz_data
+        prof = np.asarray(model.sz_profile(theta_j))
+        sz_true = np.asarray(sz.G) @ prof
+        err = np.asarray(sz.flux_err)
+        sz_flux = sz_true + (rng.normal(0.0, err) if sz_noise else 0.0)
+        replace["sz_data"] = dataclasses.replace(
+            sz, flux=jnp.asarray(sz_flux, dtype=sz.flux.dtype))
+
+    xr_counts = xr_true = None
+    if model.xray_data is not None:
+        xr = model.xray_data
+        xr_true = np.asarray(model.xray_profiles(theta_j))
+        if np.any(xr_true < 0):
+            raise ValueError(
+                "negative predicted X-ray counts at theta — the vector "
+                "is outside the likelihood's support; pick parameters "
+                "with a physical (positive) predicted profile")
+        xr_counts = (rng.poisson(xr_true).astype(float) if xray_noise
+                     else xr_true.copy())
+        # mock data has no gaps: every (band, annulus) cell observed
+        replace["xray_data"] = dataclasses.replace(
+            xr, counts=jnp.asarray(xr_counts, dtype=xr.counts.dtype),
+            counts_filled=jnp.asarray(xr_counts, dtype=xr.counts.dtype),
+            counts_mask=jnp.ones_like(xr.counts_mask))
+
+    return MockObservation(
+        model=dataclasses.replace(model, **replace),
+        theta_true=theta,
+        sz_flux=sz_flux, sz_flux_true=sz_true,
+        xray_counts=xr_counts, xray_pred_true=xr_true,
+    )

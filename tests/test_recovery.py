@@ -33,24 +33,11 @@ def test_parameter_recovery(ref_data):
 
     rng = np.random.default_rng(0)
 
-    # mock SZ: model at the data radii + Gaussian noise with real errors
-    sz = sess.model.sz_data
-    prof = np.asarray(sess.model.sz_profile(jnp.asarray(theta_true)))
-    model_flux = np.asarray(sz.G) @ prof
-    mock_flux = model_flux + rng.normal(0.0, np.asarray(sz.flux_err))
+    # mock SZ (Gaussian, real per-point errors) + X-ray (Poisson counts)
+    # through the shared simulation API
+    from joxsz_tpu.simulate import simulate_observation
 
-    # mock X-ray: Poisson counts around the predicted profile
-    pred = np.asarray(sess.model.xray_profiles(jnp.asarray(theta_true)))
-    mock_counts = rng.poisson(pred).astype(float)
-
-    sz_mock = dataclasses.replace(sz, flux=jnp.asarray(mock_flux))
-    xr = sess.model.xray_data
-    xr_mock = dataclasses.replace(
-        xr, counts=jnp.asarray(mock_counts),
-        counts_filled=jnp.asarray(mock_counts),
-        counts_mask=jnp.ones_like(xr.counts_mask))
-    model = dataclasses.replace(sess.model, sz_data=sz_mock,
-                                xray_data=xr_mock)
+    model = simulate_observation(sess.model, theta_true, rng).model
 
     # fit the mock.  The schedule must be long relative to the measured
     # autocorrelation time (tau ~ 800-2000 steps on the curved
