@@ -7,12 +7,12 @@ runs on whatever devices are visible (set
 XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu for a
 virtual mesh).
 
-For demonstration the bundled CL J1226.9+3332 dataset is cloned with
-scaled fluxes; in a real survey, build one session per cluster (same
-instrument configuration => same shapes) and stack their data.
+The survey is a real injection-recovery exercise: each cluster is a mock
+observation simulated (joxsz_tpu.simulate) from its own known parameter
+vector through the bundled CL J1226.9+3332 instrument configuration, and
+the fit's per-cluster medians are compared against the injected truths.
 """
 
-import dataclasses
 import pathlib
 import sys
 
@@ -20,14 +20,12 @@ sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from joxsz_tpu.config import JoXSZConfig
 from joxsz_tpu.build import build_session
-from joxsz_tpu.models.multicluster import (
-    stack_sz_data, stack_xray_data, make_multicluster_log_like,
-)
+from joxsz_tpu.models.multicluster import make_multicluster_log_like
 from joxsz_tpu.parallel import make_mesh, run_multi_cluster
+from joxsz_tpu.simulate import simulate_survey
 
 
 def main():
@@ -48,16 +46,17 @@ def main():
         cfg.dtype = "float32"
     sess = build_session(cfg)
 
-    # --- stack clusters (here: clones with scaled SZ flux) ------------------
+    # --- inject a mock survey: C clusters with distinct true parameters ----
     C = 4
-    sz_list = [
-        dataclasses.replace(sess.model.sz_data,
-                            flux=sess.model.sz_data.flux * (1 + 0.05 * c))
-        for c in range(C)
-    ]
-    xr_list = [sess.model.xray_data] * C
+    theta0 = np.asarray(sess.params.thawed_values())
+    names = list(sess.params.thawed)
+    rng = np.random.default_rng(0)
+    thetas_true = np.tile(theta0, (C, 1))
+    thetas_true[:, names.index("P_0")] *= np.linspace(0.7, 1.3, C)
+    thetas_true[:, names.index("\\beta")] += np.linspace(-0.03, 0.03, C)
+    survey = simulate_survey(sess.model, thetas_true, rng)
     batched_ll = jax.jit(make_multicluster_log_like(
-        sess.model, stack_sz_data(sz_list), stack_xray_data(xr_list)))
+        sess.model, survey.sz_stack, survey.xray_stack))
 
     # --- mesh + ensembles ---------------------------------------------------
     n_dev = len(jax.devices())
@@ -65,9 +64,7 @@ def main():
     mesh = make_mesh(n_dev, axis_names=("cluster", "walker"),
                      shape=(n_c, n_dev // n_c))
     W = 32
-    theta0 = sess.params.thawed_values()
-    rng = np.random.default_rng(0)
-    p0 = theta0[None, None] * (
+    p0 = thetas_true[:, None, :] * (
         1 + 0.02 * rng.standard_normal((C, W, theta0.size)))
 
     out = run_multi_cluster(batched_ll, p0, n_steps=500,
@@ -75,6 +72,15 @@ def main():
     print("acceptance per cluster:",
           out["acceptance_fraction"].mean(axis=1).round(3))
     print("best log-prob per cluster:", out["log_prob"].max(axis=1).round(1))
+
+    # --- recovery: final walker-cloud medians vs injected truths -----------
+    # (500 steps is a demo schedule, not a converged posterior — see
+    # tests/test_recovery.py for the calibrated slow version)
+    med = np.median(np.asarray(out["positions"]), axis=1)   # (C, ndim)
+    for pname in ("P_0", "\\beta"):
+        i = names.index(pname)
+        print(f"{pname:8s} truth {np.round(thetas_true[:, i], 3)}"
+              f"  median {np.round(med[:, i], 3)}")
 
 
 if __name__ == "__main__":

@@ -89,3 +89,37 @@ def simulate_observation(model, theta, rng, *, sz_noise: bool = True,
         sz_flux=sz_flux, sz_flux_true=sz_true,
         xray_counts=xr_counts, xray_pred_true=xr_true,
     )
+
+
+@dataclasses.dataclass
+class MockSurvey:
+    """C independent mock clusters stacked for the multicluster paths."""
+    sz_stack: object | None             # stacked SZData (leading C axis)
+    xray_stack: object | None           # stacked XrayData (leading C axis)
+    mocks: list                         # per-cluster MockObservation
+    thetas_true: np.ndarray             # (C, ndim) generating vectors
+
+
+def simulate_survey(model, thetas, rng, *, sz_noise: bool = True,
+                    xray_noise: bool = True) -> MockSurvey:
+    """Simulate a survey: one mock observation per row of ``thetas``
+    (shape (C, ndim)), all through ``model``'s instrument configuration,
+    stacked ready for ``make_multicluster_log_like`` /
+    ``make_multicluster_step_kernel``.
+
+    Homogeneous-instrument assumption (same beam/TF/response/annuli for
+    every cluster) — the same assumption the stacked likelihood itself
+    makes; heterogeneous surveys need one model per cluster and the
+    nested (flatten=False) path.
+    """
+    from joxsz_tpu.models.multicluster import stack_sz_data, stack_xray_data
+
+    thetas = np.atleast_2d(np.asarray(thetas, dtype=float))
+    mocks = [simulate_observation(model, t, rng, sz_noise=sz_noise,
+                                  xray_noise=xray_noise) for t in thetas]
+    sz_stack = (stack_sz_data([m.model.sz_data for m in mocks])
+                if model.sz_data is not None else None)
+    xr_stack = (stack_xray_data([m.model.xray_data for m in mocks])
+                if model.xray_data is not None else None)
+    return MockSurvey(sz_stack=sz_stack, xray_stack=xr_stack,
+                      mocks=mocks, thetas_true=thetas)

@@ -88,6 +88,38 @@ def test_unphysical_theta_rejected(sess):
         simulate_observation(sess.model, theta, rng)
 
 
+def test_simulate_survey_stacks_match_per_cluster(sess):
+    """A mock survey's stacked likelihood at each cluster's truth must
+    equal the single-cluster likelihood with that cluster's mock data
+    bound — i.e. the stacking really carries C distinct datasets."""
+    import jax
+
+    from joxsz_tpu.models.multicluster import make_multicluster_log_like
+    from joxsz_tpu.simulate import simulate_survey
+
+    theta0 = np.asarray(sess.params.thawed_values())
+    names = list(sess.params.thawed)
+    C = 3
+    thetas = np.tile(theta0, (C, 1))
+    thetas[:, names.index("P_0")] *= [0.8, 1.0, 1.2]   # distinct truths
+    rng = np.random.default_rng(5)
+    survey = simulate_survey(sess.model, thetas, rng)
+    assert survey.thetas_true.shape == (C, theta0.size)
+    # distinct mock data per cluster
+    assert not np.allclose(survey.mocks[0].sz_flux, survey.mocks[2].sz_flux)
+
+    batched = jax.jit(make_multicluster_log_like(
+        sess.model, survey.sz_stack, survey.xray_stack))
+    out = np.asarray(batched(jnp.asarray(thetas)[:, None, :]))  # (C, 1)
+    assert out.shape == (C, 1)
+    for c in range(C):
+        ref = float(sess.model.log_like(
+            jnp.asarray(thetas[c]),
+            sz_data=survey.mocks[c].model.sz_data,
+            xray_data=survey.mocks[c].model.xray_data))
+        assert np.isclose(out[c, 0], ref, rtol=1e-12)
+
+
 def test_recovery_fit_on_mock_is_consistent(sess):
     """End-to-end smoke at test scale: a short fit of a mock started
     from the truth stays in a sane neighbourhood (the full coverage
