@@ -7,6 +7,7 @@ from .summary import (
     integrated_autocorr_time, effective_samples, summary_dict, save_summary,
     chain_tau_steps, collect_kernel_subchain, split_rhat,
 )
+from .ppc import posterior_predictive_pvalues, PPCResult
 
 __all__ = [
     "equal_tailed", "cumulative_gas_mass", "ProfileSet", "make_profile_fns",
@@ -14,4 +15,5 @@ __all__ = [
     "posterior_predictive", "integrated_autocorr_time", "effective_samples",
     "summary_dict", "save_summary", "chain_tau_steps",
     "collect_kernel_subchain", "split_rhat",
+    "posterior_predictive_pvalues", "PPCResult",
 ]

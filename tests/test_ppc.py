@@ -1,0 +1,98 @@
+"""Posterior-predictive checks: the p-values must be calibrated (uniform
+over datasets drawn from the model) and must flag gross misspecification."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from joxsz_tpu.config import JoXSZConfig
+from joxsz_tpu.build import build_session
+from joxsz_tpu.simulate import simulate_observation
+from joxsz_tpu.postproc import posterior_predictive_pvalues
+
+
+@pytest.fixture(scope="module")
+def sess(ref_data):
+    return build_session(JoXSZConfig.cl1226(str(ref_data)))
+
+
+def test_ppc_calibrated_on_model_draws(sess):
+    """Data simulated FROM the model, checked at the generating theta:
+    T_obs and T_rep are then exchangeable, so p is Uniform(0,1) across
+    datasets — the mean over 24 independent datasets must sit near 0.5
+    and the values must actually spread."""
+    theta = np.asarray(sess.params.thawed_values())
+    thetas = np.tile(theta, (200, 1))
+    rng = np.random.default_rng(0)
+    p_sz, p_x = [], []
+    for _ in range(24):
+        mock = simulate_observation(sess.model, theta, rng)
+        res = posterior_predictive_pvalues(mock.model, thetas, rng)
+        p_sz.append(res.p_sz)
+        p_x.append(res.p_xray)
+    for p in (np.asarray(p_sz), np.asarray(p_x)):
+        assert abs(p.mean() - 0.5) < 0.2, p
+        assert p.std() > 0.1, p          # uniform sd is 0.289
+        assert res.sz_obs.shape == (200,)
+
+
+def test_ppc_flags_misspecification(sess):
+    """Observed data incompatible with the model at the supplied draws
+    must give an extreme p-value in the right direction."""
+    theta = np.asarray(sess.params.thawed_values())
+    thetas = np.tile(theta, (100, 1))
+    rng = np.random.default_rng(1)
+    sz = sess.model.sz_data
+    bad_sz = dataclasses.replace(sz, flux=sz.flux * 3.0)
+    xr = sess.model.xray_data
+    bad_xr = dataclasses.replace(
+        xr, counts=xr.counts * 3.0, counts_filled=xr.counts_filled * 3.0)
+    bad = dataclasses.replace(sess.model, sz_data=bad_sz, xray_data=bad_xr)
+    res = posterior_predictive_pvalues(bad, thetas, rng)
+    assert res.p_sz < 0.01
+    assert res.p_xray < 0.01
+
+
+def test_ppc_rejects_out_of_support_draws(sess):
+    theta = np.asarray(sess.params.thawed_values()).copy()
+    names = list(sess.params.thawed)
+    theta[names.index("backscale")] = -50.0
+    rng = np.random.default_rng(2)
+    with pytest.raises(ValueError, match="veto"):
+        posterior_predictive_pvalues(sess.model, theta[None], rng)
+
+
+def test_ppc_on_real_data_pins_the_measured_misfit(sess, ref_data):
+    """Measured fact (do not 'fix' without re-measuring): on the bundled
+    CL J1226 data the gNFW pressure model leaves a ~3x SZ chi^2 excess
+    at the joint MLE (chi^2 ~ 57 for 19 points, p_sz ~ 0) which the
+    knot-pressure family resolves (chi^2 ~ 25, p_sz ~ 0.17) — fully
+    consistent with the evidence ranking (knots preferred by
+    dlogZ ~ +10.6, results/model_evidence.json).  The X-ray deviance
+    excess (~1.5x per cell, p ~ 0) is a pressure-model-independent
+    residual of the smooth density/temperature parametrization.  The
+    reference cannot see any of this (no absolute goodness-of-fit)."""
+    from joxsz_tpu.sampling.mle import find_mle
+
+    def ppc_at_mle(s, seed):
+        theta, _ = find_mle(s.model.log_like,
+                            np.asarray(s.params.thawed_values()),
+                            s.params.lo, s.params.hi)
+        rng = np.random.default_rng(seed)
+        thetas = theta[None] * (
+            1 + 0.002 * rng.standard_normal((100, theta.size)))
+        return posterior_predictive_pvalues(s.model, thetas, rng)
+
+    res = ppc_at_mle(sess, 3)
+    assert res.p_sz < 0.01                    # gNFW SZ tension
+    assert res.p_xray < 0.01                  # smooth-profile X-ray excess
+    assert 2.0 < res.sz_obs.mean() / res.sz_rep.mean() < 4.0
+    assert 1.2 < res.xray_obs.mean() / res.xray_rep.mean() < 1.8
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.pressure_model = "knots"
+    kres = ppc_at_mle(build_session(cfg), 3)
+    assert kres.p_sz > 0.02                   # knots resolves the SZ misfit
+    assert kres.sz_obs.mean() < 0.6 * res.sz_obs.mean()
