@@ -6,6 +6,9 @@ from .evidence import (
     run_evidence_ladder, model_evidence, power_betas, EvidenceResult,
 )
 from .mle import find_mle, find_mle_multistart
+from .laplace import laplace_approximation, laplace_fit, model_laplace, \
+    LaplaceResult
+from .priors import sample_prior, prior_log_norm
 from .hmc import run_hmc, HMCResult
 from .nuts import run_nuts, NUTSResult
 from .kernel import make_kernel_sampler, KernelSampler
@@ -19,5 +22,7 @@ __all__ = [
     "make_kernel_sampler", "KernelSampler",
     "run_evidence_ladder", "model_evidence", "power_betas",
     "EvidenceResult",
+    "laplace_approximation", "laplace_fit", "model_laplace",
+    "LaplaceResult", "sample_prior", "prior_log_norm",
     "FitResult",
 ]
