@@ -9,6 +9,7 @@ from .mle import find_mle, find_mle_multistart
 from .laplace import laplace_approximation, laplace_fit, model_laplace, \
     LaplaceResult
 from .priors import sample_prior, prior_log_norm
+from .sbc import run_sbc, sbc_uniformity, run_batched_ensembles, SBCResult
 from .hmc import run_hmc, HMCResult
 from .nuts import run_nuts, NUTSResult
 from .kernel import make_kernel_sampler, KernelSampler
@@ -24,5 +25,6 @@ __all__ = [
     "EvidenceResult",
     "laplace_approximation", "laplace_fit", "model_laplace",
     "LaplaceResult", "sample_prior", "prior_log_norm",
+    "run_sbc", "sbc_uniformity", "run_batched_ensembles", "SBCResult",
     "FitResult",
 ]

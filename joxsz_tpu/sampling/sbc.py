@@ -1,0 +1,240 @@
+"""Simulation-based calibration (Talts et al. 2018, arXiv:1804.06788).
+
+End-to-end statistical validation of the whole inference pipeline — a
+capability the reference lacks entirely (its only validation is the
+published-fit comparison, SURVEY §4).  The self-consistency identity:
+if theta* ~ prior and data ~ p(data | theta*), then for each parameter
+the rank of theta*_i among L posterior draws given that data is
+uniform on {0, ..., L}.  Any miscalibration — a likelihood/simulator
+mismatch, a sampler bias, a prior/veto inconsistency — shows up as a
+non-uniform rank histogram (U-shape: posterior too narrow; hump:
+too wide; slope: biased).
+
+The whole study runs as ONE device program: N prior draws (exact, via
+sampling/priors.py), N mock datasets through the likelihood's own
+forward models (simulate.py), and N independent ensembles fit
+simultaneously through the stacked multicluster likelihood
+(models/multicluster.py, the flat widened-GEMM path on TPU) inside a
+single jitted scan.  This turns the classic "SBC is too expensive for
+real pipelines" objection into a few seconds of device time.
+
+Rank-correlation caveat: posterior draws from one ensemble are
+autocorrelated (tau ~ hundreds of steps on the CL J1226 posterior —
+docs/PERFORMANCE.md), which does not bias the rank's distribution but
+shrinks the effective number of independent draws; the chi^2 uniformity
+test assumes L independent draws, so choose ``thin`` of order tau (or
+treat the reported p-values as optimistic in spread).  The rank is
+computed with the standard uniform tie-break so discrete ties (veto
+plateaus) cannot fake uniformity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .stretch import stretch_half_update, validate_schedule
+from .priors import sample_prior
+
+
+@dataclasses.dataclass
+class SBCResult:
+    ranks: np.ndarray          # (N, D) in {0..n_draws}
+    n_draws: int               # L: posterior draws per replication
+    thetas_true: np.ndarray    # (N, D) prior draws that generated the data
+    p_values: np.ndarray       # (D,) chi^2 uniformity p-value per parameter
+    counts: np.ndarray         # (D, B) binned rank histogram
+    names: list[str]           # thawed parameter names
+    acceptance: np.ndarray     # (N, W) sampler acceptance per replication
+
+    def worst(self) -> tuple[str, float]:
+        i = int(np.argmin(self.p_values))
+        return self.names[i], float(self.p_values[i])
+
+
+def sbc_uniformity(ranks: np.ndarray, n_draws: int,
+                   n_bins: int | None = None):
+    """Per-parameter chi^2 uniformity test of SBC ranks.
+
+    Returns (p_values (D,), counts (D, B)).  ``n_bins`` defaults to the
+    Talts et al. style N/20-capped choice so expected counts stay >= ~20.
+    """
+    from scipy import stats
+
+    ranks = np.asarray(ranks)
+    N, D = ranks.shape
+    if n_bins is None:
+        n_bins = int(np.clip(N // 20, 2, n_draws + 1))
+    if not (2 <= n_bins <= n_draws + 1):
+        raise ValueError(f"n_bins ({n_bins}) must be in [2, L+1]")
+    # bin {0..L} into n_bins near-equal cells
+    edges = np.floor(np.arange(1, n_bins) * (n_draws + 1) / n_bins)
+    idx = np.searchsorted(edges, ranks, side="right")       # (N, D)
+    counts = np.stack([np.bincount(idx[:, d], minlength=n_bins)
+                       for d in range(D)])
+    # expected per-bin mass follows the (near-)equal cell widths
+    widths = np.diff(np.concatenate([[0], edges, [n_draws + 1]]))
+    expected = N * widths / (n_draws + 1)
+    chi2 = ((counts - expected) ** 2 / expected).sum(axis=1)
+    p = stats.chi2.sf(chi2, df=n_bins - 1)
+    return p, counts
+
+
+def _batched_init(log_prob_batch_cluster, centers, n_walkers, key,
+                  spread=0.05, max_tries=64):
+    """(C, W, D) finite-likelihood init clouds around per-cluster
+    centers — the batched generalisation of
+    stretch.generate_init_positions (same additive floor for zero-valued
+    coordinates)."""
+    centers = jnp.asarray(centers)
+    C, D = centers.shape
+    scale = spread * jnp.maximum(jnp.abs(centers), 1e-2)   # (C, D)
+    pos = jnp.zeros((C, n_walkers, D), dtype=centers.dtype)
+    ok = jnp.zeros((C, n_walkers), dtype=bool)
+    for _ in range(max_tries):
+        key, sub = jax.random.split(key)
+        cand = centers[:, None, :] + scale[:, None, :] * jax.random.normal(
+            sub, (C, n_walkers, D), dtype=centers.dtype)
+        fine = jnp.isfinite(log_prob_batch_cluster(cand))
+        take = fine & ~ok
+        pos = jnp.where(take[..., None], cand, pos)
+        ok = ok | fine
+        if bool(jnp.all(ok)):
+            return pos
+    raise RuntimeError("could not initialise finite walkers for every "
+                       "replication; check the prior draws / spread")
+
+
+def run_batched_ensembles(log_prob_batch_cluster, p0, n_burn: int,
+                          n_steps: int, key, thin: int = 1,
+                          a: float = 2.0):
+    """(C, W, D) independent stretch-move ensembles in one jitted scan,
+    returning the thinned post-burn chains.
+
+    Single-device batched counterpart of parallel.run_multi_cluster
+    (which shards over a mesh but keeps only final positions); built on
+    the same shared ``stretch_half_update`` primitive.  Returns
+    (chain (n_saved, C, W, D), acceptance (C, W), final positions)."""
+    p0 = jnp.asarray(p0)
+    C, W, D = p0.shape
+    validate_schedule(n_steps, thin, W)
+    if n_burn < 0:
+        raise ValueError(f"n_burn ({n_burn}) must be >= 0")
+    H = W // 2
+    n_saved = n_steps // thin
+
+    def step(state, k):
+        x, lp, acc = state
+        u = jax.random.uniform(k, (2, C, 3, H), dtype=x.dtype)
+
+        def half(x, lp, acc, u3, sl_m, sl_f):
+            xm, lm, accept = stretch_half_update(
+                log_prob_batch_cluster, u3, x[:, sl_m], lp[:, sl_m],
+                x[:, sl_f], a, D)
+            x = x.at[:, sl_m].set(xm)
+            lp = lp.at[:, sl_m].set(lm)
+            acc = acc.at[:, sl_m].add(accept.astype(x.dtype))
+            return x, lp, acc
+
+        lo, hi = slice(None, H), slice(H, None)
+        x, lp, acc = half(x, lp, acc, u[0], lo, hi)
+        x, lp, acc = half(x, lp, acc, u[1], hi, lo)
+        return (x, lp, acc), None
+
+    @jax.jit
+    def drive(p0, rkey):
+        lp0 = log_prob_batch_cluster(p0)
+        acc0 = jnp.zeros((C, W), dtype=p0.dtype)
+        state = (p0, lp0, acc0)
+        if n_burn:
+            kb, rkey = jax.random.split(rkey)
+            state, _ = jax.lax.scan(step, state, jax.random.split(kb, n_burn))
+            x, lp, _ = state
+            state = (x, lp, acc0)
+
+        def outer(state, k):
+            state, _ = jax.lax.scan(step, state, jax.random.split(k, thin))
+            return state, state[0]
+
+        state, chain = jax.lax.scan(outer, state,
+                                    jax.random.split(rkey, n_saved))
+        return state, chain
+
+    (x, lp, acc), chain = drive(p0, key)
+    return (np.asarray(chain), np.asarray(acc) / float(n_steps),
+            np.asarray(x))
+
+
+def run_sbc(model, n_reps: int, *, n_walkers: int = 64,
+            n_burn: int = 2000, n_steps: int = 500, thin: int = 50,
+            seed: int = 0, sz_noise: bool = True, xray_noise: bool = True,
+            init_spread: float = 0.05, n_bins: int | None = None,
+            flatten: bool = True) -> SBCResult:
+    """Full SBC study of a JointModel's pipeline.
+
+    For each of ``n_reps`` replications: theta* ~ normalized prior,
+    one mock dataset at theta*, a (``n_burn`` + ``n_steps``)-step
+    ensemble fit, and the per-parameter rank of theta* among the
+    L = (n_steps/thin) * n_walkers thinned post-burn draws.  All
+    replications run stacked in one program.
+
+    Prior draws that the forward model cannot evaluate (negative
+    predicted X-ray counts at extreme-but-unvetoed corners) are
+    resampled — the prior conditioned on simulability is the measure
+    being calibrated, and the same positivity veto zeroes those points'
+    likelihood, so the identity is preserved."""
+    from ..simulate import simulate_survey
+    from ..models.multicluster import (
+        stack_sz_data, stack_xray_data, make_multicluster_log_like,
+    )
+
+    rng = np.random.default_rng(seed)
+    lpri = jax.jit(jax.vmap(model.log_prior_only))
+
+    # prior draws, resampling any the simulator rejects (guarded loop)
+    thetas, tries = [], 0
+    while len(thetas) < n_reps:
+        tries += 1
+        if tries > 16:
+            raise RuntimeError("prior draws keep failing the simulator's "
+                               "positivity check; inspect the prior")
+        for t in sample_prior(lpri, model.params, n_reps - len(thetas), rng):
+            try:
+                xr_ok = model.xray_data is None or np.all(
+                    np.asarray(model.xray_profiles(jnp.asarray(t))) >= 0)
+            except Exception:
+                xr_ok = False
+            if xr_ok:
+                thetas.append(t)
+    thetas_true = np.asarray(thetas)
+
+    survey = simulate_survey(model, thetas_true, rng, sz_noise=sz_noise,
+                             xray_noise=xray_noise)
+    llcb = make_multicluster_log_like(model, survey.sz_stack,
+                                      survey.xray_stack, flatten=flatten)
+
+    key = jax.random.PRNGKey(seed)
+    k_init, k_run = jax.random.split(key)
+    dtype = (model.sz_data.flux.dtype if model.sz_data is not None
+             else model.xray_data.counts.dtype)
+    p0 = _batched_init(llcb, thetas_true.astype(dtype), n_walkers, k_init,
+                       spread=init_spread)
+    chain, acc, _ = run_batched_ensembles(llcb, p0, n_burn, n_steps,
+                                          k_run, thin=thin)
+    # (n_saved, C, W, D) -> (C, L, D)
+    draws = chain.transpose(1, 0, 2, 3).reshape(n_reps, -1,
+                                                thetas_true.shape[1])
+    L = draws.shape[1]
+    # uniform tie-break: rank = #{draw < theta*} + #{draw == theta*} * U
+    lt = (draws < thetas_true[:, None, :]).sum(axis=1)
+    eq = (draws == thetas_true[:, None, :]).sum(axis=1)
+    u = np.random.default_rng(seed + 1).random(lt.shape)
+    ranks = lt + np.floor(u * (eq + 1)).astype(int)
+
+    p_values, counts = sbc_uniformity(ranks, L, n_bins=n_bins)
+    return SBCResult(ranks=ranks, n_draws=L, thetas_true=thetas_true,
+                     p_values=p_values, counts=counts,
+                     names=list(model.params.thawed), acceptance=acc)
