@@ -64,6 +64,10 @@ def main(argv=None):
                     help="run prelim/burn/sampling through the fused Pallas "
                          "step-loop kernel (whole MCMC steps on-chip; "
                          "TPU only, flagship configuration only)")
+    ap.add_argument("--laplace", action="store_true",
+                    help="quick-look mode: MAP + autodiff-Hessian error "
+                         "bars and Laplace evidence instead of MCMC "
+                         "(seconds; run with --cpu for float64 curvature)")
     args = ap.parse_args(argv)
 
     import jax
@@ -107,6 +111,9 @@ def main(argv=None):
     print(f"session built in {time.time()-t0:.1f}s "
           f"(operator {sess.sz_operator.L.shape}, "
           f"{'SZ-only' if args.sz_only else 'joint SZ+X'})")
+
+    if args.laplace:
+        return _laplace_quicklook(sess, cfg)
 
     m = cfg.mcmc
     if args.quick:
@@ -223,6 +230,61 @@ def main(argv=None):
                                 ci=cfg.ci)
     gas_fraction_plot(r_pp, fgas, ci=cfg.ci, plotdir=plotdir)
     print(f"figures written to {plotdir} in {time.time()-t0:.1f}s")
+    return res
+
+
+def _laplace_quicklook(sess, cfg):
+    """MAP + Hessian error bars without MCMC (--laplace)."""
+    import numpy as np
+    from .sampling import model_laplace
+
+    t0 = time.time()
+    res = model_laplace(sess.model, verbose=True)
+    p = sess.params
+    kind = ("interior mode" if res.ok and not res.at_boundary.any()
+            else "boundary-pinned mode" if res.ok
+            else "non-positive-definite curvature (mode on a veto/bound)")
+    print(f"Laplace quick-look in {time.time() - t0:.1f}s — {kind}")
+    sd_col = res.sd if res.ok else res.sd_conditional
+    print(f"{'':>18} | {'MAP':>9} | {'Sd':>8} | {'Unit':>12}")
+    print("-" * 57)
+    for i, n in enumerate(p.thawed):
+        sd = (f"{sd_col[i]:8.3f}" if np.isfinite(sd_col[i]) else "     n/a")
+        flag = " *" if res.at_boundary[i] else ""
+        print(f"{n:>18} | {res.theta_map[i]:9.3f} | {sd} | "
+              f"{p[n].unit:>12}{flag}")
+    if res.at_boundary.any():
+        print("  (* = MAP pinned at a prior bound; the remaining error "
+              "bars are conditional on the pinned values)")
+    if np.isfinite(res.log_z_normalized):
+        print(f"Laplace log-evidence (normalized prior): "
+              f"{res.log_z_normalized:.2f} "
+              f"(prior log-norm {res.prior_log_norm:.2f} "
+              f"+- {res.prior_log_norm_err:.3f})")
+    else:
+        print("Laplace evidence undefined at a boundary-pinned mode; "
+              "use sampling.model_evidence (stepping-stone ladder)")
+    def _j(v):          # strict JSON: non-finite -> null
+        v = float(v)
+        return v if np.isfinite(v) else None
+
+    out = {
+        "ok": res.ok,
+        "theta_map": dict(zip(p.thawed, map(_j, res.theta_map))),
+        "sd": dict(zip(p.thawed, map(_j, res.sd))),
+        "sd_conditional": dict(zip(p.thawed, map(_j, res.sd_conditional))),
+        "at_boundary": dict(zip(p.thawed,
+                                res.at_boundary.astype(bool).tolist())),
+        "eigenvalues_negH": [_j(v) for v in res.eigenvalues],
+        "log_post_map": _j(res.log_post_map),
+        "log_z": _j(res.log_z),
+        "log_z_normalized": _j(res.log_z_normalized),
+        "prior_log_norm": _j(res.prior_log_norm),
+        "prior_log_norm_err": _j(res.prior_log_norm_err),
+    }
+    path = pathlib.Path(cfg.save_dir) / f"{cfg.name}_laplace.json"
+    path.write_text(json.dumps(out, indent=2, default=float))
+    print(f"written {path}")
     return res
 
 

@@ -49,6 +49,9 @@ class LaplaceResult:
     log_z: float                   # Laplace evidence, same measure as log_post
     ok: bool                       # -H positive definite
     at_boundary: np.ndarray        # (D,) bool: mode within rtol of a box bound
+    sd_conditional: np.ndarray = None   # (D,) interior-subspace sd (boundary
+    #   directions NaN): from inverting -H restricted to the non-boundary
+    #   parameters, i.e. error bars conditional on the pinned values
     log_z_normalized: float | None = None   # vs the normalized prior
     prior_log_norm: float | None = None
     prior_log_norm_err: float | None = None
@@ -106,10 +109,24 @@ def laplace_approximation(log_post, theta_map, lo=None, hi=None,
         at_boundary = ((np.isfinite(lo) & (tm - lo < tol))
                        | (np.isfinite(hi) & (hi - tm < tol)))
 
+    # conditional error bars on the interior subspace: a boundary-pinned
+    # mode makes the FULL -H indefinite, but the curvature restricted to
+    # the non-pinned directions (holding the pinned values fixed) is
+    # typically proper and is exactly what a quick-look needs
+    sd_cond = np.full((D,), np.nan)
+    interior = ~at_boundary
+    if ok:
+        sd_cond = sd.copy()
+    elif interior.any():
+        Hi = -H[np.ix_(interior, interior)]
+        ev = np.linalg.eigvalsh(Hi)
+        if np.all(np.isfinite(ev)) and ev[0] > 0.0:
+            sd_cond[interior] = np.sqrt(np.diag(np.linalg.inv(Hi)))
+
     return LaplaceResult(
         theta_map=np.asarray(theta_map, float), log_post_map=lp_map,
         hessian=H, eigenvalues=eigvals, cov=cov, sd=sd, log_z=log_z,
-        ok=ok, at_boundary=at_boundary)
+        ok=ok, at_boundary=at_boundary, sd_conditional=sd_cond)
 
 
 def laplace_fit(log_post, theta0, lo, hi, verbose: bool = False,

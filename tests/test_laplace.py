@@ -59,7 +59,8 @@ def test_laplace_boundary_mode_is_flagged_not_inverted():
     """A mode pinned at a box bound gives a non-PD -H: ok must be False,
     cov NaN (no silent pseudo-inverse), at_boundary set."""
     def log_post(x):
-        return -jnp.sum(x)          # maximized at the lower bound
+        inside = jnp.all((x >= 0) & (x <= 1))
+        return jnp.where(inside, -jnp.sum(x), -jnp.inf)  # mode at lower bound
 
     lo, hi = np.zeros(2), np.ones(2)
     res = laplace_fit(log_post, np.full(2, 0.5), lo, hi)
@@ -67,6 +68,25 @@ def test_laplace_boundary_mode_is_flagged_not_inverted():
     assert np.isnan(res.log_z)
     assert np.isnan(res.cov).all()
     assert res.at_boundary.all()
+    assert np.isnan(res.sd_conditional).all()   # no interior subspace left
+
+
+def test_laplace_conditional_sd_on_mixed_boundary_mode():
+    """One interior Gaussian direction + one boundary-pinned linear
+    direction: full -H is indefinite but the interior conditional sd
+    must come out exactly."""
+    def log_post(x):
+        inside = jnp.all((x >= 0) & (x <= 1))
+        return jnp.where(
+            inside, -0.5 * ((x[0] - 0.5) / 0.1) ** 2 - 3.0 * x[1],
+            -jnp.inf)
+
+    lo, hi = np.zeros(2), np.ones(2)
+    res = laplace_fit(log_post, np.array([0.3, 0.5]), lo, hi)
+    assert not res.ok
+    assert res.at_boundary.tolist() == [False, True]
+    assert abs(res.sd_conditional[0] - 0.1) < 1e-6
+    assert np.isnan(res.sd_conditional[1])
 
 
 class _StubModel:
@@ -157,6 +177,29 @@ def test_product_prior_draws_rejects_improper_box():
     params = ParamSet([("x0", Param(0.0, -1e99, 1e99))])  # unbounded box
     with pytest.raises(ValueError, match="finite bounds"):
         product_prior_draws(params, 10, np.random.default_rng(0))
+
+
+@pytest.mark.slow
+def test_cli_laplace_quicklook(ref_data, tmp_path, monkeypatch):
+    """--laplace on the real data: the CL J1226 MAP pins Z and epsilon
+    at 0 (known posterior pile-up), so the quick-look must either flag
+    those directions or report a non-PD curvature — and always write
+    strict-JSON output."""
+    import json
+    from joxsz_tpu import run as cli
+
+    monkeypatch.chdir(tmp_path)
+    res = cli.main(["--cpu", "--laplace"])
+    out = json.loads((tmp_path / "joxsz_laplace.json").read_text())
+    assert set(out["theta_map"]) == set(out["sd"])
+    boundary = [n for n, b in out["at_boundary"].items() if b]
+    assert (not out["ok"]) or boundary, out
+    if not res.ok:
+        assert out["log_z"] is None      # null, not NaN, in strict JSON
+        # the interior directions still get conditional error bars
+        finite_cond = [v for v in out["sd_conditional"].values()
+                       if v is not None]
+        assert len(finite_cond) >= len(out["sd"]) - len(boundary) - 1
 
 
 @pytest.mark.slow
