@@ -84,17 +84,24 @@ def sbc_uniformity(ranks: np.ndarray, n_draws: int,
 
 
 def _batched_init(log_prob_batch_cluster, centers, n_walkers, key,
-                  spread=0.05, max_tries=64):
+                  spread=0.05, max_tries=64, shrink_every=8):
     """(C, W, D) finite-likelihood init clouds around per-cluster
     centers — the batched generalisation of
     stretch.generate_init_positions (same additive floor for zero-valued
-    coordinates)."""
+    coordinates).
+
+    A prior-drawn center can sit arbitrarily close to a veto/box
+    boundary where a fixed-spread cloud almost never lands in support,
+    so unfinished replications have their spread HALVED every
+    ``shrink_every`` tries — the center itself is finite, so a small
+    enough cloud always succeeds."""
     centers = jnp.asarray(centers)
     C, D = centers.shape
-    scale = spread * jnp.maximum(jnp.abs(centers), 1e-2)   # (C, D)
+    scale0 = spread * jnp.maximum(jnp.abs(centers), 1e-2)   # (C, D)
+    scale = scale0
     pos = jnp.zeros((C, n_walkers, D), dtype=centers.dtype)
     ok = jnp.zeros((C, n_walkers), dtype=bool)
-    for _ in range(max_tries):
+    for t in range(max_tries):
         key, sub = jax.random.split(key)
         cand = centers[:, None, :] + scale[:, None, :] * jax.random.normal(
             sub, (C, n_walkers, D), dtype=centers.dtype)
@@ -104,8 +111,15 @@ def _batched_init(log_prob_batch_cluster, centers, n_walkers, key,
         ok = ok | fine
         if bool(jnp.all(ok)):
             return pos
-    raise RuntimeError("could not initialise finite walkers for every "
-                       "replication; check the prior draws / spread")
+        if (t + 1) % shrink_every == 0:
+            done = jnp.all(ok, axis=1)                    # (C,)
+            scale = jnp.where(done[:, None], scale, scale * 0.5)
+    # which replications could not be filled (host-side, for the error)
+    missing = np.where(~np.asarray(ok).all(axis=1))[0]
+    raise RuntimeError(
+        f"could not initialise finite walkers for replication(s) "
+        f"{missing.tolist()} after {max_tries} tries; check the prior "
+        "draws / spread")
 
 
 def run_batched_ensembles(log_prob_batch_cluster, p0, n_burn: int,
@@ -186,7 +200,7 @@ def run_sbc(model, n_reps: int, *, n_walkers: int = 64,
     resampled — the prior conditioned on simulability is the measure
     being calibrated, and the same positivity veto zeroes those points'
     likelihood, so the identity is preserved."""
-    from ..simulate import simulate_survey
+    from ..simulate import simulate_survey, _jitted_profile
     from ..models.multicluster import (
         stack_sz_data, stack_xray_data, make_multicluster_log_like,
     )
@@ -201,10 +215,12 @@ def run_sbc(model, n_reps: int, *, n_walkers: int = 64,
         if tries > 16:
             raise RuntimeError("prior draws keep failing the simulator's "
                                "positivity check; inspect the prior")
+        xrp = (None if model.xray_data is None
+               else _jitted_profile(model, "xray_profiles"))
         for t in sample_prior(lpri, model.params, n_reps - len(thetas), rng):
             try:
-                xr_ok = model.xray_data is None or np.all(
-                    np.asarray(model.xray_profiles(jnp.asarray(t))) >= 0)
+                xr_ok = xrp is None or np.all(
+                    np.asarray(xrp(jnp.asarray(t))) >= 0)
             except Exception:
                 xr_ok = False
             if xr_ok:

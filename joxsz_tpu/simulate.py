@@ -23,7 +23,24 @@ from __future__ import annotations
 import dataclasses
 
 import numpy as np
+import jax
 import jax.numpy as jnp
+
+
+def _jitted_profile(model, name: str):
+    """Jit-compile a model's profile method once per model instance.
+
+    The mock loops call ``sz_profile``/``xray_profiles`` per cluster;
+    eagerly each call dispatches hundreds of small ops — over the
+    remote-TPU tunnel that is seconds per call (CLAUDE.md).  The jitted
+    wrapper is cached ON the model object so its lifetime matches and
+    repeat calls hit the compiled program."""
+    attr = f"_jit_{name}"
+    fn = getattr(model, attr, None)
+    if fn is None:
+        fn = jax.jit(getattr(model, name))
+        setattr(model, attr, fn)
+    return fn
 
 
 @dataclasses.dataclass
@@ -59,7 +76,7 @@ def simulate_observation(model, theta, rng, *, sz_noise: bool = True,
     sz_flux = sz_true = None
     if model.sz_data is not None:
         sz = model.sz_data
-        prof = np.asarray(model.sz_profile(theta_j))
+        prof = np.asarray(_jitted_profile(model, "sz_profile")(theta_j))
         sz_true = np.asarray(sz.G) @ prof
         err = np.asarray(sz.flux_err)
         sz_flux = sz_true + (rng.normal(0.0, err) if sz_noise else 0.0)
@@ -69,7 +86,8 @@ def simulate_observation(model, theta, rng, *, sz_noise: bool = True,
     xr_counts = xr_true = None
     if model.xray_data is not None:
         xr = model.xray_data
-        xr_true = np.asarray(model.xray_profiles(theta_j))
+        xr_true = np.asarray(
+            _jitted_profile(model, "xray_profiles")(theta_j))
         if np.any(xr_true < 0):
             raise ValueError(
                 "negative predicted X-ray counts at theta — the vector "
