@@ -68,6 +68,11 @@ def main(argv=None):
                     help="quick-look mode: MAP + autodiff-Hessian error "
                          "bars and Laplace evidence instead of MCMC "
                          "(seconds; run with --cpu for float64 curvature)")
+    ap.add_argument("--postprocess", metavar="CHAIN_HDF5",
+                    help="skip sampling: recompute the posterior table, "
+                         "summary JSON, and all six figures from a saved "
+                         "chain (pass the same model-family flags the "
+                         "chain was sampled with)")
     args = ap.parse_args(argv)
 
     import jax
@@ -114,6 +119,9 @@ def main(argv=None):
 
     if args.laplace:
         return _laplace_quicklook(sess, cfg)
+    if args.postprocess:
+        return _postprocess_saved_chain(sess, cfg, args.postprocess,
+                                        no_plots=args.no_plots)
 
     m = cfg.mcmc
     if args.quick:
@@ -176,6 +184,18 @@ def main(argv=None):
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(
         json.dumps(res.timings, indent=2, default=float))
+    _summary_and_figures(sess, cfg, res, no_plots=args.no_plots)
+    return res
+
+
+def _summary_and_figures(sess, cfg, res, no_plots=False):
+    """Posterior summary JSON + all six figures from a FitResult-shaped
+    chain carrier (shared by the fit path and --postprocess)."""
+    import pathlib
+    import time
+
+    p = sess.params
+    save = pathlib.Path(cfg.save_dir)
 
     from .postproc import summary_dict, save_summary
 
@@ -185,8 +205,8 @@ def main(argv=None):
                      units=[p[n].unit for n in p.thawed], ci=cfg.ci,
                      chain_3d=res.chain))
 
-    if args.no_plots:
-        return res
+    if no_plots:
+        return
 
     from .postproc import (
         compute_profiles, compute_mass_profiles, compute_gas_fraction,
@@ -203,7 +223,7 @@ def main(argv=None):
     r_pp = sess.geometry.r_press_kpc
 
     t0 = time.time()
-    traceplot(cube, p.thawed, seed=m.seed, plotdir=plotdir)
+    traceplot(cube, p.thawed, seed=cfg.mcmc.seed, plotdir=plotdir)
     cornerplot(flat, p.thawed, ci=cfg.ci, plotdir=plotdir)
 
     perc_x, perc_sz = posterior_predictive(sess.model, flat, ci=cfg.ci)
@@ -230,6 +250,44 @@ def main(argv=None):
                                 ci=cfg.ci)
     gas_fraction_plot(r_pp, fgas, ci=cfg.ci, plotdir=plotdir)
     print(f"figures written to {plotdir} in {time.time()-t0:.1f}s")
+
+
+def _postprocess_saved_chain(sess, cfg, chain_path, no_plots=False):
+    """--postprocess: rebuild table/summary/figures from a saved chain.
+
+    The reference can only produce figures inside a full ``main()`` run
+    (joxsz_plots.py is driven by live sampler state); here any
+    emcee-layout chain written by ``run_fit`` can be re-postprocessed
+    against a freshly built session, so figure/summary tweaks never
+    require re-sampling."""
+    import numpy as np
+    from .io.checkpoint import load_chain_hdf5
+    from .sampling.driver import FitResult
+
+    saved = load_chain_hdf5(chain_path)
+    names = list(sess.params.thawed)
+    if saved["param_names"] != names:
+        raise SystemExit(
+            f"chain {chain_path} was sampled with parameters "
+            f"{saved['param_names']} but the session thaws {names}; "
+            "pass the model-family flags (--pressure/--temperature/"
+            "--density/--sz-only) the chain was produced with")
+    chain = saved["chain"]
+    res = FitResult(
+        chain=chain,
+        log_prob=saved["log_prob"],
+        acceptance_fraction=np.full(chain.shape[1], np.nan),
+        mle_theta=chain.reshape(-1, chain.shape[2])[
+            np.argmax(saved["log_prob"].reshape(-1))],
+        mle_loglike=float(saved["log_prob"].max()),
+        param_names=names,
+        timings={},
+    )
+    print(f"postprocessing {chain_path}: {chain.shape[0]} saved steps x "
+          f"{chain.shape[1]} walkers (burn={saved['burn']}, "
+          f"thin={saved['thin']})")
+    res.print_summary([sess.params[n].unit for n in names])
+    _summary_and_figures(sess, cfg, res, no_plots=no_plots)
     return res
 
 
