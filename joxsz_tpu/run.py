@@ -73,6 +73,11 @@ def main(argv=None):
                          "summary JSON, and all six figures from a saved "
                          "chain (pass the same model-family flags the "
                          "chain was sampled with)")
+    ap.add_argument("--ppc", action="store_true",
+                    help="posterior-predictive model check: Bayesian "
+                         "p-values for the SZ chi^2 and X-ray deviance "
+                         "discrepancies (after the fit, or with "
+                         "--postprocess); p near 0 or 1 flags misfit")
     args = ap.parse_args(argv)
 
     import jax
@@ -121,7 +126,8 @@ def main(argv=None):
         return _laplace_quicklook(sess, cfg)
     if args.postprocess:
         return _postprocess_saved_chain(sess, cfg, args.postprocess,
-                                        no_plots=args.no_plots)
+                                        no_plots=args.no_plots,
+                                        ppc=args.ppc)
 
     m = cfg.mcmc
     if args.quick:
@@ -185,7 +191,56 @@ def main(argv=None):
     (save / f"{cfg.name}_timings.json").write_text(
         json.dumps(res.timings, indent=2, default=float))
     _summary_and_figures(sess, cfg, res, no_plots=args.no_plots)
+    if args.ppc:
+        _ppc_report(sess, cfg, res)
     return res
+
+
+def _ppc_report(sess, cfg, res, n_draws=400):
+    """--ppc: posterior-predictive p-values from the fit's chain."""
+    import numpy as np
+    from .postproc.ppc import posterior_predictive_pvalues
+
+    flat = res.flat_chain
+    rng = np.random.default_rng((cfg.mcmc.seed or 0) + 777)
+    idx = (rng.choice(len(flat), n_draws, replace=False)
+           if len(flat) > n_draws else np.arange(len(flat)))
+    r = posterior_predictive_pvalues(sess.model, flat[idx], rng)
+
+    def _verdict(pv):
+        return ("OK" if pv is not None and 0.05 <= pv <= 0.95
+                else "MISFIT" if pv is not None else "n/a")
+
+    print(f"posterior-predictive check ({len(idx)} draws):")
+    if r.p_sz is not None:
+        print(f"  SZ chi^2      p = {r.p_sz:.3f}  [{_verdict(r.p_sz)}]  "
+              f"(obs median {np.median(r.sz_obs):.1f}, "
+              f"rep median {np.median(r.sz_rep):.1f})")
+    if r.p_xray is not None:
+        print(f"  X-ray deviance p = {r.p_xray:.3f}  "
+              f"[{_verdict(r.p_xray)}]  "
+              f"(obs median {np.median(r.xray_obs):.1f}, "
+              f"rep median {np.median(r.xray_rep):.1f})")
+    print("  (p near 0: data more discrepant than the model can "
+          "replicate; near 1: model overfits/overdisperses)")
+
+    out = {
+        "n_draws": int(len(idx)),
+        "p_sz": r.p_sz,
+        "p_xray": r.p_xray,
+        "sz_obs_median": (None if r.sz_obs is None
+                          else float(np.median(r.sz_obs))),
+        "sz_rep_median": (None if r.sz_rep is None
+                          else float(np.median(r.sz_rep))),
+        "xray_obs_median": (None if r.xray_obs is None
+                            else float(np.median(r.xray_obs))),
+        "xray_rep_median": (None if r.xray_rep is None
+                            else float(np.median(r.xray_rep))),
+    }
+    path = pathlib.Path(cfg.save_dir) / f"{cfg.name}_ppc.json"
+    path.write_text(json.dumps(out, indent=2))
+    print(f"written {path}")
+    return r
 
 
 def _summary_and_figures(sess, cfg, res, no_plots=False):
@@ -252,7 +307,8 @@ def _summary_and_figures(sess, cfg, res, no_plots=False):
     print(f"figures written to {plotdir} in {time.time()-t0:.1f}s")
 
 
-def _postprocess_saved_chain(sess, cfg, chain_path, no_plots=False):
+def _postprocess_saved_chain(sess, cfg, chain_path, no_plots=False,
+                             ppc=False):
     """--postprocess: rebuild table/summary/figures from a saved chain.
 
     The reference can only produce figures inside a full ``main()`` run
@@ -288,6 +344,8 @@ def _postprocess_saved_chain(sess, cfg, chain_path, no_plots=False):
           f"thin={saved['thin']})")
     res.print_summary([sess.params[n].unit for n in names])
     _summary_and_figures(sess, cfg, res, no_plots=no_plots)
+    if ppc:
+        _ppc_report(sess, cfg, res)
     return res
 
 

@@ -60,6 +60,29 @@ def test_postprocess_writes_summary(session, ref_data, tmp_path,
         assert n in text
 
 
+def test_ppc_report_writes_json(session, ref_data, tmp_path, capsys):
+    from joxsz_tpu.run import _ppc_report
+    from joxsz_tpu.sampling.driver import FitResult
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.save_dir = str(tmp_path)
+    names = list(session.params.thawed)
+    theta0 = np.asarray(session.params.thawed_values(), dtype=np.float64)
+    rng = np.random.default_rng(3)
+    chain = theta0[None, None, :] * (
+        1 + 1e-3 * rng.standard_normal((20, 6, len(names))))
+    res = FitResult(chain=chain,
+                    log_prob=np.zeros((20, 6)),
+                    acceptance_fraction=np.full(6, np.nan),
+                    mle_theta=theta0, mle_loglike=0.0,
+                    param_names=names, timings={})
+    r = _ppc_report(session, cfg, res, n_draws=50)
+    assert 0.0 <= r.p_sz <= 1.0 and 0.0 <= r.p_xray <= 1.0
+    out = json.loads((tmp_path / f"{cfg.name}_ppc.json").read_text())
+    assert out["p_sz"] == r.p_sz and out["n_draws"] == 50
+    assert "posterior-predictive check" in capsys.readouterr().out
+
+
 def test_postprocess_rejects_mismatched_params(session, ref_data, tmp_path):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.save_dir = str(tmp_path)
