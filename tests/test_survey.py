@@ -1,0 +1,88 @@
+"""Multi-cluster survey fitting (joxsz_tpu/survey.py).
+
+The reference runs one cluster per process invocation
+(/root/reference/joxsz_main.py); the survey module fits C clusters
+simultaneously as one batched device program.
+"""
+
+import json
+
+import numpy as np
+import pytest
+
+from joxsz_tpu.build import build_session
+from joxsz_tpu.config import JoXSZConfig
+from joxsz_tpu.simulate import simulate_survey
+from joxsz_tpu.survey import SurveyResult, fit_survey, _build_spec_survey
+
+
+@pytest.fixture(scope="module")
+def session(ref_data):
+    return build_session(JoXSZConfig.cl1226(str(ref_data)))
+
+
+def test_fit_survey_mock_recovery(session):
+    C, W, D = 2, 16, len(session.params.thawed)
+    theta0 = np.asarray(session.params.thawed_values())
+    names = list(session.params.thawed)
+    truths = np.tile(theta0, (C, 1))
+    truths[:, names.index("P_0")] *= [0.8, 1.2]
+    rng = np.random.default_rng(7)
+    survey = simulate_survey(session.model, truths, rng)
+
+    res = fit_survey(session.model, survey.sz_stack, survey.xray_stack,
+                     truths, n_walkers=W, n_burn=60, n_steps=60, thin=5,
+                     seed=1, truths=truths)
+    n_saved = 60 // 5
+    assert res.chain.shape == (n_saved, C, W, D)
+    assert res.log_prob.shape == (n_saved, C, W)
+    assert res.medians.shape == (C, D) and res.sds.shape == (C, D)
+    assert np.all(np.isfinite(res.log_prob))
+    assert res.flat_chain(0).shape == (n_saved * W, D)
+    # the injected P_0 ordering must be resolved even by a short fit
+    i = names.index("P_0")
+    assert res.medians[0, i] < res.medians[1, i]
+
+    d = res.to_dict()
+    json.dumps(d)                       # serialisable
+    assert [c["name"] for c in d["clusters"]] == res.cluster_names
+    assert d["clusters"][0]["truth"]["P_0"] == pytest.approx(truths[0, i])
+
+
+def test_fit_survey_rejects_bad_centers(session):
+    with pytest.raises(ValueError, match="centers"):
+        fit_survey(session.model, None, None, np.zeros((2, 3)),
+                   n_walkers=8, n_burn=0, n_steps=10)
+
+
+def test_spec_survey_rejects_empty(tmp_path):
+    spec = tmp_path / "s.json"
+    spec.write_text(json.dumps({"clusters": []}))
+
+    class _Args:
+        sz_only = False
+        mle = False
+
+    with pytest.raises(SystemExit, match="no 'clusters'"):
+        _build_spec_survey(str(spec), _Args())
+
+
+def test_survey_chain_roundtrips_through_checkpoint(session, tmp_path):
+    """--save-chains output loads back as a valid emcee-layout chain."""
+    from joxsz_tpu.io.checkpoint import save_chain_hdf5, load_chain_hdf5
+
+    names = list(session.params.thawed)
+    D = len(names)
+    rng = np.random.default_rng(0)
+    res = SurveyResult(
+        cluster_names=["x"], param_names=names,
+        chain=rng.standard_normal((4, 1, 6, D)),
+        log_prob=rng.standard_normal((4, 1, 6)),
+        acceptance=np.full((1, 6), 0.3),
+        medians=np.zeros((1, D)), sds=np.ones((1, D)))
+    p = tmp_path / "x_chain.hdf5"
+    save_chain_hdf5(str(p), res.chain[:, 0], res.log_prob[:, 0],
+                    res.acceptance[0], names, nburn=10, nthin=5)
+    saved = load_chain_hdf5(str(p))
+    np.testing.assert_array_equal(saved["chain"], res.chain[:, 0])
+    assert saved["param_names"] == names
