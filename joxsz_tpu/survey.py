@@ -81,14 +81,21 @@ class SurveyResult:
 def fit_survey(model, sz_stack, xray_stack, centers, *,
                cluster_names=None, n_walkers=64, n_burn=500, n_steps=500,
                thin=5, seed=0, init_spread=0.05, flatten=True,
-               truths=None) -> SurveyResult:
+               truths=None, session=None, step_kernel=False,
+               kernel_interpret=False) -> SurveyResult:
     """Fit C stacked clusters jointly; returns per-cluster posteriors.
 
     ``model``: a single-cluster JointModel providing components/priors
     (every cluster must thaw the same parameter vector — same model
     family); ``sz_stack``/``xray_stack``: stacked data pytrees
     (models.multicluster.stack_*); ``centers``: (C, D) per-cluster
-    walker-init centers (config defaults, per-cluster MLEs, or truths)."""
+    walker-init centers (config defaults, per-cluster MLEs, or truths).
+
+    ``step_kernel=True`` (needs ``session``) runs burn and sampling
+    through the fused cluster-grid Pallas kernel
+    (ops.make_multicluster_step_kernel — whole MCMC steps on-chip, the
+    TPU production path); configurations outside the kernel
+    specialisation fall back to the XLA scan with a warning."""
     import jax
 
     from .models.multicluster import make_multicluster_log_like
@@ -102,14 +109,33 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
                          f"{len(names)} parameters {names}")
     dtype = (np.float64 if jax.config.jax_enable_x64 else np.float32)
 
-    batched_ll = jax.jit(make_multicluster_log_like(
-        model, sz_stack, xray_stack, flatten=flatten))
-    k_init, k_run = jax.random.split(jax.random.PRNGKey(seed))
-    p0 = batched_init(batched_ll, centers.astype(dtype), n_walkers,
-                      k_init, spread=init_spread)
-    chain, lp_chain, acc, _ = run_batched_ensembles(
-        batched_ll, p0, n_burn, n_steps, k_run, thin=thin,
-        record_log_prob=True)
+    chain = None
+    if step_kernel:
+        if session is None:
+            raise ValueError("step_kernel=True needs the FitSession "
+                             "(pass session=)")
+        out = _fit_survey_kernel(
+            session, sz_stack, xray_stack, centers, n_walkers=n_walkers,
+            n_burn=n_burn, n_steps=n_steps, thin=thin, seed=seed,
+            init_spread=init_spread, interpret=kernel_interpret)
+        if out is None:
+            import warnings
+
+            warnings.warn("configuration outside the multicluster "
+                          "step-kernel specialisation; falling back to "
+                          "the XLA scan sampler", stacklevel=2)
+        else:
+            chain, lp_chain, acc = out
+
+    if chain is None:
+        batched_ll = jax.jit(make_multicluster_log_like(
+            model, sz_stack, xray_stack, flatten=flatten))
+        k_init, k_run = jax.random.split(jax.random.PRNGKey(seed))
+        p0 = batched_init(batched_ll, centers.astype(dtype), n_walkers,
+                          k_init, spread=init_spread)
+        chain, lp_chain, acc, _ = run_batched_ensembles(
+            batched_ll, p0, n_burn, n_steps, k_run, thin=thin,
+            record_log_prob=True)
     flat = np.transpose(chain, (1, 0, 2, 3)).reshape(C, -1, D)
     return SurveyResult(
         cluster_names=(list(cluster_names) if cluster_names is not None
@@ -122,6 +148,50 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
         sds=np.std(flat, axis=1),
         truths=None if truths is None else np.asarray(truths),
     )
+
+
+def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
+                       n_walkers, n_burn, n_steps, thin, seed,
+                       init_spread, interpret=False):
+    """Kernel path: whole stretch-move steps fused on-chip, one grid
+    step per cluster (ops/pallas_joint.py).  Returns
+    (chain (n_saved, C, W, D), lp_chain, acceptance) or None when the
+    session/stack is outside the kernel specialisation."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.multicluster import make_multicluster_log_like
+    from .ops.pallas_joint import make_multicluster_step_kernel
+    from .sampling.batched import batched_init
+
+    samp = make_multicluster_step_kernel(
+        session, sz_stack, xray_stack, n_inner=n_steps,
+        n_walkers=n_walkers, thin=thin, interpret=interpret)
+    if samp is None:
+        return None
+    burn = None
+    if n_burn:
+        burn = make_multicluster_step_kernel(
+            session, sz_stack, xray_stack, n_inner=n_burn,
+            n_walkers=n_walkers, interpret=interpret)
+
+    # nested-vmap likelihood only for init/lp0 (exact-per-cluster grids)
+    batched_ll = jax.jit(make_multicluster_log_like(
+        session.model, sz_stack, xray_stack, flatten=False))
+    C = centers.shape[0]
+    p0 = batched_init(batched_ll, jnp.asarray(centers, jnp.float32),
+                      n_walkers, jax.random.PRNGKey(seed),
+                      spread=init_spread)
+    x = jnp.asarray(p0, jnp.float32)
+    lp = jnp.asarray(batched_ll(x), jnp.float32)
+    acc = jnp.zeros((C, n_walkers), jnp.float32)
+    if burn is not None:
+        x, lp, acc = burn(x, lp, acc, 2 * seed + 1)
+        acc = jnp.zeros_like(acc)
+    x, lp, acc, chain, chain_lp = samp(x, lp, acc, 2 * seed + 2)
+    return (np.transpose(np.asarray(chain), (1, 0, 2, 3)),
+            np.transpose(np.asarray(chain_lp), (1, 0, 2)),
+            np.asarray(acc) / float(n_steps))
 
 
 def _build_spec_survey(spec_path, args):
@@ -167,7 +237,7 @@ def _build_spec_survey(spec_path, args):
                                  s.params.lo, s.params.hi)
             print(f"  {names[c]}: MLE log-like {ll:.2f}")
             centers[c] = theta
-    return sessions[0].model, sz_stack, xray_stack, centers, names, None
+    return sessions[0], sz_stack, xray_stack, centers, names, None
 
 
 def _build_mock_survey(C, args):
@@ -188,7 +258,7 @@ def _build_mock_survey(C, args):
         truths[:, names.index("\\beta")] += np.linspace(-0.03, 0.03, C)
     survey = simulate_survey(sess.model, truths, rng)
     cl_names = [f"mock{c}" for c in range(C)]
-    return (sess.model, survey.sz_stack, survey.xray_stack, truths,
+    return (sess, survey.sz_stack, survey.xray_stack, truths,
             cl_names, truths)
 
 
@@ -223,6 +293,10 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--mle", action="store_true",
                     help="per-cluster MLE warm starts (spec mode)")
+    ap.add_argument("--step-kernel", action="store_true",
+                    help="run burn+sampling through the fused cluster-"
+                         "grid Pallas kernel (TPU only; falls back to "
+                         "the XLA scan outside its specialisation)")
     ap.add_argument("--out", default="survey_summary.json")
     ap.add_argument("--save-chains", action="store_true",
                     help="write one emcee-layout HDF5 chain per cluster "
@@ -241,21 +315,28 @@ def main(argv=None):
 
     t0 = time.time()
     if args.spec:
-        model, sz_stack, xray_stack, centers, names, truths = \
+        sess, sz_stack, xray_stack, centers, names, truths = \
             _build_spec_survey(args.spec, args)
     else:
-        model, sz_stack, xray_stack, centers, names, truths = \
+        sess, sz_stack, xray_stack, centers, names, truths = \
             _build_mock_survey(args.mock, args)
     C = len(names)
     print(f"survey of {C} clusters built in {time.time()-t0:.1f}s "
           f"({'SZ-only' if xray_stack is None else 'joint SZ+X'}; "
           f"backend {jax.default_backend()})")
 
+    use_kernel = args.step_kernel
+    if use_kernel and jax.default_backend() == "cpu":
+        print("note: --step-kernel needs the TPU hardware PRNG; "
+              "falling back to the XLA sampler on CPU")
+        use_kernel = False
+
     t0 = time.time()
-    res = fit_survey(model, sz_stack, xray_stack, centers,
+    res = fit_survey(sess.model, sz_stack, xray_stack, centers,
                      cluster_names=names, n_walkers=args.walkers,
                      n_burn=args.burn, n_steps=args.steps,
-                     thin=args.thin, seed=args.seed, truths=truths)
+                     thin=args.thin, seed=args.seed, truths=truths,
+                     session=sess, step_kernel=use_kernel)
     evals = C * args.walkers * (args.burn + args.steps)
     wall = time.time() - t0
     print(f"fit {C} x {args.walkers} walkers x "

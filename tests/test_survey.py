@@ -49,6 +49,35 @@ def test_fit_survey_mock_recovery(session):
     assert d["clusters"][0]["truth"]["P_0"] == pytest.approx(truths[0, i])
 
 
+def test_fit_survey_kernel_path_interpret(ref_data):
+    """step_kernel=True routes through the cluster-grid Pallas kernel
+    (interpret mode on CPU) and returns the same result structure."""
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    C, W, D = 2, 16, len(sess.params.thawed)
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    truths = np.tile(theta0, (C, 1))
+    truths[:, list(sess.params.thawed).index("P_0")] *= [0.9, 1.1]
+    survey = simulate_survey(sess.model, truths, np.random.default_rng(2))
+
+    res = fit_survey(sess.model, survey.sz_stack, survey.xray_stack,
+                     truths, n_walkers=W, n_burn=4, n_steps=4, thin=2,
+                     seed=3, session=sess, step_kernel=True,
+                     kernel_interpret=True)
+    assert res.chain.shape == (2, C, W, D)
+    assert res.log_prob.shape == (2, C, W)
+    assert np.all(np.isfinite(res.log_prob))
+    assert np.all(res.acceptance >= 0) and np.all(res.acceptance <= 1)
+
+
+def test_fit_survey_kernel_requires_session(session):
+    with pytest.raises(ValueError, match="session"):
+        fit_survey(session.model, None, None,
+                   np.zeros((2, len(session.params.thawed))),
+                   n_walkers=8, n_burn=0, n_steps=10, step_kernel=True)
+
+
 def test_fit_survey_rejects_bad_centers(session):
     with pytest.raises(ValueError, match="centers"):
         fit_survey(session.model, None, None, np.zeros((2, 3)),
