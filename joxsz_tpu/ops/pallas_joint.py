@@ -715,8 +715,14 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False,
     D, Dp = spec["D"], spec["Dp"]
     f32 = jnp.float32
 
+    # Data enters the jit as runtime arguments, never closure capture:
+    # closed-over arrays are embedded in the lowered HLO as literals, so
+    # any dataset change (new cluster, fresh mock noise) would change the
+    # module hash and defeat the persistent compile cache — a full Mosaic
+    # recompile per dataset on identical shapes.  Same pattern in every
+    # step-kernel builder below.
     @jax.jit
-    def joint_ll(thetas):
+    def _joint_ll(thetas, consts):
         Bt = thetas.shape[0]
         Bp = _round_up(Bt, block_b)
         th_p = jnp.zeros((Bp, Dp), dtype=f32)
@@ -741,9 +747,16 @@ def make_joint_core(sess, block_b: int = 128, interpret: bool = False,
                                        memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(th_p, *const_vals)
+        )(th_p, *consts)
         return out[:Bt, 0]
 
+    consts = tuple(const_vals)
+
+    def joint_ll(thetas):
+        return _joint_ll(thetas, consts)
+
+    joint_ll._jitted = _joint_ll    # exposed for the HLO data-
+    joint_ll._consts = consts       # independence regression test
     return joint_ll
 
 
@@ -1029,7 +1042,7 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
         jax.lax.fori_loop(0, n_inner // unroll, body, 0)
 
     @jax.jit
-    def step_block(x, lp, acc, seed):
+    def _step_block(x, lp, acc, seed, consts):
         xp = jnp.zeros((W, Dp), dtype=f32).at[:, :D].set(x.astype(f32))
         lpp = lp.astype(f32).reshape(W, 1)
         accp = acc.astype(f32).reshape(W, 1)
@@ -1076,7 +1089,7 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             out_specs=out_specs,
             interpret=interpret,
             **kwargs,
-        )(seed_arr, xp, lpp, accp, *const_vals)
+        )(seed_arr, xp, lpp, accp, *consts)
         x_out, lp_out, acc_out = outs[:3]
         if n_keep:
             chlp = outs[4] if chain_hbm else outs[4][:, :, 0]
@@ -1084,7 +1097,46 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                     outs[3][:, :, :D], chlp)
         return x_out[:, :D], lp_out[:, 0], acc_out[:, 0]
 
+    consts = tuple(const_vals)
+
+    def step_block(x, lp, acc, seed):
+        # consts as jit arguments: keeps the HLO data-independent (see
+        # the persistent-cache note in make_joint_ll_kernel)
+        return _step_block(x, lp, acc, seed, consts)
+
+    step_block._jitted = _step_block    # exposed for the HLO data-
+    step_block._consts = consts         # independence regression test
     return step_block
+
+
+def make_multicluster_consts(sess, sz_stack, xr_stack):
+    """Stack the per-cluster kernel constants (operators, flux, counts,
+    tables) into one device-resident tuple for
+    :func:`make_multicluster_step_kernel`.  Build once and pass to every
+    builder call over the same survey (e.g. separate burn and sampling
+    kernels) — each call otherwise re-derives and re-transfers the full
+    stack.  Returns None when the session/stack is outside the kernel
+    specialisation (heterogeneous grids: StackMismatch)."""
+    spec_full = _build_spec(sess)
+    if spec_full is None:
+        return None
+    spec = spec_full["spec"]
+    C = int(np.asarray(sz_stack.L).shape[0])
+    try:
+        per_cluster = [
+            _cluster_arrays(
+                spec,
+                jax.tree_util.tree_map(lambda x, c=c: x[c], sz_stack),
+                jax.tree_util.tree_map(lambda x, c=c: x[c], xr_stack),
+                np.asarray(sz_stack.L)[c], np.asarray(sz_stack.G)[c],
+                np.asarray(sz_stack.w_T0)[c])
+            for c in range(C)
+        ]
+    except StackMismatch:
+        return None     # heterogeneous stack: fall back to the XLA path
+    return tuple(
+        jnp.asarray(np.stack([pc[i] for pc in per_cluster]), jnp.float32)
+        for i in range(len(per_cluster[0])))
 
 
 def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
@@ -1094,7 +1146,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                                   thin: int | None = None,
                                   unroll: int = 1,
                                   chain_space: str = "hbm",
-                                  ll_tile: int = 256):
+                                  ll_tile: int = 256,
+                                  consts=None):
     """Cluster-grid fused sampler for multi-cluster batched fits
     (BASELINE config #5): grid dimension = cluster; each grid step runs
     ``n_inner`` full stretch-move ensemble steps for ONE cluster's
@@ -1119,6 +1172,10 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
     ``"hbm"`` (default) keeps it as an unblocked HBM buffer each grid
     step DMAs its frames into, lifting the VMEM-output cap; ``"vmem"``
     is the original Mosaic-pipelined VMEM-block path.
+
+    ``consts``: a :func:`make_multicluster_consts` tuple to reuse across
+    builder calls over the same survey (skips re-deriving and
+    re-transferring the stacked constants).
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
@@ -1146,20 +1203,13 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
     inv24 = float(2.0 ** -24)
 
     C = int(np.asarray(sz_stack.L).shape[0])
-    try:
-        per_cluster = [
-            _cluster_arrays(
-                spec,
-                jax.tree_util.tree_map(lambda x, c=c: x[c], sz_stack),
-                jax.tree_util.tree_map(lambda x, c=c: x[c], xr_stack),
-                np.asarray(sz_stack.L)[c], np.asarray(sz_stack.G)[c],
-                np.asarray(sz_stack.w_T0)[c])
-            for c in range(C)
-        ]
-    except StackMismatch:
-        return None     # heterogeneous stack: fall back to the XLA path
-    const_vals = [jnp.asarray(np.stack([pc[i] for pc in per_cluster]), f32)
-                  for i in range(len(per_cluster[0]))]
+    if consts is None:
+        consts_built = make_multicluster_consts(sess, sz_stack, xr_stack)
+        if consts_built is None:
+            return None     # heterogeneous stack: XLA-path fallback
+        const_vals = list(consts_built)
+    else:
+        const_vals = list(consts)
     const_shapes = [tuple(v.shape) for v in const_vals]
     # fori_loop likelihood tiling — same compile-time fix as
     # make_step_kernel (unrolled tile copies explode Mosaic compiles)
@@ -1240,7 +1290,7 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
         jax.lax.fori_loop(0, n_inner // unroll, body, 0)
 
     @jax.jit
-    def step_block(x, lp, acc, seed):
+    def _step_block(x, lp, acc, seed, consts):
         xp = jnp.zeros((C, W, Dp), dtype=f32).at[:, :, :D].set(
             x.astype(f32))
         lpp = lp.astype(f32).reshape(C, W, 1)
@@ -1301,7 +1351,7 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                                   scratch_shapes=scratch_shapes),
             interpret=interpret,
             **kwargs,
-        )(seed_arr, xp, lpp, accp, *const_vals)
+        )(seed_arr, xp, lpp, accp, *consts)
         x_out, lp_out, acc_out = outs[:3]
         if n_keep:
             chlp = outs[4] if chain_hbm else outs[4][:, :, :, 0]
@@ -1309,6 +1359,16 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                     outs[3][:, :, :, :D], chlp)
         return x_out[:, :, :D], lp_out[:, :, 0], acc_out[:, :, 0]
 
+    consts = tuple(const_vals)
+
+    def step_block(x, lp, acc, seed):
+        # consts as jit arguments: keeps the HLO data-independent (see
+        # the persistent-cache note in make_joint_ll_kernel) — per-survey
+        # data changes reuse the cached Mosaic compile at equal shapes
+        return _step_block(x, lp, acc, seed, consts)
+
+    step_block._jitted = _step_block    # exposed for the HLO data-
+    step_block._consts = consts         # independence regression test
     return step_block
 
 
@@ -1509,7 +1569,7 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
         jax.lax.fori_loop(0, n_inner, body, 0)
 
     @jax.jit
-    def step_block(x, lp, acc, seed):
+    def _step_block(x, lp, acc, seed, consts):
         # external (K, W, D) -> internal [K rungs' half0; K rungs' half1]
         def to_rows(v, width):
             v = v.astype(f32).reshape(K, W, width)
@@ -1563,7 +1623,7 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
             out_specs=out_specs,
             interpret=interpret,
             **kwargs,
-        )(seed_arr, xp, lpp, accp, *const_vals)
+        )(seed_arr, xp, lpp, accp, *consts)
 
         def from_rows(v, width):
             h0 = v[:KH].reshape(K, H, width)
@@ -1580,4 +1640,13 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                     outs[4][:, :, :D], chlp)
         return x_out, lp_out, acc_out, sacc
 
+    consts = tuple(const_vals)
+
+    def step_block(x, lp, acc, seed):
+        # consts as jit arguments: keeps the HLO data-independent (see
+        # the persistent-cache note in make_joint_ll_kernel)
+        return _step_block(x, lp, acc, seed, consts)
+
+    step_block._jitted = _step_block    # exposed for the HLO data-
+    step_block._consts = consts         # independence regression test
     return step_block

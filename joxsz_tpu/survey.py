@@ -50,6 +50,7 @@ class SurveyResult:
     medians: np.ndarray          # (C, D)
     sds: np.ndarray              # (C, D)
     truths: np.ndarray | None = None    # (C, D) mock mode only
+    timings: dict | None = None  # kernel path: setup vs sampling wall (s)
 
     def flat_chain(self, c: int) -> np.ndarray:
         """((n_saved*W), D) posterior sample of cluster ``c``."""
@@ -110,6 +111,7 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
     dtype = (np.float64 if jax.config.jax_enable_x64 else np.float32)
 
     chain = None
+    timings = None
     if step_kernel:
         if session is None:
             raise ValueError("step_kernel=True needs the FitSession "
@@ -125,7 +127,7 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
                           "step-kernel specialisation; falling back to "
                           "the XLA scan sampler", stacklevel=2)
         else:
-            chain, lp_chain, acc = out
+            chain, lp_chain, acc, timings = out
 
     if chain is None:
         batched_ll = jax.jit(make_multicluster_log_like(
@@ -147,6 +149,7 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
         medians=np.median(flat, axis=1),
         sds=np.std(flat, axis=1),
         truths=None if truths is None else np.asarray(truths),
+        timings=timings,
     )
 
 
@@ -155,29 +158,38 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
                        init_spread, interpret=False):
     """Kernel path: whole stretch-move steps fused on-chip, one grid
     step per cluster (ops/pallas_joint.py).  Returns
-    (chain (n_saved, C, W, D), lp_chain, acceptance) or None when the
-    session/stack is outside the kernel specialisation."""
+    (chain (n_saved, C, W, D), lp_chain, acceptance, timings) or None
+    when the session/stack is outside the kernel specialisation."""
     import jax
     import jax.numpy as jnp
 
     from .models.multicluster import make_multicluster_log_like
-    from .ops.pallas_joint import make_multicluster_step_kernel
+    from .ops.pallas_joint import (make_multicluster_consts,
+                                   make_multicluster_step_kernel)
     from .sampling.batched import batched_init
 
+    t0 = time.time()
+    consts = make_multicluster_consts(session, sz_stack, xray_stack)
+    if consts is None:
+        return None
     samp = make_multicluster_step_kernel(
         session, sz_stack, xray_stack, n_inner=n_steps,
-        n_walkers=n_walkers, thin=thin, interpret=interpret)
+        n_walkers=n_walkers, thin=thin, interpret=interpret,
+        consts=consts)
     if samp is None:
         return None
     burn = None
     if n_burn:
         burn = make_multicluster_step_kernel(
             session, sz_stack, xray_stack, n_inner=n_burn,
-            n_walkers=n_walkers, interpret=interpret)
+            n_walkers=n_walkers, interpret=interpret, consts=consts)
 
-    # nested-vmap likelihood only for init/lp0 (exact-per-cluster grids)
+    # Init/lp0 through the flat widened-GEMM likelihood: the kernel
+    # builder just validated the homogeneous-stack requirement, which is
+    # exactly the flat path's exactness condition, and the nested-vmap
+    # lowering tiles ~20x worse on TPU (docs/PERFORMANCE.md).
     batched_ll = jax.jit(make_multicluster_log_like(
-        session.model, sz_stack, xray_stack, flatten=False))
+        session.model, sz_stack, xray_stack, flatten=True))
     C = centers.shape[0]
     p0 = batched_init(batched_ll, jnp.asarray(centers, jnp.float32),
                       n_walkers, jax.random.PRNGKey(seed),
@@ -185,13 +197,20 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
     x = jnp.asarray(p0, jnp.float32)
     lp = jnp.asarray(batched_ll(x), jnp.float32)
     acc = jnp.zeros((C, n_walkers), jnp.float32)
+    jax.block_until_ready((x, lp))
+    t_setup = time.time() - t0
+
+    t0 = time.time()
     if burn is not None:
         x, lp, acc = burn(x, lp, acc, 2 * seed + 1)
         acc = jnp.zeros_like(acc)
     x, lp, acc, chain, chain_lp = samp(x, lp, acc, 2 * seed + 2)
+    jax.block_until_ready((x, lp, acc))
+    t_sampling = time.time() - t0
     return (np.transpose(np.asarray(chain), (1, 0, 2, 3)),
             np.transpose(np.asarray(chain_lp), (1, 0, 2)),
-            np.asarray(acc) / float(n_steps))
+            np.asarray(acc) / float(n_steps),
+            {"setup_s": t_setup, "sampling_s": t_sampling})
 
 
 def _build_spec_survey(spec_path, args):
@@ -343,6 +362,11 @@ def main(argv=None):
           f"{args.burn}+{args.steps} steps in {wall:.1f}s "
           f"({evals/wall:.0f} evals/s); acceptance "
           f"{np.round(res.acceptance.mean(axis=1), 3)}")
+    if res.timings is not None:
+        ts, tk = res.timings["setup_s"], res.timings["sampling_s"]
+        print(f"  kernel path: {ts:.1f}s one-time setup (builders/init) "
+              f"+ {tk:.1f}s burn+sampling (incl. first-call compile; "
+              f"{evals/tk:.0f} evals/s)")
 
     pnames = res.param_names
     for c in range(C):
