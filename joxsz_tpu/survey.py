@@ -316,6 +316,14 @@ def main(argv=None):
                     help="run burn+sampling through the fused cluster-"
                          "grid Pallas kernel (TPU only; falls back to "
                          "the XLA scan outside its specialisation)")
+    ap.add_argument("--population", metavar="PARAM[:FAMILY]",
+                    help="stage-2 hierarchical population inference on "
+                         "one fitted parameter (family 'lognormal' "
+                         "[default] or 'gaussian'): posterior of the "
+                         "population mean and intrinsic scatter via the "
+                         "importance-reweighting hyper-likelihood "
+                         "(sampling/population.py); e.g. 'P_0' or "
+                         "'\\beta:gaussian'")
     ap.add_argument("--out", default="survey_summary.json")
     ap.add_argument("--save-chains", action="store_true",
                     help="write one emcee-layout HDF5 chain per cluster "
@@ -381,8 +389,24 @@ def main(argv=None):
                          f"(pull {pull:+.1f} sd)")
             print(line)
 
+    summary = res.to_dict()
+    if args.population:
+        from .sampling.population import population_from_survey
+
+        pspec = args.population.split(":")
+        family = pspec[1] if len(pspec) > 1 else "lognormal"
+        pres = population_from_survey(res, sess.params, pspec[0],
+                                      family=family, seed=args.seed)
+        mu_label = ("ln " if family == "lognormal" else "") + pspec[0]
+        print(f"population ({family}): <{mu_label}> = "
+              f"{pres.mu:.4f} +- {pres.mu_sd:.4f}, intrinsic scatter "
+              f"sigma = {pres.sigma:.4f} +- {pres.sigma_sd:.4f} "
+              f"(min weight n_eff {pres.n_eff_weights.min():.0f} of "
+              f"{res.chain.shape[0] * res.chain.shape[2]} draws)")
+        summary["population"] = pres.to_dict()
+
     out = pathlib.Path(args.out)
-    out.write_text(json.dumps(res.to_dict(), indent=2))
+    out.write_text(json.dumps(summary, indent=2))
     print(f"written {out}")
 
     if args.save_chains:
