@@ -7,6 +7,7 @@ from .sharded import (
 from .kernel_sharded import (
     make_sharded_kernel_step, run_sharded_kernel_ensembles,
     make_sharded_tempered_step, run_sharded_tempered_ensembles,
+    make_sharded_multicluster_step,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "make_sharded_drive", "run_sharded_ensemble", "run_multi_cluster",
     "make_sharded_kernel_step", "run_sharded_kernel_ensembles",
     "make_sharded_tempered_step", "run_sharded_tempered_ensembles",
+    "make_sharded_multicluster_step",
 ]

@@ -309,3 +309,74 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
         swap_acceptance=sacc_tot / float(n_steps * W),
         final_state=(x, lp),
     )
+
+
+def make_sharded_multicluster_step(sess, sz_stack, xr_stack, mesh,
+                                   n_inner: int, n_walkers: int,
+                                   thin=None, a: float = 2.0,
+                                   interpret: bool = False,
+                                   chain_space: str = "hbm",
+                                   axis: str = "cluster",
+                                   consts=None):
+    """Survey production path over a mesh: the cluster-grid kernel
+    (ops.make_multicluster_step_kernel) sharded over the CLUSTER axis —
+    each chip advances its block of C/n_dev clusters' ensembles fully
+    chip-resident (grid dimension = local cluster), zero inter-chip
+    communication during sampling.  Clusters are independent posteriors,
+    so this is exact parallelism, not an independent-ensemble
+    approximation.
+
+    The kernels take their constant stacks as jit ARGUMENTS (see
+    make_multicluster_step_kernel), so the per-device constants ride in
+    as shard_map operands: ONE compiled per-device program serves every
+    cluster block and every dataset of the same shape.
+
+    Returns ``fn(x (C, W, D), lp (C, W), acc (C, W), seeds (n_dev,))``
+    -> same layout as the single-device kernel (chain (C, n_keep, W, D)
+    etc. when ``thin`` is given), or None outside the kernel
+    specialisation.  Per-cluster PRNG streams are (device seed, local
+    grid index) pairs — distinct across devices for distinct seeds.
+    """
+    from ..ops.pallas_joint import (make_multicluster_consts,
+                                    make_multicluster_step_kernel)
+
+    C = int(np.asarray(sz_stack.L).shape[0])
+    n_dev = mesh.shape[axis]
+    if C % n_dev:
+        raise ValueError(f"clusters ({C}) must divide over the mesh's "
+                         f"{n_dev} '{axis}' devices")
+    c_loc = C // n_dev
+    if consts is None:
+        consts = make_multicluster_consts(sess, sz_stack, xr_stack)
+        if consts is None:
+            return None
+
+    # build the per-device kernel at the LOCAL cluster count; its
+    # constants enter per call, so the local slice here only fixes shapes
+    local_stack = jax.tree_util.tree_map(lambda v: v[:c_loc], sz_stack)
+    local_xr = (None if xr_stack is None else
+                jax.tree_util.tree_map(lambda v: v[:c_loc], xr_stack))
+    step = make_multicluster_step_kernel(
+        sess, local_stack, local_xr, n_inner=n_inner,
+        n_walkers=n_walkers, thin=thin, a=a, interpret=interpret,
+        chain_space=chain_space,
+        consts=tuple(v[:c_loc] for v in consts))
+    if step is None:
+        return None
+    jitted = step._jitted
+
+    def local(seeds, x, lp, acc, *consts_loc):
+        return jitted(x, lp, acc, seeds[0], tuple(consts_loc))
+
+    n_outs = 3 if thin is None else 5
+    in_specs = ((P(axis), P(axis), P(axis), P(axis))
+                + (P(axis),) * len(consts))
+    out_specs = (P(axis),) * n_outs
+    fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                       out_specs=out_specs, check_vma=False)
+
+    @jax.jit
+    def stepfn(x, lp, acc, seeds, consts_all):
+        return fn(seeds, x, lp, acc, *consts_all)
+
+    return lambda x, lp, acc, seeds: stepfn(x, lp, acc, seeds, consts)

@@ -83,7 +83,7 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
                cluster_names=None, n_walkers=64, n_burn=500, n_steps=500,
                thin=5, seed=0, init_spread=0.05, flatten=True,
                truths=None, session=None, step_kernel=False,
-               kernel_interpret=False) -> SurveyResult:
+               kernel_interpret=False, mesh=None) -> SurveyResult:
     """Fit C stacked clusters jointly; returns per-cluster posteriors.
 
     ``model``: a single-cluster JointModel providing components/priors
@@ -96,7 +96,11 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
     through the fused cluster-grid Pallas kernel
     (ops.make_multicluster_step_kernel — whole MCMC steps on-chip, the
     TPU production path); configurations outside the kernel
-    specialisation fall back to the XLA scan with a warning."""
+    specialisation fall back to the XLA scan with a warning.  With a
+    ``mesh`` carrying a 'cluster' axis, the kernel path shards the
+    cluster grid over the devices (parallel.kernel_sharded.
+    make_sharded_multicluster_step — exact parallelism over independent
+    posteriors, bit-identical to the single-device kernel)."""
     import jax
 
     from .models.multicluster import make_multicluster_log_like
@@ -119,7 +123,8 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
         out = _fit_survey_kernel(
             session, sz_stack, xray_stack, centers, n_walkers=n_walkers,
             n_burn=n_burn, n_steps=n_steps, thin=thin, seed=seed,
-            init_spread=init_spread, interpret=kernel_interpret)
+            init_spread=init_spread, interpret=kernel_interpret,
+            mesh=mesh)
         if out is None:
             import warnings
 
@@ -155,9 +160,10 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
 
 def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
                        n_walkers, n_burn, n_steps, thin, seed,
-                       init_spread, interpret=False):
+                       init_spread, interpret=False, mesh=None):
     """Kernel path: whole stretch-move steps fused on-chip, one grid
-    step per cluster (ops/pallas_joint.py).  Returns
+    step per cluster (ops/pallas_joint.py); with a 'cluster' mesh axis,
+    one cluster block per device (parallel/kernel_sharded.py).  Returns
     (chain (n_saved, C, W, D), lp_chain, acceptance, timings) or None
     when the session/stack is outside the kernel specialisation."""
     import jax
@@ -172,17 +178,34 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
     consts = make_multicluster_consts(session, sz_stack, xray_stack)
     if consts is None:
         return None
-    samp = make_multicluster_step_kernel(
-        session, sz_stack, xray_stack, n_inner=n_steps,
-        n_walkers=n_walkers, thin=thin, interpret=interpret,
-        consts=consts)
+    n_dev = (mesh.shape.get("cluster", 1) if mesh is not None else 1)
+    if n_dev > 1:
+        from .parallel.kernel_sharded import make_sharded_multicluster_step
+
+        def build(n_inner, thin_=None):
+            fn = make_sharded_multicluster_step(
+                session, sz_stack, xray_stack, mesh, n_inner=n_inner,
+                n_walkers=n_walkers, thin=thin_, interpret=interpret,
+                consts=consts)
+            if fn is None:
+                return None
+            # per-device seed vector derived from the scalar call seed
+            return lambda x, lp, acc, s: fn(
+                x, lp, acc,
+                jnp.int32(s) * n_dev + jnp.arange(n_dev, dtype=jnp.int32))
+    else:
+        def build(n_inner, thin_=None):
+            return make_multicluster_step_kernel(
+                session, sz_stack, xray_stack, n_inner=n_inner,
+                n_walkers=n_walkers, thin=thin_, interpret=interpret,
+                consts=consts)
+
+    samp = build(n_steps, thin)
     if samp is None:
         return None
-    burn = None
-    if n_burn:
-        burn = make_multicluster_step_kernel(
-            session, sz_stack, xray_stack, n_inner=n_burn,
-            n_walkers=n_walkers, interpret=interpret, consts=consts)
+    burn = build(n_burn) if n_burn else None
+    if n_burn and burn is None:
+        return None
 
     # Init/lp0 through the flat widened-GEMM likelihood: the kernel
     # builder just validated the homogeneous-stack requirement, which is
@@ -316,6 +339,11 @@ def main(argv=None):
                     help="run burn+sampling through the fused cluster-"
                          "grid Pallas kernel (TPU only; falls back to "
                          "the XLA scan outside its specialisation)")
+    ap.add_argument("--mesh", type=int, metavar="N",
+                    help="shard the cluster grid over an N-device "
+                         "'cluster' mesh (with --step-kernel: one "
+                         "cluster block per chip, bit-identical to "
+                         "single-device; C must divide N)")
     ap.add_argument("--population", metavar="PARAM[:FAMILY]",
                     help="stage-2 hierarchical population inference on "
                          "one fitted parameter (family 'lognormal' "
@@ -358,12 +386,21 @@ def main(argv=None):
               "falling back to the XLA sampler on CPU")
         use_kernel = False
 
+    mesh = None
+    if args.mesh:
+        if args.mesh > jax.device_count():
+            raise SystemExit(f"--mesh {args.mesh} needs {args.mesh} "
+                             f"devices, have {jax.device_count()}")
+        from .parallel import make_mesh
+
+        mesh = make_mesh(args.mesh, axis_names=("cluster",))
+
     t0 = time.time()
     res = fit_survey(sess.model, sz_stack, xray_stack, centers,
                      cluster_names=names, n_walkers=args.walkers,
                      n_burn=args.burn, n_steps=args.steps,
                      thin=args.thin, seed=args.seed, truths=truths,
-                     session=sess, step_kernel=use_kernel)
+                     session=sess, step_kernel=use_kernel, mesh=mesh)
     evals = C * args.walkers * (args.burn + args.steps)
     wall = time.time() - t0
     print(f"fit {C} x {args.walkers} walkers x "

@@ -294,3 +294,73 @@ def test_small_per_device_ensemble_guard(ref_data):
     with pytest.warns(UserWarning, match="falling back"):
         out = ks.run_sharded(x0, 2, jax.random.PRNGKey(0), mesh, thin=2)
     assert out is None
+
+
+def test_sharded_multicluster_matches_per_device(ref_data):
+    """shard_map'd cluster-grid survey kernel (interpret mode) is
+    bit-exact with running each device's cluster block through the
+    plain multicluster kernel with the same seed — cluster sharding is
+    pure orchestration (independent posteriors, zero coupling), and the
+    per-device constants ride in as shard_map operands."""
+    import dataclasses
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.models.multicluster import (
+        stack_sz_data, stack_xray_data, make_multicluster_log_like,
+    )
+    from joxsz_tpu.ops.pallas_joint import make_multicluster_step_kernel
+    from joxsz_tpu.parallel.kernel_sharded import (
+        make_sharded_multicluster_step,
+    )
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    sz0 = sess.model.sz_data
+    C, W, n_dev = 4, 16, 2
+    sz_stack = stack_sz_data([
+        dataclasses.replace(sz0, flux=sz0.flux * (1 + 0.04 * c))
+        for c in range(C)
+    ])
+    xr_stack = stack_xray_data([sess.model.xray_data] * C)
+    mesh = make_mesh(n_dev, axis_names=("cluster",))
+
+    ll = make_multicluster_log_like(sess.model, sz_stack, xr_stack,
+                                    flatten=False)
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(17)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (C, W, theta0.size))), jnp.float32)
+    lp0 = jnp.asarray(ll(x0), jnp.float32)
+    assert np.all(np.isfinite(np.asarray(lp0)))
+    acc0 = jnp.zeros((C, W), jnp.float32)
+    seeds = jnp.asarray([7, 19], jnp.int32)
+
+    sharded = make_sharded_multicluster_step(
+        sess, sz_stack, xr_stack, mesh, n_inner=4, n_walkers=W,
+        thin=2, interpret=True)
+    x, lp, acc, chain, chain_lp = sharded(x0, lp0, acc0, seeds)
+    assert chain.shape == (C, 2, W, theta0.size)
+
+    c_loc = C // n_dev
+    for d in range(n_dev):
+        s = slice(d * c_loc, (d + 1) * c_loc)
+        loc = lambda v: v[s]
+        step = make_multicluster_step_kernel(
+            sess, jax.tree_util.tree_map(loc, sz_stack),
+            jax.tree_util.tree_map(loc, xr_stack),
+            n_inner=4, n_walkers=W, thin=2, interpret=True)
+        xd, lpd, accd, chd, chlpd = step(x0[s], lp0[s], acc0[s],
+                                         seeds[d])
+        np.testing.assert_array_equal(np.asarray(x[s]), np.asarray(xd))
+        np.testing.assert_array_equal(np.asarray(lp[s]), np.asarray(lpd))
+        np.testing.assert_array_equal(np.asarray(acc[s]), np.asarray(accd))
+        np.testing.assert_array_equal(np.asarray(chain[s]),
+                                      np.asarray(chd))
+        np.testing.assert_array_equal(np.asarray(chain_lp[s]),
+                                      np.asarray(chlpd))
+
+    with pytest.raises(ValueError, match="divide"):
+        make_sharded_multicluster_step(sess, sz_stack, xr_stack,
+                                       make_mesh(3, axis_names=("cluster",)),
+                                       n_inner=4, n_walkers=W)

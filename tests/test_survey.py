@@ -115,3 +115,28 @@ def test_survey_chain_roundtrips_through_checkpoint(session, tmp_path):
     saved = load_chain_hdf5(str(p))
     np.testing.assert_array_equal(saved["chain"], res.chain[:, 0])
     assert saved["param_names"] == names
+
+
+def test_fit_survey_kernel_mesh_path(ref_data):
+    """step_kernel + a 2-device 'cluster' mesh (virtual CPU devices,
+    interpret mode): the sharded cluster-grid path returns the same
+    result structure and finite log-probs."""
+    from joxsz_tpu.parallel import make_mesh
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    C, W, D = 2, 16, len(sess.params.thawed)
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    truths = np.tile(theta0, (C, 1))
+    truths[:, list(sess.params.thawed).index("P_0")] *= [0.9, 1.1]
+    survey = simulate_survey(sess.model, truths, np.random.default_rng(6))
+    mesh = make_mesh(2, axis_names=("cluster",))
+
+    res = fit_survey(sess.model, survey.sz_stack, survey.xray_stack,
+                     truths, n_walkers=W, n_burn=4, n_steps=4, thin=2,
+                     seed=3, session=sess, step_kernel=True,
+                     kernel_interpret=True, mesh=mesh)
+    assert res.chain.shape == (2, C, W, D)
+    assert np.all(np.isfinite(res.log_prob))
+    assert res.timings is not None
