@@ -73,6 +73,19 @@ class PopulationModel:
 _LOG_SQRT_2PI = float(0.5 * np.log(2.0 * np.pi))
 
 
+def _check_positive(samples, model: PopulationModel):
+    """A lognormal family with a sample at exactly 0 would give
+    log(0) - log(0) = NaN densities that poison every phi through the
+    logsumexp (and silence the n_eff diagnostics) — fail loudly
+    instead.  Parameters whose posterior piles at 0 (e.g. Z, epsilon)
+    want the gaussian family."""
+    if model.family == "lognormal" and np.min(samples) <= 0:
+        raise ValueError(
+            f"lognormal population for {model.param!r} needs strictly "
+            f"positive stage-1 samples (min {np.min(samples):g}); "
+            f"posteriors piling at 0 want family='gaussian'")
+
+
 def _norm_logcdf_diff(lo, hi, mu, sigma):
     """log( Phi((hi-mu)/sig) - Phi((lo-mu)/sig) ), stable in BOTH tails
     at f32: an erf difference underflows to exactly 0 once both bounds
@@ -101,6 +114,7 @@ def make_population_log_like(samples, model: PopulationModel,
     constants (constants cancel).  Derived from ``model.interim`` when
     None.  Returns ``log_like(phi_batch (W, 2)) -> (W,)`` with
     ``phi = (mu, log sigma)`` — jittable/vmappable, static shapes."""
+    _check_positive(samples, model)
     x = jnp.asarray(samples, jnp.float64
                     if jax.config.jax_enable_x64 else jnp.float32)
     C, S = x.shape
@@ -148,6 +162,7 @@ def weight_n_eff(samples, model: PopulationModel, phi,
     hyperparameters ``phi`` — (sum w)^2 / sum w^2, in [1, S].  Small
     values mean the population density barely overlaps that cluster's
     stage-1 posterior and the estimator is noisy there."""
+    _check_positive(samples, model)
     x = np.asarray(samples, float)
     mu, lsig = float(phi[0]), float(phi[1])
     sig = np.exp(lsig)
@@ -177,6 +192,7 @@ class PopulationResult:
     sigma: float
     sigma_sd: float
     n_eff_weights: np.ndarray    # per-cluster, at the posterior median
+    n_samples: int = 0           # stage-1 draws per cluster (n_eff cap)
 
     def flat_chain(self) -> np.ndarray:
         return self.chain.reshape(-1, 2)
@@ -188,6 +204,7 @@ class PopulationResult:
             "mu": self.mu, "mu_sd": self.mu_sd,
             "sigma": self.sigma, "sigma_sd": self.sigma_sd,
             "acceptance": float(self.acceptance.mean()),
+            "n_samples": self.n_samples,
             "weight_n_eff_min": float(self.n_eff_weights.min()),
             "weight_n_eff": self.n_eff_weights.tolist(),
         }
@@ -210,6 +227,11 @@ def fit_population(samples, model: PopulationModel, *,
     x = np.asarray(samples, float)
     if x.ndim != 2:
         raise ValueError(f"samples must be (C, S), got {x.shape}")
+    if x.shape[0] < 2:
+        raise ValueError(
+            "population inference needs >= 2 clusters (with one, the "
+            "population mean and intrinsic scatter are degenerate with "
+            "the cluster's own posterior)")
     y = np.log(x) if model.family == "lognormal" else x
     cm = y.mean(axis=1)
     spread = max(float(cm.std()), float(y.std(axis=1).mean()), 1e-6)
@@ -230,8 +252,12 @@ def fit_population(samples, model: PopulationModel, *,
 
     log_prob = jax.jit(log_prob)
     rng = np.random.default_rng(seed)
+    # widen the mu init beyond the cluster-mean range: equal means
+    # would otherwise freeze the coordinate (affine stretch proposals
+    # cannot leave a degenerate subspace)
     p0 = np.column_stack([
-        rng.uniform(cm.min(), cm.max(), n_walkers),
+        rng.uniform(cm.min() - 0.5 * spread, cm.max() + 0.5 * spread,
+                    n_walkers),
         np.log(spread) + 0.2 * rng.standard_normal(n_walkers),
     ])
     p0 = np.clip(p0, np.asarray(lo) + 1e-9, np.asarray(hi) - 1e-9)
@@ -261,7 +287,7 @@ def fit_population(samples, model: PopulationModel, *,
         acceptance=res.acceptance_fraction,
         mu=float(med[0]), mu_sd=float(flat[:, 0].std()),
         sigma=float(np.median(sig_flat)), sigma_sd=float(sig_flat.std()),
-        n_eff_weights=n_eff,
+        n_eff_weights=n_eff, n_samples=int(x.shape[1]),
     )
 
 

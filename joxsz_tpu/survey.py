@@ -130,7 +130,10 @@ def fit_survey(model, sz_stack, xray_stack, centers, *,
 
             warnings.warn("configuration outside the multicluster "
                           "step-kernel specialisation; falling back to "
-                          "the XLA scan sampler", stacklevel=2)
+                          "the XLA scan sampler"
+                          + (" (the 'cluster' mesh request is IGNORED "
+                             "on this path)" if mesh is not None else ""),
+                          stacklevel=2)
         else:
             chain, lp_chain, acc, timings = out
 
@@ -341,9 +344,10 @@ def main(argv=None):
                          "the XLA scan outside its specialisation)")
     ap.add_argument("--mesh", type=int, metavar="N",
                     help="shard the cluster grid over an N-device "
-                         "'cluster' mesh (with --step-kernel: one "
-                         "cluster block per chip, bit-identical to "
-                         "single-device; C must divide N)")
+                         "'cluster' mesh (kernel path only — use with "
+                         "--step-kernel): one block of C/N clusters "
+                         "per chip, bit-identical per block at "
+                         "matching per-device seeds; N must divide C")
     ap.add_argument("--population", metavar="PARAM[:FAMILY]",
                     help="stage-2 hierarchical population inference on "
                          "one fitted parameter (family 'lognormal' "
@@ -388,12 +392,17 @@ def main(argv=None):
 
     mesh = None
     if args.mesh:
-        if args.mesh > jax.device_count():
+        if not use_kernel:
+            print("note: --mesh shards the cluster-grid KERNEL path "
+                  "only; without --step-kernel (or on CPU) the XLA "
+                  "sampler runs single-device — ignoring --mesh")
+        elif args.mesh > jax.device_count():
             raise SystemExit(f"--mesh {args.mesh} needs {args.mesh} "
                              f"devices, have {jax.device_count()}")
-        from .parallel import make_mesh
+        else:
+            from .parallel import make_mesh
 
-        mesh = make_mesh(args.mesh, axis_names=("cluster",))
+            mesh = make_mesh(args.mesh, axis_names=("cluster",))
 
     t0 = time.time()
     res = fit_survey(sess.model, sz_stack, xray_stack, centers,
@@ -439,7 +448,7 @@ def main(argv=None):
               f"{pres.mu:.4f} +- {pres.mu_sd:.4f}, intrinsic scatter "
               f"sigma = {pres.sigma:.4f} +- {pres.sigma_sd:.4f} "
               f"(min weight n_eff {pres.n_eff_weights.min():.0f} of "
-              f"{res.chain.shape[0] * res.chain.shape[2]} draws)")
+              f"{pres.n_samples} stage-1 draws/cluster)")
         summary["population"] = pres.to_dict()
 
     out = pathlib.Path(args.out)

@@ -175,6 +175,19 @@ def test_population_model_validation():
     model = PopulationModel("theta", "gaussian")
     with pytest.raises(ValueError, match="interim_logp"):
         make_population_log_like(x, model, interim_logp=np.zeros((3, 8)))
+    # a zero sample would NaN-poison the lognormal hyper-likelihood
+    # (log(0) - log(0)) and silence the n_eff diagnostics — fail loudly
+    xz = np.abs(x) + 0.1
+    xz[1, 3] = 0.0
+    ln = PopulationModel("theta", "lognormal", support=(0.0, 100.0))
+    with pytest.raises(ValueError, match="strictly"):
+        make_population_log_like(xz, ln)
+    with pytest.raises(ValueError, match="strictly"):
+        weight_n_eff(xz, ln, (0.0, 0.0))
+    # C=1: all walkers would start at one mu, which affine stretch
+    # proposals can never change — a confident delta-function posterior
+    with pytest.raises(ValueError, match="2 clusters"):
+        fit_population(x[:1], model, n_walkers=8, n_burn=0, n_steps=10)
 
 
 @pytest.mark.slow
