@@ -210,13 +210,27 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
     if n_burn and burn is None:
         return None
 
-    # Init/lp0 through the flat widened-GEMM likelihood: the kernel
-    # builder just validated the homogeneous-stack requirement, which is
-    # exactly the flat path's exactness condition, and the nested-vmap
-    # lowering tiles ~20x worse on TPU (docs/PERFORMANCE.md).
-    batched_ll = jax.jit(make_multicluster_log_like(
-        session.model, sz_stack, xray_stack, flatten=True))
+    # Init/lp0 through the fused LIKELIHOOD kernel, one dispatch per
+    # cluster with that cluster's constants as arguments: the compiled
+    # program is data-independent (cached across surveys) and lp0 is
+    # computed by the same ll_body the step kernel uses internally.
+    # Fallback: the flat widened-GEMM XLA likelihood (exact here — the
+    # step-kernel builder just validated the homogeneous-stack
+    # requirement, which is the flat path's exactness condition).
+    from .ops.pallas_joint import make_joint_core
+
     C = centers.shape[0]
+    core = make_joint_core(session, block_b=min(256, n_walkers),
+                           interpret=interpret)
+    if core is not None:
+        per_c = [tuple(v[c] for v in consts) for c in range(C)]
+
+        def batched_ll(x):
+            return jnp.stack([core._jitted(x[c], per_c[c])
+                              for c in range(C)])
+    else:       # pragma: no cover — same spec gate as the step kernel
+        batched_ll = jax.jit(make_multicluster_log_like(
+            session.model, sz_stack, xray_stack, flatten=True))
     p0 = batched_init(batched_ll, jnp.asarray(centers, jnp.float32),
                       n_walkers, jax.random.PRNGKey(seed),
                       spread=init_spread)
