@@ -32,6 +32,11 @@ def main(argv=None):
     ap.add_argument("--no-plots", action="store_true")
     ap.add_argument("--resume", metavar="STATE_NPZ",
                     help="resume sampling from a saved state file")
+    ap.add_argument("--move", choices=["stretch", "de", "snooker"],
+                    default="stretch",
+                    help="ensemble move for the XLA sampler (stretch = "
+                    "the reference's emcee default; de/snooker = emcee "
+                    "move-zoo analogs, see sampling.stretch)")
     ap.add_argument("--temper", type=int, default=0, metavar="K",
                     help="parallel-temper the sampling phase with K rungs "
                          "(multimodal posteriors)")
@@ -186,6 +191,7 @@ def main(argv=None):
         mesh=mesh,
         log_like_batch=ll_batch,
         step_sampler=step_sampler,
+        move=args.move,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(

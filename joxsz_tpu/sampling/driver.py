@@ -90,6 +90,7 @@ def run_fit(
     checkpoint_every: int = 500,
     mesh=None,
     step_sampler=None,
+    move: str = "stretch",
     verbose: bool = True,
 ) -> FitResult:
     """Full fit; pass ``resume_from`` (a state .npz written by a previous
@@ -101,9 +102,26 @@ def run_fit(
     — including tempered sampling — through the fused Pallas kernels; for
     mesh runs only the SAMPLING phase is sharded (per-chip independent
     kernel ensembles), prelim/burn stay on the single-device XLA
-    sampler."""
+    sampler.
+
+    ``move``: ensemble move for the XLA sampler phases — 'stretch'
+    (default, the reference's emcee move), 'de', or 'snooker' (emcee
+    move-zoo analogs; see sampling.stretch).  The fused step kernel,
+    mesh, and tempered paths implement the stretch move only, so those
+    combinations are rejected rather than silently downgraded."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
+
+    if move != "stretch":
+        if step_sampler is not None:
+            raise ValueError(
+                f"move={move!r} is not available through the fused step "
+                "kernel (stretch only); drop --step-kernel or use "
+                "move='stretch'")
+        if mesh is not None or n_temper_rungs > 1:
+            raise ValueError(
+                f"move={move!r} is not available on the mesh/tempered "
+                "paths (stretch only)")
 
     if nsteps % nthin:
         new_nsteps = nsteps - nsteps % nthin
@@ -177,7 +195,8 @@ def run_fit(
                                    store_chain=False)
         else:
             res = run_ensemble(log_like_batch, p0, prelim_iterations, sub,
-                               thin=prelim_iterations, store_chain=True)
+                               thin=prelim_iterations, store_chain=True,
+                               move=move)
         p0 = res.final_state[0]
         newbest = float(np.max(np.asarray(res.final_state[1])))
         rounds += 1
@@ -198,7 +217,8 @@ def run_fit(
             res = step_sampler.run(p0, nburn, sub, store_chain=False)
         else:
             res = run_ensemble(log_like_batch, p0, nburn, sub,
-                               thin=max(nburn, 1), store_chain=True)
+                               thin=max(nburn, 1), store_chain=True,
+                               move=move)
         p1 = res.final_state[0]
     else:
         p1 = p0
@@ -245,7 +265,7 @@ def run_fit(
         if step_sampler is not None:
             return step_sampler.run(state_x, n, k, thin=nthin)
         return run_ensemble(log_like_batch, state_x, n, k, thin=nthin,
-                            store_chain=True)
+                            store_chain=True, move=move)
 
     if n_temper_rungs > 1:
         from .tempered import run_tempered_ensemble, default_betas

@@ -98,22 +98,151 @@ def _half_update(log_prob_batch, u3, x_move, lp_move, x_fixed, a, ndim):
                                x_fixed, a, ndim)
 
 
-def make_step(log_prob_batch, ndim: int, a: float = 2.0):
+def de_half_update(lp_fn, u3, g1, x_move, lp_move, x_fixed, gamma0,
+                   sigma, beta=None):
+    """Differential-evolution update of one half-ensemble (DE-MC,
+    ter Braak 2006; emcee's ``DEMove`` with the Nelson et al. 2013
+    gamma jitter): ``y = x + gamma (x_a - x_b)`` with a distinct pair
+    (a, b) drawn from the fixed complementary half and
+    ``gamma = gamma0 (1 + sigma N(0,1))`` per walker.  The proposal is
+    symmetric, so acceptance is plain Metropolis: ``log U < lp_y - lp_x``
+    (no stretch-move ``(d-1) log z`` Jacobian).
+
+    ``u3`` (..., 3, H) uniforms: pair draw a, pair draw b, accept;
+    ``g1`` (..., H) standard normals for the gamma jitter.  Shapes/
+    ``beta`` follow :func:`stretch_half_update` (arbitrary leading batch
+    axes; beta scales the log-prob difference for tempered rungs)."""
+    dtype = x_move.dtype
+    Hf = x_fixed.shape[-2]
+    ia = jnp.minimum((u3[..., 0, :] * Hf).astype(jnp.int32), Hf - 1)
+    # b uniform over the Hf-1 indices != a: draw from [0, Hf-1) and skip a
+    ib = jnp.minimum((u3[..., 1, :] * (Hf - 1)).astype(jnp.int32), Hf - 2)
+    ib = ib + (ib >= ia).astype(jnp.int32)
+    xa = jnp.take_along_axis(x_fixed, ia[..., None], axis=-2)
+    xb = jnp.take_along_axis(x_fixed, ib[..., None], axis=-2)
+    gamma = jnp.asarray(gamma0, dtype) * (1.0 + jnp.asarray(sigma, dtype) * g1)
+    y = x_move + gamma[..., None] * (xa - xb)
+    lp_y = lp_fn(y)
+    dlp = lp_y - lp_move
+    if beta is not None:
+        dlp = beta * dlp
+    accept = jnp.log(u3[..., 2, :]) < dlp
+    x_new = jnp.where(accept[..., None], y, x_move)
+    lp_new = jnp.where(accept, lp_y, lp_move)
+    return x_new, lp_new, accept
+
+
+def de_gamma0(ndim: int) -> float:
+    """ter Braak's optimal-scaling default, emcee's ``gamma0=None``."""
+    return 2.38 / float(np.sqrt(2.0 * ndim))
+
+
+def _distinct3(u3, Hf):
+    """Three distinct uniform indices in [0, Hf) from three uniforms,
+    via the skip construction (exact joint uniformity over ordered
+    distinct triples)."""
+    i0 = jnp.minimum((u3[..., 0, :] * Hf).astype(jnp.int32), Hf - 1)
+    i1 = jnp.minimum((u3[..., 1, :] * (Hf - 1)).astype(jnp.int32), Hf - 2)
+    i1 = i1 + (i1 >= i0).astype(jnp.int32)
+    i2 = jnp.minimum((u3[..., 2, :] * (Hf - 2)).astype(jnp.int32), Hf - 3)
+    lo = jnp.minimum(i0, i1)
+    hi = jnp.maximum(i0, i1)
+    i2 = i2 + (i2 >= lo).astype(jnp.int32)
+    i2 = i2 + (i2 >= hi).astype(jnp.int32)
+    return i0, i1, i2
+
+
+def snooker_half_update(lp_fn, u4, x_move, lp_move, x_fixed, ndim,
+                        gamma_s=1.7, beta=None):
+    """Snooker update of one half-ensemble (ter Braak & Vrugt 2008;
+    emcee's ``DESnookerMove``): walk along the line through x and an
+    anchor z from the complementary half, stepping by the difference of
+    two other walkers' projections onto that line:
+
+        y = x + u (gamma_s (u.z1 - u.z2)),   u = (x - z)/|x - z|
+
+    The proposal is not symmetric; detailed balance needs the
+    dimension-Jacobian factor (|y - z|/|x - z|)^(ndim-1).  Since
+    y - z = u (|x - z| + s), the ratio is |1 + s/|x - z||.
+
+    ``u4`` (..., 4, H) uniforms: three distinct anchor/projection draws
+    and the accept draw."""
+    dtype = x_move.dtype
+    Hf = x_fixed.shape[-2]
+    iz, i1, i2 = _distinct3(u4, Hf)
+    z = jnp.take_along_axis(x_fixed, iz[..., None], axis=-2)
+    z1 = jnp.take_along_axis(x_fixed, i1[..., None], axis=-2)
+    z2 = jnp.take_along_axis(x_fixed, i2[..., None], axis=-2)
+    delta = x_move - z
+    norm = jnp.sqrt(jnp.sum(delta * delta, axis=-1))          # (..., H)
+    ok = norm > 0.0        # coincident x==z: reject (measure-zero case)
+    safe = jnp.where(ok, norm, 1.0)
+    u_hat = delta / safe[..., None]
+    s = jnp.asarray(gamma_s, dtype) * jnp.sum(u_hat * (z1 - z2), axis=-1)
+    y = x_move + u_hat * s[..., None]
+    lp_y = lp_fn(y)
+    dlp = lp_y - lp_move
+    if beta is not None:
+        dlp = beta * dlp
+    ratio = jnp.abs(1.0 + s / safe)
+    log_jac = (ndim - 1.0) * jnp.log(jnp.maximum(ratio, 1e-30))
+    accept = ok & (jnp.log(u4[..., 3, :]) < log_jac + dlp)
+    x_new = jnp.where(accept[..., None], y, x_move)
+    lp_new = jnp.where(accept, lp_y, lp_move)
+    return x_new, lp_new, accept
+
+
+def make_step(log_prob_batch, ndim: int, a: float = 2.0,
+              move: str = "stretch", de_sigma: float = 1.0e-5,
+              de_gamma: float | None = None):
     """One full ensemble step (both half-updates).  ``log_prob_batch`` maps
     (H, D) -> (H,) and must be vmap-compatible.  All per-step randomness
-    comes from ONE PRNG call (a (2, 3, H) uniform block) — threefry is a
-    measurable fraction of the step cost on TPU."""
+    comes from ONE PRNG call (a (2, 3, H) uniform block, plus a (2, H)
+    normal block for the DE gamma jitter) — threefry is a measurable
+    fraction of the step cost on TPU.
+
+    ``move``: 'stretch' (Goodman-Weare, the reference's emcee default),
+    'de' (differential evolution — emcee's ``DEMove``), or 'snooker'
+    (emcee's ``DESnookerMove``); the DE-family moves come from the emcee
+    move zoo and can mix better on some curved degeneracies."""
+    if move not in ("stretch", "de", "snooker"):
+        raise ValueError(f"unknown move {move!r}: expected 'stretch', "
+                         "'de', or 'snooker'")
+    if move == "de":
+        g0 = de_gamma0(ndim) if de_gamma is None else float(de_gamma)
+    if move == "snooker":
+        gs = 1.7 if de_gamma is None else float(de_gamma)
 
     def step(state, key):
         x, lp, acc = state
         W = x.shape[0]
         H = W // 2
         dtype = x.dtype
-        u = jax.random.uniform(key, (2, 3, H), dtype=dtype)
+        if move == "de":
+            ku, kg = jax.random.split(key)
+            u = jax.random.uniform(ku, (2, 3, H), dtype=dtype)
+            g = jax.random.normal(kg, (2, H), dtype=dtype)
+        elif move == "snooker":
+            u = jax.random.uniform(key, (2, 4, H), dtype=dtype)
+        else:
+            u = jax.random.uniform(key, (2, 3, H), dtype=dtype)
         x0, x1 = x[:H], x[H:]
         lp0, lp1 = lp[:H], lp[H:]
-        x0, lp0, a0 = _half_update(log_prob_batch, u[0], x0, lp0, x1, a, ndim)
-        x1, lp1, a1 = _half_update(log_prob_batch, u[1], x1, lp1, x0, a, ndim)
+        if move == "de":
+            x0, lp0, a0 = de_half_update(log_prob_batch, u[0], g[0],
+                                         x0, lp0, x1, g0, de_sigma)
+            x1, lp1, a1 = de_half_update(log_prob_batch, u[1], g[1],
+                                         x1, lp1, x0, g0, de_sigma)
+        elif move == "snooker":
+            x0, lp0, a0 = snooker_half_update(log_prob_batch, u[0],
+                                              x0, lp0, x1, ndim, gs)
+            x1, lp1, a1 = snooker_half_update(log_prob_batch, u[1],
+                                              x1, lp1, x0, ndim, gs)
+        else:
+            x0, lp0, a0 = _half_update(log_prob_batch, u[0], x0, lp0,
+                                       x1, a, ndim)
+            x1, lp1, a1 = _half_update(log_prob_batch, u[1], x1, lp1,
+                                       x0, a, ndim)
         x = jnp.concatenate([x0, x1])
         lp = jnp.concatenate([lp0, lp1])
         acc = acc + jnp.concatenate([a0, a1]).astype(acc.dtype)
@@ -135,14 +264,15 @@ _DRIVE_CACHE_MAX = 32
 
 
 def _get_drive(log_prob_batch, n_saved: int, thin: int, a: float,
-               store_chain: bool, unroll_inner: int, W: int, D: int, dtype):
+               store_chain: bool, unroll_inner: int, W: int, D: int, dtype,
+               move: str = "stretch", de_gamma: float | None = None):
     key = (log_prob_batch, n_saved, thin, a, store_chain, unroll_inner,
-           W, D, str(dtype))
+           W, D, str(dtype), move, de_gamma)
     drive = _DRIVE_CACHE.get(key)
     if drive is not None:
         _DRIVE_CACHE.move_to_end(key)
         return drive
-    step = make_step(log_prob_batch, D, a)
+    step = make_step(log_prob_batch, D, a, move=move, de_gamma=de_gamma)
 
     @jax.jit
     def drive(p0, lp0, acc0, rkey):
@@ -191,6 +321,8 @@ def run_ensemble(
     store_chain: bool = True,
     unroll_inner: int = 1,
     keep_walkers: int | None = None,
+    move: str = "stretch",
+    de_gamma: float | None = None,
 ) -> EnsembleResult:
     """Run ``n_steps`` ensemble steps, saving every ``thin``-th state.
 
@@ -210,7 +342,7 @@ def run_ensemble(
     lp0 = log_prob_batch(p0)
     acc0 = jnp.zeros((W,), dtype=p0.dtype)
     drive = _get_drive(log_prob_batch, n_saved, thin, a, store_chain,
-                       unroll_inner, W, D, p0.dtype)
+                       unroll_inner, W, D, p0.dtype, move, de_gamma)
     state, saved = drive(p0, lp0, acc0, key)
     x, lp, acc = state
     if store_chain:

@@ -74,3 +74,30 @@ def test_run_fit_tempered(tmp_path):
     assert res.chain.shape == (100, 16, 3)
     med = np.median(res.flat_chain, axis=0)
     assert np.allclose(med, mu, atol=0.15)
+
+
+@pytest.mark.parametrize("move", ["de", "snooker"])
+def test_run_fit_move_option(tmp_path, move):
+    """--move de/snooker drives the whole fit through the DE-family
+    moves and still recovers the posterior."""
+    log_like, t0, lo, hi, names, mu = _make_problem()
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=32, nburn=200,
+                  nsteps=400, nthin=2, seed=3, prelim_iterations=100,
+                  max_prelim_rounds=2, move=move, verbose=False)
+    med = np.median(res.flat_chain, axis=0)
+    assert np.allclose(med, mu, atol=0.1)
+    assert 0.01 < res.acceptance_fraction.mean() < 0.9
+
+
+def test_run_fit_move_rejects_stretch_only_paths():
+    """Non-stretch moves must be rejected, not silently downgraded, on
+    the kernel/mesh/tempered paths."""
+    log_like, t0, lo, hi, names, _ = _make_problem()
+    with pytest.raises(ValueError, match="tempered"):
+        run_fit(log_like, t0, lo, hi, names, nwalkers=8, nburn=10,
+                nsteps=10, nthin=1, move="de", n_temper_rungs=3,
+                verbose=False)
+    with pytest.raises(ValueError, match="step"):
+        run_fit(log_like, t0, lo, hi, names, nwalkers=8, nburn=10,
+                nsteps=10, nthin=1, move="de", step_sampler=object(),
+                verbose=False)
