@@ -5,7 +5,7 @@ from .profiles import (
 )
 from .summary import (
     integrated_autocorr_time, effective_samples, summary_dict, save_summary,
-    chain_tau_steps, collect_kernel_subchain, split_rhat,
+    chain_tau_steps, collect_kernel_subchain, convergence_rhat, split_rhat,
 )
 from .ppc import posterior_predictive_pvalues, PPCResult
 
@@ -14,6 +14,6 @@ __all__ = [
     "compute_profiles", "compute_mass_profiles", "compute_gas_fraction",
     "posterior_predictive", "integrated_autocorr_time", "effective_samples",
     "summary_dict", "save_summary", "chain_tau_steps",
-    "collect_kernel_subchain", "split_rhat",
+    "collect_kernel_subchain", "convergence_rhat", "split_rhat",
     "posterior_predictive_pvalues", "PPCResult",
 ]

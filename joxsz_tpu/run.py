@@ -37,6 +37,10 @@ def main(argv=None):
                     help="ensemble move for the XLA sampler (stretch = "
                     "the reference's emcee default; de/snooker = emcee "
                     "move-zoo analogs, see sampling.stretch)")
+    ap.add_argument("--auto-extend", type=int, default=0, metavar="K",
+                    help="after the scheduled steps, keep sampling up to "
+                    "K more nsteps-chunks until the chain passes the "
+                    "convergence bar (20x worst tau + split-Rhat <= 1.01)")
     ap.add_argument("--temper", type=int, default=0, metavar="K",
                     help="parallel-temper the sampling phase with K rungs "
                          "(multimodal posteriors)")
@@ -192,6 +196,7 @@ def main(argv=None):
         log_like_batch=ll_batch,
         step_sampler=step_sampler,
         move=args.move,
+        auto_extend=args.auto_extend,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(

@@ -91,6 +91,8 @@ def run_fit(
     mesh=None,
     step_sampler=None,
     move: str = "stretch",
+    auto_extend: int = 0,
+    target_rhat: float = 1.01,
     verbose: bool = True,
 ) -> FitResult:
     """Full fit; pass ``resume_from`` (a state .npz written by a previous
@@ -108,7 +110,17 @@ def run_fit(
     (default, the reference's emcee move), 'de', or 'snooker' (emcee
     move-zoo analogs; see sampling.stretch).  The fused step kernel,
     mesh, and tempered paths implement the stretch move only, so those
-    combinations are rejected rather than silently downgraded."""
+    combinations are rejected rather than silently downgraded.
+
+    ``auto_extend``: after the scheduled ``nsteps``, keep sampling in
+    further ``nsteps`` chunks (at most ``auto_extend`` of them, from the
+    final walker state, through the same execution path) until the chain
+    passes the convergence bar — total steps >= 20x the worst-parameter
+    integrated autocorrelation time AND max split-Rhat <=
+    ``target_rhat``.  The reference has no convergence management at
+    all (fixed 5000 steps, joxsz_main.py:44); this turns the run_fit
+    warnings into an actionable stopping rule.  Not available with
+    tempering (the rung-0 chain alone cannot certify convergence)."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 
@@ -122,6 +134,9 @@ def run_fit(
             raise ValueError(
                 f"move={move!r} is not available on the mesh/tempered "
                 "paths (stretch only)")
+    if auto_extend and n_temper_rungs > 1:
+        raise ValueError("auto_extend is not available with tempering "
+                         "(the rung-0 chain cannot certify convergence)")
 
     if nsteps % nthin:
         new_nsteps = nsteps - nsteps % nthin
@@ -331,13 +346,54 @@ def run_fit(
         )
     else:
         res = _sample_call(p1, nsteps, sub)
+
+    # 5b. convergence-driven extension: keep sampling nsteps chunks until
+    # the chain passes (20x worst-tau, split-Rhat) or the budget runs out
+    steps_sampled = nsteps
+    ext_rounds = 0
+    if auto_extend > 0 and n_temper_rungs <= 1:
+        from ..postproc.summary import chain_tau_steps, convergence_rhat
+
+        while ext_rounds < auto_extend:
+            tau_w = float(np.max(chain_tau_steps(res.chain, nthin)))
+            rh = convergence_rhat(res.chain)
+            if steps_sampled >= 20 * tau_w and rh <= target_rhat:
+                break
+            if verbose:
+                need = []
+                if steps_sampled < 20 * tau_w:
+                    need.append(f"steps {steps_sampled} < 20*tau "
+                                f"{20 * tau_w:.0f}")
+                if rh > target_rhat:
+                    need.append(f"split-Rhat {rh:.3f} > {target_rhat}")
+                print(f"auto-extend round {ext_rounds + 1}/{auto_extend}: "
+                      f"{'; '.join(need)} — sampling {nsteps} more steps")
+            key, sub = jax.random.split(key)
+            r2 = _sample_call(jnp.asarray(res.final_state[0]), nsteps, sub)
+            res = EnsembleResult(
+                chain=np.concatenate([res.chain, r2.chain]),
+                log_prob=np.concatenate([res.log_prob, r2.log_prob]),
+                acceptance_fraction=(
+                    res.acceptance_fraction * steps_sampled
+                    + r2.acceptance_fraction * nsteps)
+                    / (steps_sampled + nsteps),
+                final_state=r2.final_state,
+            )
+            steps_sampled += nsteps
+            ext_rounds += 1
+            if chain_path:   # flush progress like the chunked path
+                save_chain_hdf5(chain_path, res.chain, res.log_prob,
+                                res.acceptance_fraction, param_names,
+                                nburn, nthin)
+        timings["auto_extend_rounds"] = ext_rounds
+
     timings["sample_s"] = time.time() - t0
     sample_mult = max(n_temper_rungs, 1)
     # a resumed run skips burn-in — don't count its phantom evals in the
     # reported throughput
     burn_evals = 0 if resumed is not None else nburn
     n_evals = (rounds * prelim_iterations + burn_evals
-               + nsteps * sample_mult) * nwalkers
+               + steps_sampled * sample_mult) * nwalkers
     total_s = (timings["prelim_s"] + timings["burn_s"] + timings["sample_s"])
     timings["likelihood_evals"] = n_evals
     timings["evals_per_s"] = n_evals / total_s if total_s > 0 else np.nan
@@ -352,21 +408,22 @@ def run_fit(
         print(f"throughput: {timings['evals_per_s']:.0f} likelihood "
               f"evals/s over {n_evals} evals")
         if res.chain.shape[0] >= 64:
-            from ..postproc.summary import (integrated_autocorr_time,
-                                            split_rhat)
+            from ..postproc.summary import (convergence_rhat,
+                                            integrated_autocorr_time)
 
             tau = integrated_autocorr_time(res.chain)
             worst = float(np.max(tau)) * nthin
-            if nsteps < 20 * worst:
+            if steps_sampled < 20 * worst:
                 print(f"WARNING: longest autocorrelation time ~{worst:.0f} "
-                      f"steps; chain of {nsteps} steps may be "
+                      f"steps; chain of {steps_sampled} steps may be "
                       "under-converged (consider more steps or more "
                       "walkers)")
-            rh = float(np.max(split_rhat(res.chain)))
+            rh = convergence_rhat(res.chain)
             if rh > 1.01:
-                # walker sequences within one ensemble interact, so this
-                # R-hat is optimistic — exceeding the 1.01 threshold
-                # anyway is a strong stuck-walker/multimodality signal
+                # tau-thinned split-Rhat (convergence_rhat): walker
+                # sequences within one ensemble interact, so even this
+                # is mildly optimistic — exceeding 1.01 anyway is a
+                # strong stuck-walker/multimodality signal
                 print(f"WARNING: split-Rhat max {rh:.3f} > 1.01 — "
                       "sequences disagree (stuck walkers or unresolved "
                       "multimodality; consider more burn-in or --temper)")

@@ -101,3 +101,70 @@ def test_run_fit_move_rejects_stretch_only_paths():
         run_fit(log_like, t0, lo, hi, names, nwalkers=8, nburn=10,
                 nsteps=10, nthin=1, move="de", step_sampler=object(),
                 verbose=False)
+
+
+def test_run_fit_auto_extend(tmp_path):
+    """auto_extend keeps sampling until the (20x tau, split-Rhat) bar
+    passes: a deliberately short schedule must grow, and the final
+    chain/throughput bookkeeping must count the extra steps."""
+    log_like, t0, lo, hi, names, mu = _make_problem(ndim=2)
+    # 40 steps cannot satisfy 20*tau (tau >= a few): forces extension
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=100,
+                  nsteps=40, nthin=2, seed=1, prelim_iterations=50,
+                  max_prelim_rounds=1, auto_extend=4,
+                  chain_path=str(tmp_path / "c.hdf5"), verbose=False)
+    rounds = res.timings["auto_extend_rounds"]
+    assert rounds >= 1
+    assert res.chain.shape[0] == (40 + 40 * rounds) // 2
+    assert res.log_prob.shape[0] == res.chain.shape[0]
+    # flushed chain file matches the extended chain
+    import h5py
+
+    with h5py.File(tmp_path / "c.hdf5", "r") as f:
+        assert f["mcmc/chain"].shape[0] == res.chain.shape[0]
+
+    # a long-enough schedule on an easy target should not extend
+    # (tau-thinned split-Rhat sits at ~1.010 for this 16-walker x 2000-
+    # step run — right at the strict default, so pass the threshold
+    # explicitly to keep the test seed-robust)
+    res2 = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=200,
+                   nsteps=2000, nthin=2, seed=1, prelim_iterations=50,
+                   max_prelim_rounds=1, auto_extend=4, target_rhat=1.03,
+                   verbose=False)
+    assert res2.timings["auto_extend_rounds"] == 0
+
+
+def test_run_fit_auto_extend_uses_step_sampler_path():
+    """Extension rounds must go through the configured execution path
+    (here a spy step_sampler), not silently fall back to the XLA
+    sampler."""
+    from joxsz_tpu.sampling.stretch import run_ensemble
+
+    log_like, t0, lo, hi, names, _ = _make_problem(ndim=2)
+    ll_batch = jax.vmap(log_like)
+
+    class SpySampler:
+        sample_calls = 0
+        log_prob_batch = staticmethod(jax.jit(ll_batch))
+
+        def run(self, p0, n, key, thin=1, store_chain=True):
+            if store_chain and thin > 1:
+                SpySampler.sample_calls += 1
+            return run_ensemble(ll_batch, p0, n, key, thin=thin,
+                                store_chain=store_chain)
+
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=50,
+                  nsteps=40, nthin=2, seed=2, prelim_iterations=20,
+                  max_prelim_rounds=1, auto_extend=3,
+                  step_sampler=SpySampler(), verbose=False)
+    rounds = res.timings["auto_extend_rounds"]
+    assert rounds >= 1
+    assert SpySampler.sample_calls == 1 + rounds
+
+
+def test_run_fit_auto_extend_rejects_tempered():
+    log_like, t0, lo, hi, names, _ = _make_problem()
+    with pytest.raises(ValueError, match="auto_extend"):
+        run_fit(log_like, t0, lo, hi, names, nwalkers=8, nburn=10,
+                nsteps=10, nthin=1, auto_extend=2, n_temper_rungs=3,
+                verbose=False)

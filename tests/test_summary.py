@@ -123,6 +123,33 @@ def test_split_rhat_flags_unmixed_sequences():
     assert split_rhat(trend)[0] > 1.5
 
 
+def test_convergence_rhat_removes_autocorrelation_bias():
+    """Strongly autocorrelated but converged AR(1) sequences: raw
+    split-Rhat is biased high by O(tau/n); the tau-thinned stopping-rule
+    form must sit below the 1.01 threshold while still flagging
+    genuinely unmixed sequences.  Short chains fall back to the raw
+    statistic rather than thinning to nothing."""
+    from joxsz_tpu.postproc.summary import convergence_rhat, split_rhat
+
+    rng = np.random.default_rng(9)
+    # phi=0.97 -> tau ~ 65: converged, but raw split-Rhat sits at the
+    # 1.01 threshold from autocorrelation alone (measured 1.009-1.012
+    # over seeds at this length); the thinned form sits at ~1.005
+    chain = _ar1_chain(0.97, 6000, 32, 2, rng)
+    raw = float(np.max(split_rhat(chain)))
+    thinned = convergence_rhat(chain)
+    assert thinned < raw
+    assert thinned < 1.01
+    # genuinely separated modes still fail after thinning
+    modes = np.arange(8)[None, :, None] * 5.0
+    stuck = _ar1_chain(0.9, 1500, 8, 1, rng) + modes
+    assert convergence_rhat(stuck) > 1.5
+    # short-chain fallback: thinning a 40-draw tau~65 chain would leave
+    # < 8 draws; the raw statistic is returned instead of an error
+    short = _ar1_chain(0.97, 40, 8, 1, rng)
+    assert np.isfinite(convergence_rhat(short))
+
+
 def test_split_rhat_edge_cases():
     from joxsz_tpu.postproc.summary import split_rhat
     import pytest
