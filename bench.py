@@ -42,11 +42,12 @@ def main():
     # likelihood + accept, hardware PRNG) VMEM-resident, 500 steps per
     # invocation.  XLA scan sampler as the fallback / CPU path.
     step = None
-    # W=16384 is the measured throughput peak now that partner="auto"
-    # swaps the quadratic one-hot gather for the O(W) rotation above
-    # 4096 walkers (docs/PERFORMANCE.md round-2 scaling section);
-    # W=32768 fails Mosaic compilation (VMEM state)
-    W = 16384 if on_tpu else 1024
+    # W=32768 is the measured throughput peak (docs/PERFORMANCE.md):
+    # partner="auto" swaps the quadratic one-hot gather for the O(W)
+    # rotation above 4096 walkers, and the packed-state kernel layout
+    # (lp/acc in padding lanes, input_output-aliased state) lifted the
+    # old W>=32768 VMEM compile failure — the wall is now W=65536
+    W = 32768 if on_tpu else 1024
     n_steps = 2000 if on_tpu else 200
     rng = np.random.default_rng(0)
     p0 = jnp.asarray(theta0[None] * (

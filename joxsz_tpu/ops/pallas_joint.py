@@ -859,7 +859,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      interpret: bool = False, vmem_limit_mb: int = 96,
                      thin: int | None = None, ablate: str = "",
                      unroll: int = 1, chain_space: str = "hbm",
-                     partner: str = "auto", ll_tile: int = 256):
+                     partner: str = "auto", ll_tile: int = 256,
+                     packed_state: bool = True):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
@@ -902,6 +903,20 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     VPU work) and switches to "roll" above it, where the quadratic
     gather is the measured scaling ceiling and the mixing A/B shows no
     autocorrelation penalty (docs/PERFORMANCE.md).
+
+    ``packed_state`` (default) stores each walker's log-prob and accept
+    count in two unused padding lanes of the (W, Dp) position buffer
+    instead of separate (W, 1) buffers.  Mosaic lane-pads the last dim
+    of every VMEM buffer to 128, so a (W, 1) f32 buffer really
+    allocates W*128*4 bytes — the four lp/acc in/out buffers alone cost
+    4 x 16.8 MB at W=32768, which (with the x buffers and likelihood
+    scratch) blew the VMEM budget and made W >= 32768 fail Mosaic
+    compilation.  Packing collapses six big buffers into two and folds
+    the lp chain into the recorded position frames (one DMA instead of
+    a DMA plus a VMEM output).  The packed lanes are zeroed before the
+    likelihood sees the proposal block, so ``ll_body`` input is
+    bit-identical to the unpacked layout; ``packed_state=False`` keeps
+    the original layout for A/B testing.
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
@@ -939,6 +954,11 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     f32 = jnp.float32
     sa = float(np.sqrt(a))
     inv24 = float(2.0 ** -24)
+    # packed lanes: log-prob and accept count live in the last two
+    # padding lanes of the position buffer (guaranteed free: Dp is the
+    # 128-padded width and D <= 16 for every family)
+    packed = packed_state and D + 2 <= Dp
+    DL, DA = Dp - 2, Dp - 1
     # likelihood evaluated in (ll_tile, .) row blocks so the (tile, 384)
     # intermediates bound VMEM instead of (H, 384); when H divides into
     # tiles the evaluation runs as a fori_loop over a VMEM scratch —
@@ -946,35 +966,52 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     # compile time explode with W (99s at W=2048 -> 672s at W=4096)
     use_ll_loop = H > ll_tile and H % ll_tile == 0
 
-    def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
+    def kernel(seed_ref, *refs):
         refs = list(refs)
         sem = ysc_ref = lsc_ref = None
+        clp_ref = lpo_ref = acco_ref = None
         if use_ll_loop:
             lsc_ref = refs.pop()
             ysc_ref = refs.pop()
         if n_keep and chain_hbm:
             sem = refs.pop()
         if n_keep:
-            clp_ref = refs.pop()
+            if not packed:
+                clp_ref = refs.pop()
             cx_ref = refs.pop()
-        acco_ref = refs.pop()
-        lpo_ref = refs.pop()
-        xo_ref = refs.pop()
+        if packed:
+            # the packed state is input_output_aliased: x0_ref and xo_ref
+            # name the SAME buffer (no second (W, Dp) allocation, no copy)
+            xo_ref = refs.pop()
+            refs.pop(0)
+        else:
+            acco_ref = refs.pop()
+            lpo_ref = refs.pop()
+            xo_ref = refs.pop()
+            x0_ref = refs.pop(0)
+            lp0_ref = refs.pop(0)
+            acc0_ref = refs.pop(0)
         const_refs = refs
         if not interpret:
             pltpu.prng_seed(seed_ref[0])
-        xo_ref[:] = x0_ref[:]
-        lpo_ref[:] = lp0_ref[:]
-        acco_ref[:] = acc0_ref[:]
+        if not packed:
+            xo_ref[:] = x0_ref[:]
+            lpo_ref[:] = lp0_ref[:]
+            acco_ref[:] = acc0_ref[:]
 
-        row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)  # partner cols
+        if partner != "roll":
+            row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)  # partners
+        if packed:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (H, Dp), 1)
+            is_pack = (lane == DL) | (lane == DA)
         random_bits = _make_random_bits(interpret, seed_ref, (H, 4))
 
         const_vals_in = [r[:] for r in const_refs]   # loaded ONCE
 
         def half(i, base, fixed_base, which):
             xm = xo_ref[base:base + H, :]
-            lm = lpo_ref[base:base + H, :]
+            lm = (xm[:, DL:DL + 1] if packed
+                  else lpo_ref[base:base + H, :])
             xf = xo_ref[fixed_base:fixed_base + H, :]
             u = _uniforms(random_bits(i, which), inv24)
             z = _stretch_z(u[:, 0:1], sa)
@@ -996,13 +1033,24 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                 onehot = (row == pidx).astype(f32)       # (H, H)
                 xp = jnp.dot(onehot, xf, preferred_element_type=f32)
             y = xp + z * (xm - xp)
+            if packed:
+                # zero the packed lanes so ll_body sees exactly the
+                # zero-padded block the unpacked layout feeds it (a
+                # stretch-blend of log-probs in a padding lane could
+                # otherwise reach the full-width prior reductions)
+                y = jnp.where(is_pack, 0.0, y)
             lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, H, ll_tile,
                                   use_ll_loop, ysc_ref, lsc_ref)
             accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D)
-            xo_ref[base:base + H, :] = jnp.where(accept, y, xm)
-            lpo_ref[base:base + H, :] = jnp.where(accept, lp_y, lm)
-            acco_ref[base:base + H, :] = (acco_ref[base:base + H, :]
-                                          + accept.astype(f32))
+            if packed:
+                y = jnp.where(lane == DL, lp_y, y)
+                y = jnp.where(lane == DA, xm[:, DA:DA + 1] + 1.0, y)
+                xo_ref[base:base + H, :] = jnp.where(accept, y, xm)
+            else:
+                xo_ref[base:base + H, :] = jnp.where(accept, y, xm)
+                lpo_ref[base:base + H, :] = jnp.where(accept, lp_y, lm)
+                acco_ref[base:base + H, :] = (acco_ref[base:base + H, :]
+                                              + accept.astype(f32))
 
         def body(i, carry):
             # `unroll` runs several full MCMC steps per loop trip.
@@ -1023,20 +1071,24 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                             # DMA the live frame to the HBM chain buffer;
                             # wait immediately (sub-MB copy, microseconds
                             # vs the ~30us+ step) so the source ref is
-                            # safe to mutate in the next step.  The lp
+                            # safe to mutate in the next step.  Packed
+                            # layout: the lp lane rides inside the frame,
+                            # no separate lp output.  Unpacked: the lp
                             # chain stays a VMEM output but 2D
-                            # (n_keep, W): a (.., W, 1) VMEM buffer is
+                            # (n_keep, W) — a (.., W, 1) VMEM buffer is
                             # lane-padded 128x, and its width-1 last dim
                             # can't be HBM-sliced either.
                             cp = pltpu.make_async_copy(
                                 xo_ref, cx_ref.at[k], sem)
                             cp.start()
                             cp.wait()
-                            clp_ref[pl.ds(k, 1), :] = (
-                                lpo_ref[:].reshape(1, W))
+                            if not packed:
+                                clp_ref[pl.ds(k, 1), :] = (
+                                    lpo_ref[:].reshape(1, W))
                         else:
                             cx_ref[pl.ds(k, 1)] = xo_ref[:][None]
-                            clp_ref[pl.ds(k, 1)] = lpo_ref[:][None]
+                            if not packed:
+                                clp_ref[pl.ds(k, 1)] = lpo_ref[:][None]
             return carry
 
         jax.lax.fori_loop(0, n_inner // unroll, body, 0)
@@ -1044,37 +1096,53 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     @jax.jit
     def _step_block(x, lp, acc, seed, consts):
         xp = jnp.zeros((W, Dp), dtype=f32).at[:, :D].set(x.astype(f32))
-        lpp = lp.astype(f32).reshape(W, 1)
-        accp = acc.astype(f32).reshape(W, 1)
+        if packed:
+            xp = (xp.at[:, DL].set(lp.astype(f32))
+                    .at[:, DA].set(acc.astype(f32)))
+            state_in = (xp,)
+        else:
+            lpp = lp.astype(f32).reshape(W, 1)
+            accp = acc.astype(f32).reshape(W, 1)
+            state_in = (xp, lpp, accp)
         seed_arr = jnp.asarray([seed], dtype=jnp.int32).reshape(1)
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),        # seed
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # x0
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # lp0
-            pl.BlockSpec(memory_space=pltpu.VMEM),        # acc0
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in const_shapes]
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)
+             for _ in range(len(state_in) + len(const_shapes))]
         kwargs = {}
         if not interpret:
             # the default 16MB scoped-vmem budget OOMs past W=512; v5e has
             # 128MB VMEM per core, so raise the ceiling for large ensembles
             kwargs["compiler_params"] = pltpu.CompilerParams(
                 vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
-        out_shape = [
-            jax.ShapeDtypeStruct((W, Dp), f32),
-            jax.ShapeDtypeStruct((W, 1), f32),
-            jax.ShapeDtypeStruct((W, 1), f32),
-        ]
+        if packed:
+            # alias the packed state in-place (operand 1 -> output 0):
+            # one (W, Dp) buffer instead of two, no entry copy — at
+            # W=65536 the duplicate alone is 33.6 MB of VMEM
+            kwargs["input_output_aliases"] = {1: 0}
+            out_shape = [jax.ShapeDtypeStruct((W, Dp), f32)]
+        else:
+            out_shape = [
+                jax.ShapeDtypeStruct((W, Dp), f32),
+                jax.ShapeDtypeStruct((W, 1), f32),
+                jax.ShapeDtypeStruct((W, 1), f32),
+            ]
         out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape)
         scratch = []
         if n_keep:
             out_shape += [jax.ShapeDtypeStruct((n_keep, W, Dp), f32)]
-            if chain_hbm:
+            if chain_hbm and packed:
+                out_specs += [pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)]
+                scratch.append(pltpu.SemaphoreType.DMA)
+            elif chain_hbm:
                 out_shape += [jax.ShapeDtypeStruct((n_keep, W), f32)]
                 out_specs += [
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM)]
                 scratch.append(pltpu.SemaphoreType.DMA)
+            elif packed:
+                out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
             else:
                 out_shape += [jax.ShapeDtypeStruct((n_keep, W, 1), f32)]
                 out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
@@ -1089,7 +1157,14 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             out_specs=out_specs,
             interpret=interpret,
             **kwargs,
-        )(seed_arr, xp, lpp, accp, *consts)
+        )(seed_arr, *state_in, *consts)
+        if packed:
+            x_out = outs[0]
+            if n_keep:
+                cx = outs[1]
+                return (x_out[:, :D], x_out[:, DL], x_out[:, DA],
+                        cx[:, :, :D], cx[:, :, DL])
+            return x_out[:, :D], x_out[:, DL], x_out[:, DA]
         x_out, lp_out, acc_out = outs[:3]
         if n_keep:
             chlp = outs[4] if chain_hbm else outs[4][:, :, 0]

@@ -211,6 +211,32 @@ def test_step_kernel_hbm_chain_matches_vmem(sess32):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_step_kernel_packed_state_matches_unpacked(sess32):
+    """packed_state=True (lp/acc in two padding lanes of the position
+    buffer, lp chain folded into the recorded frames — the layout that
+    collapses six lane-padded VMEM buffers into two and unlocks
+    W >= 32768) must be bit-identical to the original separate-buffer
+    layout on every output, in both chain spaces and without a chain."""
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(3)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = core(x0)
+
+    for kw in ({"thin": None}, {"thin": 2, "chain_space": "hbm"},
+               {"thin": 2, "chain_space": "vmem"}):
+        outs = {}
+        for packed in (False, True):
+            step = make_step_kernel(sess32, n_inner=6, n_walkers=W,
+                                    interpret=True, packed_state=packed,
+                                    **kw)
+            outs[packed] = step(x0, lp0, jnp.zeros(W), 11)
+        for a, b in zip(outs[False], outs[True]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
