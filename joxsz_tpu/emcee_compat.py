@@ -19,8 +19,11 @@ silently diverging):
   seed but not bit-matched to emcee's stream.
 * ``moves`` accepts a move NAME — 'stretch' (emcee's default
   ``StretchMove``), 'de' (``DEMove``), 'snooker' (``DESnookerMove``) —
-  or a single ``(name, 1.0)`` singleton list.  Per-step weighted move
-  mixtures are not supported (one compiled program per move).
+  a bare ``(name, param)`` tuple carrying the move parameter (stretch
+  scale ``a`` / DE gamma), or a singleton ``[(name, weight)]`` list in
+  emcee's mixture form (the weight of a one-move mixture is ignored).
+  Per-step weighted move mixtures are not supported (one compiled
+  program per move).
 * the step generator ``sample()`` yields every ``thin_by`` steps; each
   yield is a device->host sync, so prefer ``run_mcmc`` for speed.
 """
@@ -49,25 +52,51 @@ class State:
                 f"log_prob={None if self.log_prob is None else self.log_prob.shape})")
 
 
+_MOVE_NAMES = ("stretch", "de", "snooker")
+
+
 def _resolve_move(moves):
+    """Returns (name, stretch_a, de_gamma).
+
+    A bare ``(name, number)`` TUPLE carries the move's parameter (the
+    stretch scale ``a``, or the DE/snooker gamma).  A singleton LIST
+    ``[(name, weight)]`` is emcee's mixture form — the weight of a
+    one-element mixture normalises to 1 and is ignored, never read as a
+    scale (``[('stretch', 1.0)]``, the canonical emcee spelling, must
+    not freeze the sampler at a=1)."""
     if moves is None:
-        return "stretch", 2.0
+        return "stretch", 2.0, None
     if isinstance(moves, str):
-        return moves, 2.0
-    # accept [(name, weight)] singletons and ('stretch', a) scale tuples
-    if isinstance(moves, (list, tuple)):
-        if (len(moves) == 2 and isinstance(moves[0], str)
-                and isinstance(moves[1], (int, float))):
-            name, w = moves
-            # ('stretch', 3.0) reads as a stretch scale, emcee's
-            # StretchMove(a=3.0); for other moves the number is a weight
-            return (name, float(w)) if name == "stretch" else (name, 2.0)
-        if len(moves) == 1:
-            return _resolve_move(moves[0])
+        if moves not in _MOVE_NAMES:
+            raise ValueError(f"unknown move {moves!r}: expected one of "
+                             f"{_MOVE_NAMES}")
+        return moves, 2.0, None
+    if isinstance(moves, list) and len(moves) == 1:
+        item = moves[0]
+        if isinstance(item, str):
+            return _resolve_move(item)
+        if (isinstance(item, (list, tuple)) and len(item) == 2
+                and isinstance(item[0], str)):
+            # [(name, weight)] — mixture weight, ignored for a singleton
+            return _resolve_move(item[0])
+    if (isinstance(moves, tuple) and len(moves) == 2
+            and isinstance(moves[0], str)
+            and isinstance(moves[1], (int, float))):
+        name, val = moves
+        if name == "stretch":
+            a = float(val)
+            if a <= 1.0:
+                raise ValueError(
+                    f"stretch scale a must be > 1 (got {a}); to pass a "
+                    "mixture weight use the list form [('stretch', w)]")
+            return name, a, None
+        if name in _MOVE_NAMES:
+            return name, 2.0, float(val)       # DE/snooker gamma
     raise ValueError(
         f"unsupported moves spec {moves!r}: pass 'stretch', 'de', "
-        "'snooker', ('stretch', a), or a singleton [(name, weight)] — "
-        "weighted move mixtures are not supported")
+        "'snooker', a (name, param) tuple, or a singleton "
+        "[(name, weight)] list — weighted move mixtures are not "
+        "supported")
 
 
 class EnsembleSampler:
@@ -88,9 +117,12 @@ class EnsembleSampler:
                              f"2*ndim+2 ({2 * ndim + 2})")
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
-        self._move, self._a = _resolve_move(moves)
+        self._move, self._a, self._de_gamma = _resolve_move(moves)
         self._seed = int(seed)
-        self._dtype = dtype or jnp.float64
+        # default to jax's prevailing float width: hardcoding float64
+        # would silently truncate to f32 (with a per-run warning) for
+        # every user who hasn't enabled x64
+        self._dtype = dtype if dtype is not None else jnp.result_type(float)
         args = tuple(args or ())
         kwargs = dict(kwargs or {})
 
@@ -104,7 +136,9 @@ class EnsembleSampler:
         self._log_prob = None       # (n_saved, W)
         self._acc_counts = np.zeros(self.nwalkers)
         self._n_steps_run = 0
-        self._last = None           # State
+        self._rng_calls = 0         # monotone; survives reset() so the
+        self._last = None           # State  burn/reset/sample idiom never
+        #                             replays the burn-in's PRNG stream
 
     # -- emcee accessors ---------------------------------------------------
 
@@ -151,6 +185,10 @@ class EnsembleSampler:
         from .postproc.summary import chain_tau_steps
 
         c = self.get_chain(discard=discard, thin=thin)
+        if c.shape[0] < 4:
+            raise RuntimeError(
+                f"chain too short for any tau estimate "
+                f"({c.shape[0]} stored draws < 4); run longer")
         tau = chain_tau_steps(c, 1)       # units of the (re-thinned) chain
         if not quiet and c.shape[0] < 20 * float(np.max(tau)):
             raise RuntimeError(
@@ -185,11 +223,13 @@ class EnsembleSampler:
         total = int(nsteps) * int(thin_by)
         validate_schedule(total, int(thin_by), self.nwalkers)
         key = jax.random.PRNGKey(self._seed if seed is None else int(seed))
-        key = jax.random.fold_in(key, self._n_steps_run)
+        key = jax.random.fold_in(key, self._rng_calls)
+        self._rng_calls += 1
         p0 = jnp.asarray(state.coords, dtype=self._dtype)
         res = run_ensemble(self._log_prob_batch, p0, total, key,
                            thin=int(thin_by), a=self._a,
-                           store_chain=store, move=self._move)
+                           store_chain=store, move=self._move,
+                           de_gamma=self._de_gamma)
         if store:
             self._chain = (res.chain if self._chain is None
                            else np.concatenate([self._chain, res.chain]))

@@ -1184,15 +1184,19 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     return step_block
 
 
-def make_multicluster_consts(sess, sz_stack, xr_stack):
+def make_multicluster_consts(sess, sz_stack, xr_stack, spec=None):
     """Stack the per-cluster kernel constants (operators, flux, counts,
     tables) into one device-resident tuple for
     :func:`make_multicluster_step_kernel`.  Build once and pass to every
     builder call over the same survey (e.g. separate burn and sampling
     kernels) — each call otherwise re-derives and re-transfers the full
     stack.  Returns None when the session/stack is outside the kernel
-    specialisation (heterogeneous grids: StackMismatch)."""
-    spec_full = _build_spec(sess)
+    specialisation (heterogeneous grids: StackMismatch).
+
+    ``spec``: a prebuilt ``_build_spec(sess)`` dict to reuse — the spec
+    assembly pays the full table-operator construction, noticeable on
+    this 1-core host when several builders run per survey."""
+    spec_full = spec if spec is not None else _build_spec(sess)
     if spec_full is None:
         return None
     spec = spec_full["spec"]
@@ -1222,7 +1226,7 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
                                   unroll: int = 1,
                                   chain_space: str = "hbm",
                                   ll_tile: int = 256,
-                                  consts=None):
+                                  consts=None, spec=None):
     """Cluster-grid fused sampler for multi-cluster batched fits
     (BASELINE config #5): grid dimension = cluster; each grid step runs
     ``n_inner`` full stretch-move ensemble steps for ONE cluster's
@@ -1250,13 +1254,14 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
 
     ``consts``: a :func:`make_multicluster_consts` tuple to reuse across
     builder calls over the same survey (skips re-deriving and
-    re-transferring the stacked constants).
+    re-transferring the stacked constants).  ``spec``: a prebuilt
+    ``_build_spec(sess)`` dict to reuse across builders likewise.
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
                          f"got {chain_space!r}")
     chain_hbm = chain_space == "hbm"
-    spec_full = _build_spec(sess)
+    spec_full = spec if spec is not None else _build_spec(sess)
     if spec_full is None:
         return None
     ll_body = spec_full["ll_body"]
@@ -1279,7 +1284,8 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
 
     C = int(np.asarray(sz_stack.L).shape[0])
     if consts is None:
-        consts_built = make_multicluster_consts(sess, sz_stack, xr_stack)
+        consts_built = make_multicluster_consts(sess, sz_stack, xr_stack,
+                                                spec=spec_full)
         if consts_built is None:
             return None     # heterogeneous stack: XLA-path fallback
         const_vals = list(consts_built)

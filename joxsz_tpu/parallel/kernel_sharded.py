@@ -317,7 +317,7 @@ def make_sharded_multicluster_step(sess, sz_stack, xr_stack, mesh,
                                    interpret: bool = False,
                                    chain_space: str = "hbm",
                                    axis: str = "cluster",
-                                   consts=None):
+                                   consts=None, spec=None):
     """Survey production path over a mesh: the cluster-grid kernel
     (ops.make_multicluster_step_kernel) sharded over the CLUSTER axis —
     each chip advances its block of C/n_dev clusters' ensembles fully
@@ -347,7 +347,8 @@ def make_sharded_multicluster_step(sess, sz_stack, xr_stack, mesh,
                          f"{n_dev} '{axis}' devices")
     c_loc = C // n_dev
     if consts is None:
-        consts = make_multicluster_consts(sess, sz_stack, xr_stack)
+        consts = make_multicluster_consts(sess, sz_stack, xr_stack,
+                                          spec=spec)
         if consts is None:
             return None
 
@@ -359,7 +360,7 @@ def make_sharded_multicluster_step(sess, sz_stack, xr_stack, mesh,
     step = make_multicluster_step_kernel(
         sess, local_stack, local_xr, n_inner=n_inner,
         n_walkers=n_walkers, thin=thin, a=a, interpret=interpret,
-        chain_space=chain_space,
+        chain_space=chain_space, spec=spec,
         consts=tuple(v[:c_loc] for v in consts))
     if step is None:
         return None

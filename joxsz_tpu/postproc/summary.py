@@ -150,7 +150,8 @@ def split_rhat(chain: np.ndarray, rank_normalize: bool = True) -> np.ndarray:
     return np.where(w > 0, rhat, 1.0)
 
 
-def convergence_rhat(chain: np.ndarray) -> float:
+def convergence_rhat(chain: np.ndarray,
+                     tau_saved: float | None = None) -> float:
     """Max split-R̂ over parameters on tau-thinned draws — the form used
     by stopping rules (``run_fit`` warnings and ``auto_extend``).
 
@@ -164,11 +165,20 @@ def convergence_rhat(chain: np.ndarray) -> float:
     1.01 threshold (Vehtari et al. 2021) is meaningful.  Falls back to
     the raw statistic when thinning would leave < 8 draws — such chains
     are far under the 20*tau length bar anyway, so the stopping rule
-    keeps extending regardless."""
+    keeps extending regardless.
+
+    ``tau_saved``: worst-parameter tau in SAVED-draw units, if the
+    caller already computed it (the full-chain ACF pass is expensive on
+    this 1-core host — don't pay it twice per stopping-rule round).
+    Chains with < 4 saved draws cannot be assessed at all and return
+    +inf (i.e. "not converged"), never raise."""
     chain = np.asarray(chain, dtype=float)
-    tau_saved = float(np.max(np.maximum(
-        np.asarray(integrated_autocorr_time(chain)), 1.0)))
-    k = int(np.ceil(tau_saved))
+    if chain.shape[0] < 4:
+        return float(np.inf)
+    if tau_saved is None:
+        tau_saved = float(np.max(np.maximum(
+            np.asarray(integrated_autocorr_time(chain)), 1.0)))
+    k = max(int(np.ceil(tau_saved)), 1)
     thinned = chain[::k]
     if thinned.shape[0] < 8:
         thinned = chain

@@ -351,21 +351,39 @@ def run_fit(
     # the chain passes (20x worst-tau, split-Rhat) or the budget runs out
     steps_sampled = nsteps
     ext_rounds = 0
+    conv_cache = None     # (worst tau in raw steps, split-Rhat) — reused
+    #                       by the post-fit warnings below
     if auto_extend > 0 and n_temper_rungs <= 1:
-        from ..postproc.summary import chain_tau_steps, convergence_rhat
+        from ..postproc.summary import integrated_autocorr_time, \
+            convergence_rhat
 
         while ext_rounds < auto_extend:
-            tau_w = float(np.max(chain_tau_steps(res.chain, nthin)))
-            rh = convergence_rhat(res.chain)
+            if res.chain.shape[0] < 8:
+                # too few saved draws for any tau/Rhat estimate — by
+                # definition under-converged, keep extending
+                tau_w, rh = np.inf, np.inf
+            else:
+                # ONE full-chain ACF pass per round (it is a python loop
+                # of W*D FFTs — expensive on this 1-core host); Rhat
+                # reuses the tau it produced
+                tau_saved = float(np.max(np.maximum(
+                    integrated_autocorr_time(res.chain), 1.0)))
+                tau_w = tau_saved * nthin
+                rh = convergence_rhat(res.chain, tau_saved=tau_saved)
+            conv_cache = (tau_w, rh)
             if steps_sampled >= 20 * tau_w and rh <= target_rhat:
                 break
             if verbose:
-                need = []
-                if steps_sampled < 20 * tau_w:
-                    need.append(f"steps {steps_sampled} < 20*tau "
-                                f"{20 * tau_w:.0f}")
-                if rh > target_rhat:
-                    need.append(f"split-Rhat {rh:.3f} > {target_rhat}")
+                if not np.isfinite(tau_w):
+                    need = [f"only {res.chain.shape[0]} saved draws — "
+                            "too short to estimate tau"]
+                else:
+                    need = []
+                    if steps_sampled < 20 * tau_w:
+                        need.append(f"steps {steps_sampled} < 20*tau "
+                                    f"{20 * tau_w:.0f}")
+                    if rh > target_rhat:
+                        need.append(f"split-Rhat {rh:.3f} > {target_rhat}")
                 print(f"auto-extend round {ext_rounds + 1}/{auto_extend}: "
                       f"{'; '.join(need)} — sampling {nsteps} more steps")
             key, sub = jax.random.split(key)
@@ -381,6 +399,7 @@ def run_fit(
             )
             steps_sampled += nsteps
             ext_rounds += 1
+            conv_cache = None      # the chain just grew — estimate stale
             if chain_path:   # flush progress like the chunked path
                 save_chain_hdf5(chain_path, res.chain, res.log_prob,
                                 res.acceptance_fraction, param_names,
@@ -411,14 +430,19 @@ def run_fit(
             from ..postproc.summary import (convergence_rhat,
                                             integrated_autocorr_time)
 
-            tau = integrated_autocorr_time(res.chain)
-            worst = float(np.max(tau)) * nthin
+            if conv_cache is not None and np.isfinite(conv_cache[0]):
+                worst, rh = conv_cache    # from the auto-extend stopping
+                #                           rule — same chain, same rules
+            else:
+                tau_saved = float(np.max(np.maximum(
+                    integrated_autocorr_time(res.chain), 1.0)))
+                worst = tau_saved * nthin
+                rh = convergence_rhat(res.chain, tau_saved=tau_saved)
             if steps_sampled < 20 * worst:
                 print(f"WARNING: longest autocorrelation time ~{worst:.0f} "
                       f"steps; chain of {steps_sampled} steps may be "
                       "under-converged (consider more steps or more "
                       "walkers)")
-            rh = convergence_rhat(res.chain)
             if rh > 1.01:
                 # tau-thinned split-Rhat (convergence_rhat): walker
                 # sequences within one ensemble interact, so even this

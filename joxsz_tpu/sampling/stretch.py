@@ -217,6 +217,17 @@ def make_step(log_prob_batch, ndim: int, a: float = 2.0,
         x, lp, acc = state
         W = x.shape[0]
         H = W // 2
+        # DE needs a distinct pair, snooker a distinct triple, from the
+        # fixed half — below these floors the skip construction in
+        # de_half_update/_distinct3 wraps an index to -1 and silently
+        # duplicates a partner, biasing the proposal.  Shapes are static,
+        # so this raises at trace time (i.e. on the first call).
+        if move == "de" and H < 2:
+            raise ValueError(f"DE move needs >= 4 walkers (got {W}): "
+                             "each half must hold a distinct pair")
+        if move == "snooker" and H < 3:
+            raise ValueError(f"snooker move needs >= 6 walkers (got {W}): "
+                             "each half must hold a distinct triple")
         dtype = x.dtype
         if move == "de":
             ku, kg = jax.random.split(key)

@@ -173,12 +173,19 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
     import jax.numpy as jnp
 
     from .models.multicluster import make_multicluster_log_like
-    from .ops.pallas_joint import (make_multicluster_consts,
+    from .ops.pallas_joint import (_build_spec, make_multicluster_consts,
                                    make_multicluster_step_kernel)
     from .sampling.batched import batched_init
 
     t0 = time.time()
-    consts = make_multicluster_consts(session, sz_stack, xray_stack)
+    # ONE spec assembly (full table-operator construction) shared by the
+    # consts stack, the burn/sampling kernel builders, and the init/lp0
+    # likelihood core below — each would otherwise rebuild it.
+    spec = _build_spec(session)
+    if spec is None:
+        return None
+    consts = make_multicluster_consts(session, sz_stack, xray_stack,
+                                      spec=spec)
     if consts is None:
         return None
     n_dev = (mesh.shape.get("cluster", 1) if mesh is not None else 1)
@@ -189,7 +196,7 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
             fn = make_sharded_multicluster_step(
                 session, sz_stack, xray_stack, mesh, n_inner=n_inner,
                 n_walkers=n_walkers, thin=thin_, interpret=interpret,
-                consts=consts)
+                consts=consts, spec=spec)
             if fn is None:
                 return None
             # per-device seed vector derived from the scalar call seed
@@ -201,7 +208,7 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
             return make_multicluster_step_kernel(
                 session, sz_stack, xray_stack, n_inner=n_inner,
                 n_walkers=n_walkers, thin=thin_, interpret=interpret,
-                consts=consts)
+                consts=consts, spec=spec)
 
     samp = build(n_steps, thin)
     if samp is None:
@@ -221,7 +228,7 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
 
     C = centers.shape[0]
     core = make_joint_core(session, block_b=min(256, n_walkers),
-                           interpret=interpret)
+                           interpret=interpret, spec=spec)
     if core is not None:
         per_c = [tuple(v[c] for v in consts) for c in range(C)]
 

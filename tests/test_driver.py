@@ -168,3 +168,28 @@ def test_run_fit_auto_extend_rejects_tempered():
         run_fit(log_like, t0, lo, hi, names, nwalkers=8, nburn=10,
                 nsteps=10, nthin=1, auto_extend=2, n_temper_rungs=3,
                 verbose=False)
+
+
+def test_run_fit_auto_extend_short_chain_extends_not_crashes():
+    """A schedule with only 1-3 saved draws used to crash the whole fit
+    inside the convergence estimators (IndexError in tau / ValueError in
+    split-Rhat) — exactly the under-sampled case auto_extend exists to
+    rescue.  It must extend instead."""
+    log_like, t0, lo, hi, names, _ = _make_problem(ndim=2)
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=20,
+                  nsteps=30, nthin=10, seed=3, prelim_iterations=20,
+                  max_prelim_rounds=1, auto_extend=2, verbose=False)
+    assert res.timings["auto_extend_rounds"] == 2
+    assert res.chain.shape[0] == (30 + 30 * 2) // 10
+
+
+def test_convergence_rhat_short_chain_returns_inf():
+    from joxsz_tpu.postproc.summary import convergence_rhat
+
+    c = np.random.default_rng(0).normal(size=(3, 8, 2))
+    assert convergence_rhat(c) == np.inf
+    # precomputed tau is honored (no second ACF pass needed to verify
+    # numerically -- just that the argument path works)
+    c2 = np.random.default_rng(1).normal(size=(64, 8, 2))
+    r = convergence_rhat(c2, tau_saved=1.0)
+    assert np.isfinite(r) and r > 0.9

@@ -91,3 +91,76 @@ def test_constructor_guards():
         EnsembleSampler(15, 3, _log_prob)
     with pytest.raises(ValueError, match="2\\*ndim"):
         EnsembleSampler(6, 3, _log_prob)
+
+
+def test_singleton_weight_is_not_a_scale():
+    """emcee's canonical moves=[(StretchMove(), 1.0)] translates to
+    [('stretch', 1.0)] — the 1.0 is a mixture WEIGHT.  Reading it as the
+    stretch scale a=1.0 would make every proposal y = x (z == 1) and
+    silently freeze the sampler."""
+    from joxsz_tpu.emcee_compat import _resolve_move
+
+    assert _resolve_move([("stretch", 1.0)]) == ("stretch", 2.0, None)
+    assert _resolve_move([("de", 1.0)]) == ("de", 2.0, None)
+    # bare tuples DO carry the move parameter
+    assert _resolve_move(("stretch", 3.0)) == ("stretch", 3.0, None)
+    name, a, g = _resolve_move(("de", 0.5))
+    assert (name, a, g) == ("de", 2.0, 0.5)
+    with pytest.raises(ValueError, match="must be > 1"):
+        _resolve_move(("stretch", 1.0))
+
+    # end-to-end: the singleton-weight form must actually move
+    W, D = 16, 2
+    s = EnsembleSampler(W, D, _log_prob, moves=[("stretch", 1.0)], seed=11)
+    p0 = 0.3 * np.random.default_rng(5).normal(size=(W, D))
+    s.run_mcmc(p0, 50)
+    assert not np.allclose(s.get_chain()[-1], p0)
+    assert np.any(s.acceptance_fraction < 1.0)
+
+
+def test_reset_does_not_replay_prng_stream():
+    """The canonical burn/reset/sample idiom must not replay the burn-in
+    PRNG stream: the production chain's randomness would be correlated
+    with its own starting state."""
+    W, D = 16, 2
+    s = EnsembleSampler(W, D, _log_prob, seed=13)
+    p0 = 0.3 * np.random.default_rng(7).normal(size=(W, D))
+    burn_last = s.run_mcmc(p0, 20)
+    burn_chain = s.get_chain().copy()
+    s.reset()
+    s.run_mcmc(None, 20)
+    # old behavior: fold_in counter reset to 0 -> identical uniforms ->
+    # the production run re-traces the burn geometry from its own
+    # endpoint; with an independent stream the first accepted states
+    # must differ from a replayed-key run started at the same point
+    s2 = EnsembleSampler(W, D, _log_prob, seed=13)
+    replay = s2.run_mcmc(State(burn_last.coords), 20)
+    assert not np.array_equal(s.get_chain(), s2.get_chain())
+
+
+def test_default_dtype_follows_jax_float():
+    s = EnsembleSampler(8, 2, _log_prob)
+    assert s._dtype == jnp.result_type(float)
+
+
+def test_autocorr_time_tiny_chain_clear_error():
+    s = EnsembleSampler(8, 2, _log_prob, seed=17)
+    p0 = 0.1 * np.random.default_rng(9).normal(size=(8, 2))
+    s.run_mcmc(p0, 1)
+    with pytest.raises(RuntimeError, match="too short"):
+        s.get_autocorr_time(quiet=True)
+
+
+def test_de_snooker_walker_floors():
+    from joxsz_tpu.sampling.stretch import run_ensemble
+    import jax
+
+    p0 = jnp.asarray(0.1 * np.random.default_rng(11).normal(size=(4, 1)),
+                     jnp.float32)
+    lp = jax.vmap(_log_prob)
+    with pytest.raises(ValueError, match="snooker move needs >= 6"):
+        run_ensemble(lp, p0, 4, jax.random.PRNGKey(0), move="snooker")
+    p2 = jnp.asarray(0.1 * np.random.default_rng(12).normal(size=(2, 1)),
+                     jnp.float32)
+    with pytest.raises(ValueError, match="DE move needs >= 4"):
+        run_ensemble(lp, p2, 4, jax.random.PRNGKey(0), move="de")
