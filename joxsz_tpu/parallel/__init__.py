@@ -9,6 +9,11 @@ from .kernel_sharded import (
     make_sharded_tempered_step, run_sharded_tempered_ensembles,
     make_sharded_multicluster_step,
 )
+from .multihost import (
+    initialize as initialize_multihost, global_mesh, replicated_to_global,
+    local_block, run_multihost_multi_cluster,
+    make_multihost_multicluster_step,
+)
 
 __all__ = [
     "make_mesh", "walker_sharding", "cluster_walker_sharding", "replicated",
@@ -16,4 +21,7 @@ __all__ = [
     "make_sharded_kernel_step", "run_sharded_kernel_ensembles",
     "make_sharded_tempered_step", "run_sharded_tempered_ensembles",
     "make_sharded_multicluster_step",
+    "initialize_multihost", "global_mesh", "replicated_to_global",
+    "local_block", "run_multihost_multi_cluster",
+    "make_multihost_multicluster_step",
 ]

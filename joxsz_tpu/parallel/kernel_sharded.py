@@ -380,4 +380,10 @@ def make_sharded_multicluster_step(sess, sz_stack, xr_stack, mesh,
     def stepfn(x, lp, acc, seeds, consts_all):
         return fn(seeds, x, lp, acc, *consts_all)
 
-    return lambda x, lp, acc, seeds: stepfn(x, lp, acc, seeds, consts)
+    def run(x, lp, acc, seeds, consts_override=None):
+        # consts_override: pre-placed (e.g. globally sharded multi-host)
+        # constant stacks — same pytree as `consts` (parallel.multihost)
+        return stepfn(x, lp, acc, seeds,
+                      consts if consts_override is None else consts_override)
+
+    return run

@@ -74,27 +74,14 @@ def run_sharded_ensemble(log_prob_batch, p0, n_steps, key, mesh,
 _MC_DRIVE_CACHE: dict = {}
 
 
-def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
-                      thin: int = 1, a: float = 2.0):
-    """Batched independent ensembles: p0 (C, W, D); the log-prob callable
-    maps (C, W, D) -> (C, W) (e.g. vmap of per-cluster batched
-    likelihoods).  State is sharded over ('cluster', 'walker').
-
-    Compiled drivers are cached per (fn, schedule, shapes) like the
-    single-cluster sampler — repeat calls reuse the program."""
-    C, W, D = p0.shape
-    validate_schedule(n_steps, thin, W)
-    cache_key = (log_prob_batch_cluster, n_steps, thin, a, C, W, D, mesh)
-    cached = _MC_DRIVE_CACHE.get(cache_key)
-    if cached is not None:
-        return cached(p0, key)
-    sh3 = NamedSharding(mesh, P("cluster", "walker"))
-    sh2 = NamedSharding(mesh, P("cluster", "walker"))
-
-    # full ensemble step batched across clusters: the half-updates operate
-    # on (C, H, D) blocks so every cluster's half-batch is evaluated in a
-    # single call to log_prob_batch_cluster; one PRNG block per step and
-    # the shared stretch primitive (sampling.stretch.stretch_half_update)
+def make_multicluster_step(log_prob_batch_cluster, C: int, W: int, D: int,
+                           a: float = 2.0):
+    """Full ensemble step batched across clusters: the half-updates operate
+    on (C, H, D) blocks so every cluster's half-batch is evaluated in a
+    single call to log_prob_batch_cluster; one PRNG block per step and
+    the shared stretch primitive (sampling.stretch.stretch_half_update).
+    Shared by the single-process mesh runner below and the multi-host
+    runner (parallel.multihost)."""
     from ..sampling.stretch import stretch_half_update
 
     H = W // 2
@@ -124,6 +111,28 @@ def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
         x, lp, acc = half(x, lp, acc, u_all[0], 0)
         x, lp, acc = half(x, lp, acc, u_all[1], 1)
         return (x, lp, acc), None
+
+    return step_all
+
+
+def run_multi_cluster(log_prob_batch_cluster, p0, n_steps, key, mesh,
+                      thin: int = 1, a: float = 2.0):
+    """Batched independent ensembles: p0 (C, W, D); the log-prob callable
+    maps (C, W, D) -> (C, W) (e.g. vmap of per-cluster batched
+    likelihoods).  State is sharded over ('cluster', 'walker').
+
+    Compiled drivers are cached per (fn, schedule, shapes) like the
+    single-cluster sampler — repeat calls reuse the program."""
+    C, W, D = p0.shape
+    validate_schedule(n_steps, thin, W)
+    cache_key = (log_prob_batch_cluster, n_steps, thin, a, C, W, D, mesh)
+    cached = _MC_DRIVE_CACHE.get(cache_key)
+    if cached is not None:
+        return cached(p0, key)
+    sh3 = NamedSharding(mesh, P("cluster", "walker"))
+    sh2 = NamedSharding(mesh, P("cluster", "walker"))
+
+    step_all = make_multicluster_step(log_prob_batch_cluster, C, W, D, a)
 
     n_saved = n_steps // thin
 
