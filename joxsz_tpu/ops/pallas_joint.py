@@ -1184,7 +1184,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     return step_block
 
 
-def make_multicluster_consts(sess, sz_stack, xr_stack, spec=None):
+def make_multicluster_consts(sess, sz_stack, xr_stack, spec=None,
+                             device: bool = True):
     """Stack the per-cluster kernel constants (operators, flux, counts,
     tables) into one device-resident tuple for
     :func:`make_multicluster_step_kernel`.  Build once and pass to every
@@ -1195,7 +1196,10 @@ def make_multicluster_consts(sess, sz_stack, xr_stack, spec=None):
 
     ``spec``: a prebuilt ``_build_spec(sess)`` dict to reuse — the spec
     assembly pays the full table-operator construction, noticeable on
-    this 1-core host when several builders run per survey."""
+    this 1-core host when several builders run per survey.
+
+    ``device=False`` returns host numpy stacks instead (multi-host jobs
+    pre-place them as global arrays — parallel.multihost)."""
     spec_full = spec if spec is not None else _build_spec(sess)
     if spec_full is None:
         return None
@@ -1213,9 +1217,12 @@ def make_multicluster_consts(sess, sz_stack, xr_stack, spec=None):
         ]
     except StackMismatch:
         return None     # heterogeneous stack: fall back to the XLA path
-    return tuple(
-        jnp.asarray(np.stack([pc[i] for pc in per_cluster]), jnp.float32)
+    stacks = tuple(
+        np.stack([pc[i] for pc in per_cluster]).astype(np.float32)
         for i in range(len(per_cluster[0])))
+    if not device:
+        return stacks
+    return tuple(jnp.asarray(v) for v in stacks)
 
 
 def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,

@@ -65,15 +65,21 @@ def initialize(coordinator_address: str, num_processes: int,
     and the XLA flag must land before the backend initialises, which is
     why this helper insists on running first.
     """
+    import re
+
     import jax
 
     if cpu_devices is not None:
+        flag = f"--xla_force_host_platform_device_count={cpu_devices}"
         flags = os.environ.get("XLA_FLAGS", "")
-        if "host_platform_device_count" not in flags:
-            os.environ["XLA_FLAGS"] = (
-                flags +
-                f" --xla_force_host_platform_device_count={cpu_devices}"
-            ).strip()
+        if "host_platform_device_count" in flags:
+            # replace, never keep a stale count: a silently different
+            # device total breaks the job's sharding layout downstream
+            flags = re.sub(
+                r"--xla_force_host_platform_device_count=\d+", flag, flags)
+        else:
+            flags = f"{flags} {flag}"
+        os.environ["XLA_FLAGS"] = flags.strip()
         jax.config.update("jax_platforms", "cpu")
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(coordinator_address=coordinator_address,
@@ -169,6 +175,9 @@ def _cluster_specs(mesh):
     return P(*axes)
 
 
+_MH_DRIVE_CACHE: dict = {}
+
+
 def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
                                 mesh, thin: int = 1, a: float = 2.0):
     """Multi-host counterpart of ``parallel.run_multi_cluster``: ``p0`` and
@@ -179,6 +188,8 @@ def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
     Launched in a single process over the same mesh it reproduces the
     multi-process run exactly (same partitioned per-device program) —
     that equivalence is asserted by ``scripts/multihost_survey_demo.py``.
+    Compiled drivers are cached per (fn, schedule, shapes) like
+    ``run_multi_cluster`` — burn-then-sample reuses the program.
     """
     import jax
     import jax.numpy as jnp
@@ -189,25 +200,35 @@ def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
 
     C, W, D = p0.shape
     validate_schedule(n_steps, thin, W)
+    if jax.dtypes.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
+        key = jax.random.key_data(key)   # new-style typed PRNG keys
+    cache_key = (log_prob_batch_cluster, n_steps, thin, a, C, W, D, mesh)
+    drive = _MH_DRIVE_CACHE.get(cache_key)
     spec = _cluster_specs(mesh)
-    sh = NamedSharding(mesh, spec)
-    rep = NamedSharding(mesh, P())
-    step_all = make_multicluster_step(log_prob_batch_cluster, C, W, D, a)
-    n_saved = n_steps // thin
+    if drive is None:
+        sh = NamedSharding(mesh, spec)
+        rep = NamedSharding(mesh, P())
+        step_all = make_multicluster_step(log_prob_batch_cluster, C, W, D, a)
+        n_saved = n_steps // thin
 
-    @partial(jax.jit, in_shardings=(sh, rep), out_shardings=(sh, sh, sh))
-    def drive(x, key):
-        lp = log_prob_batch_cluster(x)
-        acc = jnp.zeros((C, W), dtype=x.dtype)
+        @partial(jax.jit, in_shardings=(sh, rep),
+                 out_shardings=(sh, sh, sh))
+        def drive(x, key):
+            lp = log_prob_batch_cluster(x)
+            acc = jnp.zeros((C, W), dtype=x.dtype)
 
-        def outer(state, k):
-            keys = jax.random.split(k, thin)
-            state, _ = jax.lax.scan(step_all, state, keys)
-            return state, None
+            def outer(state, k):
+                keys = jax.random.split(k, thin)
+                state, _ = jax.lax.scan(step_all, state, keys)
+                return state, None
 
-        keys = jax.random.split(key, n_saved)
-        (x, lp, acc), _ = jax.lax.scan(outer, (x, lp, acc), keys)
-        return x, lp, acc
+            keys = jax.random.split(key, n_saved)
+            (x, lp, acc), _ = jax.lax.scan(outer, (x, lp, acc), keys)
+            return x, lp, acc
+
+        _MH_DRIVE_CACHE[cache_key] = drive
+        if len(_MH_DRIVE_CACHE) > 16:
+            _MH_DRIVE_CACHE.pop(next(iter(_MH_DRIVE_CACHE)))
 
     xg = replicated_to_global(p0, mesh, spec)
     kg = replicated_to_global(key, mesh)
@@ -241,20 +262,23 @@ def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,
     ``local_block`` to extract this process's clusters), or None outside
     the kernel specialisation.
     """
-    import jax
     from jax.sharding import PartitionSpec as P
 
-    from ..ops.pallas_joint import make_multicluster_consts
+    from ..ops.pallas_joint import _build_spec, make_multicluster_consts
     from .kernel_sharded import make_sharded_multicluster_step
 
-    consts = make_multicluster_consts(sess, sz_stack, xr_stack, spec=spec)
-    if consts is None:
-        return None
-    # host copies serve as the per-device kernel's shape template inside
+    if spec is None:
+        spec = _build_spec(sess)   # build ONCE; reused by both calls below
+        if spec is None:
+            return None
+    # host stacks serve as the per-device kernel's shape template inside
     # make_sharded_multicluster_step; the call-time override below feeds
     # the SAME stacks pre-placed as global arrays so each process only
-    # materialises its own cluster blocks.
-    consts_host = tuple(np.asarray(jax.device_get(v)) for v in consts)
+    # materialises its own cluster blocks (no local device round-trip).
+    consts_host = make_multicluster_consts(sess, sz_stack, xr_stack,
+                                           spec=spec, device=False)
+    if consts_host is None:
+        return None
     consts_g = tuple(replicated_to_global(v, mesh, P("cluster"))
                      for v in consts_host)
     step = make_sharded_multicluster_step(

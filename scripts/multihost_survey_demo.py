@@ -235,6 +235,9 @@ def _assemble(parts, key, C):
 def main_launcher(args):
     import numpy as np
 
+    # bind-then-close port probe is racy in principle; a collision makes
+    # the coordinator fail to bind and the poll loop below surfaces the
+    # worker failures quickly instead of hanging
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))
         port = s.getsockname()[1]
@@ -252,20 +255,48 @@ def main_launcher(args):
                 "--data-dir", args.data_dir] + \
                (["--kernel"] if args.kernel else [])
         procs = []
-        for i in range(args.nprocs):
-            log = open(td / f"worker{i}.log", "w")
-            procs.append((subprocess.Popen(
-                base + ["--worker", str(i), "--coordinator", coord,
-                        "--result", str(td / f"worker{i}.json")],
-                stdout=log, stderr=subprocess.STDOUT, cwd=str(REPO)), log))
-        fail = False
-        for i, (p, log) in enumerate(procs):
-            rc = p.wait(timeout=900)
-            log.close()
-            if rc:
-                fail = True
-                print(f"worker {i} FAILED (rc={rc}):")
-                print((td / f"worker{i}.log").read_text()[-3000:])
+        try:
+            for i in range(args.nprocs):
+                log = open(td / f"worker{i}.log", "w")
+                procs.append((subprocess.Popen(
+                    base + ["--worker", str(i), "--coordinator", coord,
+                            "--result", str(td / f"worker{i}.json")],
+                    stdout=log, stderr=subprocess.STDOUT,
+                    cwd=str(REPO)), log))
+            # poll ALL workers: one crashing early (bad data dir, port
+            # collision) must not leave its peers blocked forever on the
+            # jax.distributed barrier
+            import time
+
+            deadline = time.monotonic() + 600
+            fail = False
+            live = dict(enumerate(procs))
+            while live and not fail:
+                for i in list(live):
+                    rc = live[i][0].poll()
+                    if rc is None:
+                        continue
+                    del live[i]
+                    if rc:
+                        fail = True
+                        print(f"worker {i} FAILED (rc={rc}):")
+                        print((td / f"worker{i}.log").read_text()[-3000:])
+                if time.monotonic() > deadline:
+                    fail = True
+                    print(f"TIMEOUT: workers {sorted(live)} still "
+                          f"running after 600s")
+                if live and not fail:
+                    time.sleep(0.25)
+        finally:
+            for p, log in procs:
+                if p.poll() is None:
+                    p.terminate()
+                    try:
+                        p.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                        p.wait()
+                log.close()
         if fail:
             raise SystemExit(1)
 

@@ -128,6 +128,11 @@ def test_multihost_runner_matches_single_process_mesh():
     np.testing.assert_array_equal(out["log_prob"], ref["log_prob"])
     np.testing.assert_array_equal(out["acceptance_fraction"],
                                   ref["acceptance_fraction"])
+    # new-style typed PRNG keys are accepted (canonicalized to key data),
+    # and the cached driver serves the repeat call
+    out2 = run_multihost_multi_cluster(lp_cb, p0, 64, jax.random.key(5),
+                                       mesh, thin=8)
+    np.testing.assert_array_equal(out2["positions"], ref["positions"])
 
 
 @pytest.mark.slow
@@ -140,7 +145,8 @@ def test_multiprocess_demo_toy(tmp_path):
          "--nprocs", "2", "--devices-per-proc", "2", "--model", "toy",
          "--steps", "20", "--out", str(out)],
         cwd=str(REPO), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        timeout=600)
+        timeout=900)  # > the launcher's own 600s worker deadline: let it
+                      # fail fast and clean up its children itself
     assert rc.returncode == 0, rc.stdout.decode()[-3000:]
     report = json.loads(out.read_text())
     assert report["pass"]
