@@ -179,17 +179,25 @@ _MH_DRIVE_CACHE: dict = {}
 
 
 def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
-                                mesh, thin: int = 1, a: float = 2.0):
+                                mesh, thin: int = 1, a: float = 2.0,
+                                n_burn: int = 0, record: bool = False):
     """Multi-host counterpart of ``parallel.run_multi_cluster``: ``p0`` and
     ``key`` are host values identical on every process; the sampler runs
     as one SPMD program over the global mesh, and the return carries only
     THIS process's cluster block plus its global ``[start, stop)`` range.
 
+    ``n_burn`` prepends unrecorded burn-in steps (acceptance reset
+    afterwards) inside the SAME jitted program — no intermediate host
+    gather between phases.  ``record=True`` adds the thinned sampling
+    chain ``(n_saved, C_local, W, D)`` + its log-probs to the return;
+    chain blocks stay process-local (nothing rides DCN but the control
+    plane).
+
     Launched in a single process over the same mesh it reproduces the
     multi-process run exactly (same partitioned per-device program) —
     that equivalence is asserted by ``scripts/multihost_survey_demo.py``.
     Compiled drivers are cached per (fn, schedule, shapes) like
-    ``run_multi_cluster`` — burn-then-sample reuses the program.
+    ``run_multi_cluster`` — repeat schedules reuse the program.
     """
     import jax
     import jax.numpy as jnp
@@ -202,29 +210,39 @@ def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
     validate_schedule(n_steps, thin, W)
     if jax.dtypes.issubdtype(jnp.asarray(key).dtype, jax.dtypes.prng_key):
         key = jax.random.key_data(key)   # new-style typed PRNG keys
-    cache_key = (log_prob_batch_cluster, n_steps, thin, a, C, W, D, mesh)
+    cache_key = (log_prob_batch_cluster, n_steps, thin, a, C, W, D, mesh,
+                 n_burn, record)
     drive = _MH_DRIVE_CACHE.get(cache_key)
     spec = _cluster_specs(mesh)
     if drive is None:
         sh = NamedSharding(mesh, spec)
         rep = NamedSharding(mesh, P())
+        chain_spec = P(None, *spec)      # (n_saved, C[, W]) leading time
+        sh_chain = NamedSharding(mesh, chain_spec)
         step_all = make_multicluster_step(log_prob_batch_cluster, C, W, D, a)
         n_saved = n_steps // thin
+        outs = ((sh, sh, sh) + ((sh_chain, sh_chain) if record else ()))
 
-        @partial(jax.jit, in_shardings=(sh, rep),
-                 out_shardings=(sh, sh, sh))
+        @partial(jax.jit, in_shardings=(sh, rep), out_shardings=outs)
         def drive(x, key):
             lp = log_prob_batch_cluster(x)
             acc = jnp.zeros((C, W), dtype=x.dtype)
+            # n_burn=0 keeps the exact run_multi_cluster PRNG schedule
+            # (bit-equivalence pinned by tests/test_multihost.py)
+            ks = jnp.asarray(key)
+            if n_burn:
+                kb, ks = jax.random.split(ks)
+                keys = jax.random.split(kb, n_burn)
+                (x, lp, _), _ = jax.lax.scan(step_all, (x, lp, acc), keys)
 
             def outer(state, k):
                 keys = jax.random.split(k, thin)
                 state, _ = jax.lax.scan(step_all, state, keys)
-                return state, None
+                return state, ((state[0], state[1]) if record else None)
 
-            keys = jax.random.split(key, n_saved)
-            (x, lp, acc), _ = jax.lax.scan(outer, (x, lp, acc), keys)
-            return x, lp, acc
+            keys = jax.random.split(ks, n_saved)
+            (x, lp, acc), saved = jax.lax.scan(outer, (x, lp, acc), keys)
+            return (x, lp, acc) + (saved if record else ())
 
         _MH_DRIVE_CACHE[cache_key] = drive
         if len(_MH_DRIVE_CACHE) > 16:
@@ -232,16 +250,23 @@ def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
 
     xg = replicated_to_global(p0, mesh, spec)
     kg = replicated_to_global(key, mesh)
-    x, lp, acc = drive(xg, kg)
+    out_arrays = drive(xg, kg)
+    x, lp, acc = out_arrays[:3]
     c0, c1, x_loc = local_block(x)
     _, _, lp_loc = local_block(lp)
     _, _, acc_loc = local_block(acc)
-    return {
+    out = {
         "cluster_range": (c0, c1),
         "positions": x_loc,
         "log_prob": lp_loc,
         "acceptance_fraction": acc_loc / float(n_steps),
     }
+    if record:
+        _, _, chain_loc = local_block(out_arrays[3], axis=1)
+        _, _, chain_lp_loc = local_block(out_arrays[4], axis=1)
+        out["chain"] = chain_loc
+        out["chain_log_prob"] = chain_lp_loc
+    return out
 
 
 def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,

@@ -338,6 +338,202 @@ def _set_dtype(cfg):
         cfg.dtype = "float32"
 
 
+def _run_multihost_survey(args, sess, sz_stack, xray_stack, centers,
+                          names, truths, info):
+    """Worker body of the multihost survey: one SPMD fit over the global
+    'cluster' mesh; each process keeps only its own cluster blocks
+    (chains written locally), then tiny per-cluster summaries are
+    allgathered so the coordinator prints and writes the full survey."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from .models.multicluster import make_multicluster_log_like
+    from .parallel.multihost import (global_mesh,
+                                     run_multihost_multi_cluster)
+    from .sampling.batched import batched_init
+
+    C, D = centers.shape
+    mesh = global_mesh(axis_names=("cluster",))
+    n_dev = info.global_devices
+    print(f"process {info.process_id}/{info.num_processes}: global mesh "
+          f"of {n_dev} devices")
+    if C % n_dev:
+        raise SystemExit(f"clusters ({C}) must divide over the job's "
+                         f"{n_dev} devices")
+
+    dtype = (np.float64 if jax.config.jax_enable_x64 else np.float32)
+    batched_ll = jax.jit(make_multicluster_log_like(
+        sess.model, sz_stack, xray_stack, flatten=True))
+    k_init, k_run = jax.random.split(jax.random.PRNGKey(args.seed))
+    t0 = time.time()
+    # identical on every process: same program, same seed
+    p0 = np.asarray(batched_init(batched_ll, centers.astype(dtype),
+                                 args.walkers, k_init))
+    out = run_multihost_multi_cluster(
+        batched_ll, p0, args.steps, k_run, mesh, thin=args.thin,
+        n_burn=args.burn, record=True)
+    wall = time.time() - t0
+    c0, c1 = out["cluster_range"]
+    evals = C * args.walkers * (args.burn + args.steps)
+    print(f"process {info.process_id}: clusters [{c0}, {c1}) sampled in "
+          f"{wall:.1f}s ({evals/wall:.0f} global evals/s); acceptance "
+          f"{out['acceptance_fraction'].mean():.3f}")
+
+    # local (n_saved, C_loc, W, D) -> per-cluster flat posteriors
+    chain = out["chain"]
+    flat = np.transpose(chain, (1, 0, 2, 3)).reshape(c1 - c0, -1, D)
+    med_loc = np.median(flat, axis=1)
+    sd_loc = np.std(flat, axis=1)
+    acc_loc = out["acceptance_fraction"].mean(axis=1)
+
+    if args.save_chains:
+        from .io.checkpoint import save_chain_hdf5
+
+        outdir = pathlib.Path(args.out).parent
+        for i, c in enumerate(range(c0, c1)):
+            p = outdir / f"{names[c]}_chain.hdf5"
+            save_chain_hdf5(str(p), chain[:, i],
+                            out["chain_log_prob"][:, i],
+                            out["acceptance_fraction"][i],
+                            list(sess.params.thawed),
+                            nburn=args.burn, nthin=args.thin)
+            print(f"process {info.process_id}: written {p}")
+
+    # tiny summaries ride the control plane; blocks are reassembled by
+    # their gathered [c0, c1) ranges, not by process order
+    ranges = multihost_utils.process_allgather(
+        np.array([c0, c1], np.int64))
+    med_all = multihost_utils.process_allgather(med_loc)
+    sd_all = multihost_utils.process_allgather(sd_loc)
+    acc_all = multihost_utils.process_allgather(acc_loc)
+    medians = np.empty((C, D))
+    sds = np.empty((C, D))
+    acc = np.empty(C)
+    covered = np.zeros(C, bool)
+    for p in range(info.num_processes):
+        lo, hi = (int(v) for v in ranges[p])
+        medians[lo:hi] = med_all[p]
+        sds[lo:hi] = sd_all[p]
+        acc[lo:hi] = acc_all[p]
+        covered[lo:hi] = True
+    if not covered.all():
+        raise SystemExit(f"cluster coverage gap: {np.flatnonzero(~covered)}")
+
+    if info.is_coordinator:
+        pnames = list(sess.params.thawed)
+        for c in range(C):
+            print(f"--- {names[c]} ---")
+            for i, n in enumerate(pnames):
+                line = (f"  {n:>18} | {medians[c, i]:9.3f} "
+                        f"+- {sds[c, i]:7.3f}")
+                if truths is not None:
+                    pull = ((medians[c, i] - truths[c, i])
+                            / max(sds[c, i], 1e-12))
+                    line += (f"   truth {truths[c, i]:9.3f} "
+                             f"(pull {pull:+.1f} sd)")
+                print(line)
+        summary = {
+            "param_names": pnames,
+            "multihost": {"num_processes": info.num_processes,
+                          "global_devices": n_dev,
+                          "ranges": ranges.tolist()},
+            "clusters": [
+                {"name": names[c],
+                 "acceptance": float(acc[c]),
+                 "median": dict(zip(pnames, medians[c].tolist())),
+                 "sd": dict(zip(pnames, sds[c].tolist())),
+                 **({"truth": dict(zip(pnames, truths[c].tolist()))}
+                    if truths is not None else {})}
+                for c in range(C)
+            ],
+        }
+        outp = pathlib.Path(args.out)
+        outp.write_text(json.dumps(summary, indent=2))
+        print(f"written {outp}")
+    return {"cluster_range": (c0, c1), "medians": medians, "sds": sds}
+
+
+def _multihost_launch(args):
+    """Spawn N local worker processes running this survey as one
+    jax.distributed job (virtual-CPU test/single-host mode).  Workers
+    are polled so one crashing fails the job fast instead of leaving its
+    peers on the distributed barrier."""
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    if args.population:
+        raise SystemExit(
+            "--population needs every cluster's chain in one process; "
+            "run it offline from --save-chains output")
+    n = args.multihost_launch
+    k = args.cpu_devices or 1
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coord = f"127.0.0.1:{port}"
+
+    base = [sys.executable, "-u", "-m", "joxsz_tpu.survey",
+            "--multihost", coord, "--nprocs", str(n),
+            "--cpu-devices", str(k),
+            "--data-dir", args.data_dir,
+            "--walkers", str(args.walkers), "--burn", str(args.burn),
+            "--steps", str(args.steps), "--thin", str(args.thin),
+            "--seed", str(args.seed), "--out", args.out]
+    if args.spec:
+        base += ["--spec", args.spec]
+    else:
+        base += ["--mock", str(args.mock)]
+    for flag in ("sz_only", "quick", "mle", "save_chains"):
+        if getattr(args, flag):
+            base.append("--" + flag.replace("_", "-"))
+
+    with tempfile.TemporaryDirectory(prefix="joxsz_mh_") as td:
+        td = pathlib.Path(td)
+        procs = []
+        try:
+            for i in range(n):
+                log = open(td / f"w{i}.log", "w")
+                procs.append((subprocess.Popen(
+                    base + ["--procid", str(i)], stdout=log,
+                    stderr=subprocess.STDOUT), log))
+            deadline = time.monotonic() + 1800
+            fail = False
+            live = dict(enumerate(procs))
+            while live and not fail:
+                for i in list(live):
+                    rc = live[i][0].poll()
+                    if rc is None:
+                        continue
+                    del live[i]
+                    if rc:
+                        fail = True
+                        print(f"worker {i} FAILED (rc={rc}):")
+                        print((td / f"w{i}.log").read_text()[-3000:])
+                if time.monotonic() > deadline:
+                    fail = True
+                    print(f"TIMEOUT: workers {sorted(live)} still "
+                          f"running after 1800s")
+                if live and not fail:
+                    time.sleep(0.25)
+        finally:
+            for p, log in procs:
+                if p.poll() is None:
+                    p.terminate()
+                    try:
+                        p.wait(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        p.kill()
+                        p.wait()
+                log.close()
+        if fail:
+            raise SystemExit(1)
+        # surface the coordinator's output (summary table, file paths)
+        print((td / "w0.log").read_text(), end="")
+    return None
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="JoXSZ-TPU multi-cluster survey fit")
@@ -381,10 +577,48 @@ def main(argv=None):
     ap.add_argument("--save-chains", action="store_true",
                     help="write one emcee-layout HDF5 chain per cluster "
                          "(usable with run.py --postprocess)")
+    mh = ap.add_argument_group(
+        "multi-host", "one jax.distributed job spanning processes/hosts: "
+        "the cluster axis shards over every process's devices; chains "
+        "never cross hosts (parallel/multihost.py). On a TPU pod run one "
+        "process per host with --multihost/--nprocs/--procid; "
+        "--multihost-launch N spawns N local virtual-CPU workers (test/"
+        "single-host mode).")
+    mh.add_argument("--multihost", metavar="HOST:PORT",
+                    help="join the job at this coordinator address")
+    mh.add_argument("--nprocs", type=int, default=None,
+                    help="total processes in the job")
+    mh.add_argument("--procid", type=int, default=None,
+                    help="this process's id (0..nprocs-1)")
+    mh.add_argument("--cpu-devices", type=int, default=None,
+                    help="virtual CPU devices per process (test mode; "
+                         "omit on a real TPU pod)")
+    mh.add_argument("--multihost-launch", type=int, metavar="N",
+                    help="spawn N local worker processes running this "
+                         "same survey as one distributed job "
+                         "(--cpu-devices defaults to 1)")
     args = ap.parse_args(argv)
 
+    if args.multihost_launch:
+        return _multihost_launch(args)
+
+    mh_info = None
+    if args.multihost:
+        if args.nprocs is None or args.procid is None:
+            raise SystemExit("--multihost needs --nprocs and --procid")
+        if args.population:
+            raise SystemExit(
+                "--population needs every cluster's chain in one "
+                "process; run it offline from --save-chains output "
+                "(chains never cross hosts in multihost mode)")
+        from .parallel.multihost import initialize
+
+        # must run before ANY jax backend/device use
+        mh_info = initialize(args.multihost, args.nprocs, args.procid,
+                             cpu_devices=args.cpu_devices)
+
     import jax
-    if args.cpu:
+    if args.cpu and mh_info is None:
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       str(pathlib.Path(__file__).parents[1] / ".jax_cache"))
@@ -404,6 +638,15 @@ def main(argv=None):
     print(f"survey of {C} clusters built in {time.time()-t0:.1f}s "
           f"({'SZ-only' if xray_stack is None else 'joint SZ+X'}; "
           f"backend {jax.default_backend()})")
+
+    if mh_info is not None:
+        if args.step_kernel:
+            print("note: the CLI multihost path runs the XLA sampler; "
+                  "the sharded cluster-grid kernel across processes is "
+                  "the library path parallel.multihost."
+                  "make_multihost_multicluster_step")
+        return _run_multihost_survey(args, sess, sz_stack, xray_stack,
+                                     centers, names, truths, mh_info)
 
     use_kernel = args.step_kernel
     if use_kernel and jax.default_backend() == "cpu":

@@ -135,6 +135,61 @@ def test_multihost_runner_matches_single_process_mesh():
     np.testing.assert_array_equal(out2["positions"], ref["positions"])
 
 
+@needs_devices
+def test_multihost_runner_burn_and_record():
+    """n_burn prepends unrecorded steps in the same program; record=True
+    returns thinned process-local chain blocks whose last frame is the
+    final state."""
+    mesh = make_mesh(8, axis_names=("cluster",))
+    lp_cb = _toy_lp_cb()
+    C, W, D = 8, 16, 3
+    rng = np.random.default_rng(3)
+    p0 = rng.standard_normal((C, W, D)) * 2.0
+    key = jax.random.PRNGKey(9)
+    out = run_multihost_multi_cluster(lp_cb, p0, 48, key, mesh, thin=8,
+                                      n_burn=32, record=True)
+    assert out["chain"].shape == (48 // 8, C, W, D)
+    assert out["chain_log_prob"].shape == (48 // 8, C, W)
+    np.testing.assert_array_equal(out["chain"][-1], out["positions"])
+    np.testing.assert_array_equal(out["chain_log_prob"][-1],
+                                  out["log_prob"])
+    # burn must change the stream vs a no-burn run of the same schedule
+    out0 = run_multihost_multi_cluster(lp_cb, p0, 48, key, mesh, thin=8)
+    assert not np.array_equal(out0["positions"], out["positions"])
+    # acceptance counts only the recorded phase
+    assert 0.0 < out["acceptance_fraction"].mean() <= 1.0
+
+
+@pytest.mark.slow
+def test_survey_cli_multihost_launch(tmp_path):
+    """`python -m joxsz_tpu.survey --multihost-launch 2`: a real
+    2-process distributed survey fit through the CLI — summary written
+    by the coordinator, one chain file per cluster written by its
+    owning process, acceptance healthy."""
+    import os
+
+    out = tmp_path / "mh_survey.json"
+    env = dict(os.environ,
+               PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+    rc = subprocess.run(
+        [sys.executable, "-m", "joxsz_tpu.survey", "--mock", "2",
+         "--walkers", "16", "--burn", "40", "--steps", "40", "--thin",
+         "8", "--multihost-launch", "2", "--save-chains",
+         "--out", str(out)],
+        cwd=str(tmp_path), env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, timeout=900)
+    assert rc.returncode == 0, rc.stdout.decode()[-3000:]
+    report = json.loads(out.read_text())
+    assert report["multihost"]["num_processes"] == 2
+    assert report["multihost"]["global_devices"] == 2
+    assert sorted(tuple(r) for r in report["multihost"]["ranges"]) == \
+        [(0, 1), (1, 2)]
+    assert len(report["clusters"]) == 2
+    for c in report["clusters"]:
+        assert 0.05 < c["acceptance"] < 0.9
+        assert (tmp_path / f"{c['name']}_chain.hdf5").exists()
+
+
 @pytest.mark.slow
 def test_multiprocess_demo_toy(tmp_path):
     """Real 2-process jax.distributed job (gloo) reproduces the
