@@ -274,7 +274,7 @@ def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,
                                      thin=None, a: float = 2.0,
                                      interpret: bool = False,
                                      chain_space: str = "hbm",
-                                     spec=None):
+                                     spec=None, consts_host=None):
     """Production kernel path across processes: the cluster-grid Pallas
     step kernel sharded over the global mesh's 'cluster' axis (same
     per-device program as ``make_sharded_multicluster_step`` — enabled by
@@ -300,8 +300,10 @@ def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,
     # make_sharded_multicluster_step; the call-time override below feeds
     # the SAME stacks pre-placed as global arrays so each process only
     # materialises its own cluster blocks (no local device round-trip).
-    consts_host = make_multicluster_consts(sess, sz_stack, xr_stack,
-                                           spec=spec, device=False)
+    # Pass consts_host to share one assembly across burn/sampling builders.
+    if consts_host is None:
+        consts_host = make_multicluster_consts(sess, sz_stack, xr_stack,
+                                               spec=spec, device=False)
     if consts_host is None:
         return None
     consts_g = tuple(replicated_to_global(v, mesh, P("cluster"))
@@ -315,10 +317,21 @@ def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,
 
     n_dev = mesh.shape["cluster"]
 
+    def _as_global(v, spec_):
+        # already-global jax.Arrays (a previous phase's output, e.g.
+        # burn -> sampling chaining) pass straight through; host values
+        # replicated on every process get placed shard-by-shard
+        import jax
+
+        if isinstance(v, jax.Array) and not v.is_fully_replicated \
+                and getattr(v.sharding, "mesh", None) == mesh:
+            return v
+        return replicated_to_global(v, mesh, spec_)
+
     def fn(x, lp, acc, seeds):
-        xg = replicated_to_global(x, mesh, P("cluster"))
-        lpg = replicated_to_global(lp, mesh, P("cluster"))
-        accg = replicated_to_global(acc, mesh, P("cluster"))
+        xg = _as_global(x, P("cluster"))
+        lpg = _as_global(lp, P("cluster"))
+        accg = _as_global(acc, P("cluster"))
         seeds = np.asarray(seeds)
         if seeds.shape != (n_dev,):
             raise ValueError(f"seeds must be ({n_dev},), got {seeds.shape}")

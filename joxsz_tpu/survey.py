@@ -369,9 +369,21 @@ def _run_multihost_survey(args, sess, sz_stack, xray_stack, centers,
     # identical on every process: same program, same seed
     p0 = np.asarray(batched_init(batched_ll, centers.astype(dtype),
                                  args.walkers, k_init))
-    out = run_multihost_multi_cluster(
-        batched_ll, p0, args.steps, k_run, mesh, thin=args.thin,
-        n_burn=args.burn, record=True)
+    out = None
+    if args.step_kernel:
+        out = _multihost_kernel_fit(args, sess, sz_stack, xray_stack,
+                                    p0, batched_ll, mesh)
+        if out is None:
+            print("note: configuration outside the multicluster "
+                  "step-kernel specialisation; falling back to the XLA "
+                  "sampler")
+        elif info.is_coordinator:
+            print("kernel path: cluster-grid Pallas step sharded over "
+                  f"the {n_dev}-device global mesh")
+    if out is None:
+        out = run_multihost_multi_cluster(
+            batched_ll, p0, args.steps, k_run, mesh, thin=args.thin,
+            n_burn=args.burn, record=True)
     wall = time.time() - t0
     c0, c1 = out["cluster_range"]
     evals = C * args.walkers * (args.burn + args.steps)
@@ -453,6 +465,68 @@ def _run_multihost_survey(args, sess, sz_stack, xray_stack, centers,
     return {"cluster_range": (c0, c1), "medians": medians, "sds": sds}
 
 
+def _multihost_kernel_fit(args, sess, sz_stack, xray_stack, p0,
+                          batched_ll, mesh):
+    """Multihost production path: the cluster-grid Pallas step kernel
+    sharded over the global 'cluster' mesh axis across processes
+    (parallel.multihost.make_multihost_multicluster_step), burn then
+    thinned-chain sampling; returns the same dict layout as
+    run_multihost_multi_cluster(record=True) or None outside the kernel
+    specialisation."""
+    import jax
+
+    from .ops.pallas_joint import _build_spec, make_multicluster_consts
+    from .parallel.multihost import (local_block,
+                                     make_multihost_multicluster_step)
+
+    spec = _build_spec(sess)
+    if spec is None:
+        return None
+    consts_host = make_multicluster_consts(sess, sz_stack, xray_stack,
+                                           spec=spec, device=False)
+    if consts_host is None:
+        return None
+    kw = dict(mesh=mesh, n_walkers=args.walkers,
+              interpret=args.kernel_interpret, spec=spec,
+              consts_host=consts_host)
+    samp = make_multihost_multicluster_step(
+        sess, sz_stack, xray_stack, n_inner=args.steps, thin=args.thin,
+        **kw)
+    if samp is None:
+        return None
+    burn = (make_multihost_multicluster_step(
+        sess, sz_stack, xray_stack, n_inner=args.burn, **kw)
+        if args.burn else None)
+    if args.burn and burn is None:
+        return None
+
+    C, W, _ = p0.shape
+    n_dev = mesh.shape["cluster"]
+    x = np.asarray(p0, np.float32)
+    lp = np.asarray(batched_ll(x), np.float32)
+    acc = np.zeros((C, W), np.float32)
+    base = 2 * args.seed * n_dev
+    seeds = base + np.arange(n_dev, dtype=np.int32)
+    if burn is not None:
+        x, lp, _ = burn(x, lp, acc, seeds)
+    x, lp, acc_g, chain, chain_lp = samp(
+        x, lp, acc, seeds + n_dev)
+    jax.block_until_ready((x, lp))
+    c0, c1, x_loc = local_block(x)
+    _, _, lp_loc = local_block(lp)
+    _, _, acc_loc = local_block(acc_g)
+    _, _, chain_loc = local_block(chain)          # (C_loc, n_keep, W, D)
+    _, _, chain_lp_loc = local_block(chain_lp)
+    return {
+        "cluster_range": (c0, c1),
+        "positions": x_loc,
+        "log_prob": lp_loc,
+        "acceptance_fraction": acc_loc / float(args.steps),
+        "chain": np.transpose(chain_loc, (1, 0, 2, 3)),
+        "chain_log_prob": np.transpose(chain_lp_loc, (1, 0, 2)),
+    }
+
+
 def _multihost_launch(args):
     """Spawn N local worker processes running this survey as one
     jax.distributed job (virtual-CPU test/single-host mode).  Workers
@@ -485,7 +559,8 @@ def _multihost_launch(args):
         base += ["--spec", args.spec]
     else:
         base += ["--mock", str(args.mock)]
-    for flag in ("sz_only", "quick", "mle", "save_chains"):
+    for flag in ("sz_only", "quick", "mle", "save_chains",
+                 "step_kernel", "kernel_interpret"):
         if getattr(args, flag):
             base.append("--" + flag.replace("_", "-"))
 
@@ -597,6 +672,9 @@ def main(argv=None):
                     help="spawn N local worker processes running this "
                          "same survey as one distributed job "
                          "(--cpu-devices defaults to 1)")
+    mh.add_argument("--kernel-interpret", action="store_true",
+                    help=argparse.SUPPRESS)  # CPU interpret-mode kernel
+                                             # (tests/demos only)
     args = ap.parse_args(argv)
 
     if args.multihost_launch:
@@ -640,11 +718,11 @@ def main(argv=None):
           f"backend {jax.default_backend()})")
 
     if mh_info is not None:
-        if args.step_kernel:
-            print("note: the CLI multihost path runs the XLA sampler; "
-                  "the sharded cluster-grid kernel across processes is "
-                  "the library path parallel.multihost."
-                  "make_multihost_multicluster_step")
+        if (args.step_kernel and jax.default_backend() == "cpu"
+                and not args.kernel_interpret):
+            print("note: --step-kernel needs the TPU hardware PRNG; "
+                  "falling back to the XLA sampler on CPU")
+            args.step_kernel = False
         return _run_multihost_survey(args, sess, sz_stack, xray_stack,
                                      centers, names, truths, mh_info)
 

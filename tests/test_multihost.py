@@ -191,6 +191,30 @@ def test_survey_cli_multihost_launch(tmp_path):
 
 
 @pytest.mark.slow
+def test_survey_cli_multihost_kernel(tmp_path):
+    """The multihost CLI production path: cluster-grid Pallas step kernel
+    (interpret mode) sharded across 2 real processes."""
+    import os
+
+    out = tmp_path / "mh_k.json"
+    env = dict(os.environ,
+               PYTHONPATH=f"{REPO}:{os.environ.get('PYTHONPATH', '')}")
+    rc = subprocess.run(
+        [sys.executable, "-m", "joxsz_tpu.survey", "--mock", "2",
+         "--walkers", "8", "--burn", "8", "--steps", "8", "--thin", "8",
+         "--multihost-launch", "2", "--step-kernel", "--kernel-interpret",
+         "--out", str(out)],
+        cwd=str(tmp_path), env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, timeout=900)
+    assert rc.returncode == 0, rc.stdout.decode()[-3000:]
+    text = rc.stdout.decode()
+    assert "kernel path: cluster-grid Pallas step sharded" in text
+    report = json.loads(out.read_text())
+    assert report["multihost"]["num_processes"] == 2
+    assert len(report["clusters"]) == 2
+
+
+@pytest.mark.slow
 def test_multiprocess_demo_toy(tmp_path):
     """Real 2-process jax.distributed job (gloo) reproduces the
     single-process mesh run bit-exactly on the toy survey."""
