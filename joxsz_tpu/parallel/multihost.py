@@ -36,7 +36,7 @@ import numpy as np
 __all__ = [
     "MultihostInfo", "initialize", "global_mesh", "replicated_to_global",
     "local_block", "run_multihost_multi_cluster",
-    "make_multihost_multicluster_step",
+    "make_multihost_multicluster_step", "place_multicluster_consts",
 ]
 
 
@@ -269,12 +269,24 @@ def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
     return out
 
 
+def place_multicluster_consts(consts_host, mesh):
+    """Place host constant stacks (make_multicluster_consts
+    ``device=False``) as cluster-sharded global arrays, each process
+    materialising only its own blocks.  Build once and pass to every
+    ``make_multihost_multicluster_step`` call over the same survey."""
+    from jax.sharding import PartitionSpec as P
+
+    return tuple(replicated_to_global(v, mesh, P("cluster"))
+                 for v in consts_host)
+
+
 def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,
                                      n_inner: int, n_walkers: int,
                                      thin=None, a: float = 2.0,
                                      interpret: bool = False,
                                      chain_space: str = "hbm",
-                                     spec=None, consts_host=None):
+                                     spec=None, consts_host=None,
+                                     consts_global=None):
     """Production kernel path across processes: the cluster-grid Pallas
     step kernel sharded over the global mesh's 'cluster' axis (same
     per-device program as ``make_sharded_multicluster_step`` — enabled by
@@ -306,8 +318,11 @@ def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,
                                                spec=spec, device=False)
     if consts_host is None:
         return None
-    consts_g = tuple(replicated_to_global(v, mesh, P("cluster"))
-                     for v in consts_host)
+    # consts_global: pre-placed global stacks (place_multicluster_consts)
+    # shared across burn/sampling builders — the dominant device buffers
+    # (SZ operators, count-rate tables) are then held in HBM ONCE
+    consts_g = (consts_global if consts_global is not None else
+                place_multicluster_consts(consts_host, mesh))
     step = make_sharded_multicluster_step(
         sess, sz_stack, xr_stack, mesh, n_inner=n_inner,
         n_walkers=n_walkers, thin=thin, a=a, interpret=interpret,
@@ -318,14 +333,19 @@ def make_multihost_multicluster_step(sess, sz_stack, xr_stack, mesh,
     n_dev = mesh.shape["cluster"]
 
     def _as_global(v, spec_):
-        # already-global jax.Arrays (a previous phase's output, e.g.
-        # burn -> sampling chaining) pass straight through; host values
-        # replicated on every process get placed shard-by-shard
+        # jax.Arrays already on THIS mesh (a previous phase's output,
+        # e.g. burn -> sampling chaining) pass straight through — incl.
+        # replicated/1-device layouts, jit reshards as needed; host
+        # values replicated on every process get placed shard-by-shard
         import jax
 
-        if isinstance(v, jax.Array) and not v.is_fully_replicated \
-                and getattr(v.sharding, "mesh", None) == mesh:
-            return v
+        if isinstance(v, jax.Array):
+            if getattr(v.sharding, "mesh", None) == mesh:
+                return v
+            if not v.is_fully_addressable:
+                raise ValueError(
+                    "array is sharded over a different mesh than this "
+                    f"step's ({mesh.axis_names} {dict(mesh.shape)})")
         return replicated_to_global(v, mesh, spec_)
 
     def fn(x, lp, acc, seeds):

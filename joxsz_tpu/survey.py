@@ -374,9 +374,10 @@ def _run_multihost_survey(args, sess, sz_stack, xray_stack, centers,
         out = _multihost_kernel_fit(args, sess, sz_stack, xray_stack,
                                     p0, batched_ll, mesh)
         if out is None:
-            print("note: configuration outside the multicluster "
-                  "step-kernel specialisation; falling back to the XLA "
-                  "sampler")
+            if info.is_coordinator:
+                print("note: configuration outside the multicluster "
+                      "step-kernel specialisation; falling back to the "
+                      "XLA sampler")
         elif info.is_coordinator:
             print("kernel path: cluster-grid Pallas step sharded over "
                   f"the {n_dev}-device global mesh")
@@ -486,9 +487,12 @@ def _multihost_kernel_fit(args, sess, sz_stack, xray_stack, p0,
                                            spec=spec, device=False)
     if consts_host is None:
         return None
+    from .parallel.multihost import place_multicluster_consts
+
+    consts_g = place_multicluster_consts(consts_host, mesh)
     kw = dict(mesh=mesh, n_walkers=args.walkers,
               interpret=args.kernel_interpret, spec=spec,
-              consts_host=consts_host)
+              consts_host=consts_host, consts_global=consts_g)
     samp = make_multihost_multicluster_step(
         sess, sz_stack, xray_stack, n_inner=args.steps, thin=args.thin,
         **kw)
@@ -503,7 +507,21 @@ def _multihost_kernel_fit(args, sess, sz_stack, xray_stack, p0,
     C, W, _ = p0.shape
     n_dev = mesh.shape["cluster"]
     x = np.asarray(p0, np.float32)
-    lp = np.asarray(batched_ll(x), np.float32)
+    # lp0 through the fused likelihood core — the SAME ll_body the step
+    # kernel evaluates internally (the XLA flat path differs by ~0.01 in
+    # log-like on the TPU MXU, which would skew first accept tests);
+    # mirrors the single-host _fit_survey_kernel init
+    from .ops.pallas_joint import make_joint_core
+
+    core = make_joint_core(sess, block_b=min(256, W),
+                           interpret=args.kernel_interpret, spec=spec)
+    if core is not None:
+        lp = np.stack([np.asarray(core._jitted(x[c],
+                                               tuple(v[c] for v in
+                                                     consts_host)))
+                       for c in range(C)]).astype(np.float32)
+    else:       # pragma: no cover — same spec gate as the step kernel
+        lp = np.asarray(batched_ll(x), np.float32)
     acc = np.zeros((C, W), np.float32)
     base = 2 * args.seed * n_dev
     seeds = base + np.arange(n_dev, dtype=np.int32)
@@ -727,7 +745,8 @@ def main(argv=None):
                                      centers, names, truths, mh_info)
 
     use_kernel = args.step_kernel
-    if use_kernel and jax.default_backend() == "cpu":
+    if (use_kernel and jax.default_backend() == "cpu"
+            and not args.kernel_interpret):
         print("note: --step-kernel needs the TPU hardware PRNG; "
               "falling back to the XLA sampler on CPU")
         use_kernel = False
@@ -751,7 +770,8 @@ def main(argv=None):
                      cluster_names=names, n_walkers=args.walkers,
                      n_burn=args.burn, n_steps=args.steps,
                      thin=args.thin, seed=args.seed, truths=truths,
-                     session=sess, step_kernel=use_kernel, mesh=mesh)
+                     session=sess, step_kernel=use_kernel,
+                     kernel_interpret=args.kernel_interpret, mesh=mesh)
     evals = C * args.walkers * (args.burn + args.steps)
     wall = time.time() - t0
     print(f"fit {C} x {args.walkers} walkers x "
