@@ -40,7 +40,9 @@ def main(argv=None):
     ap.add_argument("--auto-extend", type=int, default=0, metavar="K",
                     help="after the scheduled steps, keep sampling up to "
                     "K more nsteps-chunks until the chain passes the "
-                    "convergence bar (20x worst tau + split-Rhat <= 1.01)")
+                    "convergence bar (20x worst tau + split-Rhat <= 1.01); "
+                    "composes with --temper (rule applied to the cold-rung "
+                    "chain, extensions continue the full replica ladder)")
     ap.add_argument("--temper", type=int, default=0, metavar="K",
                     help="parallel-temper the sampling phase with K rungs "
                          "(multimodal posteriors)")

@@ -119,8 +119,11 @@ def run_fit(
     integrated autocorrelation time AND max split-Rhat <=
     ``target_rhat``.  The reference has no convergence management at
     all (fixed 5000 steps, joxsz_main.py:44); this turns the run_fit
-    warnings into an actionable stopping rule.  Not available with
-    tempering (the rung-0 chain alone cannot certify convergence)."""
+    warnings into an actionable stopping rule.  With tempering the
+    rule is applied to the cold-rung chain (the posterior product; the
+    standard PT practice) and each extension round continues the FULL
+    K-rung replica state, so the ladder keeps ferrying walkers between
+    modes while the cold chain accumulates."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 
@@ -134,9 +137,6 @@ def run_fit(
             raise ValueError(
                 f"move={move!r} is not available on the mesh/tempered "
                 "paths (stretch only)")
-    if auto_extend and n_temper_rungs > 1:
-        raise ValueError("auto_extend is not available with tempering "
-                         "(the rung-0 chain cannot certify convergence)")
 
     if nsteps % nthin:
         new_nsteps = nsteps - nsteps % nthin
@@ -282,32 +282,46 @@ def run_fit(
         return run_ensemble(log_like_batch, state_x, n, k, thin=nthin,
                             store_chain=True, move=move)
 
+    temper_state = None     # full (K, W, D) replica state for auto-extend
     if n_temper_rungs > 1:
         from .tempered import run_tempered_ensemble, default_betas
 
         betas = default_betas(n_temper_rungs)
-        res = None
-        if sharded_step is not None:
-            # independent per-chip tempered ensembles through the fused
-            # kernel (parallel/kernel_sharded.py)
-            res = sharded_step.run_tempered_sharded(p1, betas, nsteps,
-                                                    sub, mesh, thin=nthin)
-        if res is None and step_sampler is not None:
-            res = step_sampler.run_tempered(p1, betas, nsteps, sub,
-                                            thin=nthin)
-        if res is None:
-            res = run_tempered_ensemble(log_like_batch, p1, betas, nsteps,
-                                        sub, thin=nthin)
+
+        def _temper_call(p_rungs, n, k):
+            """One tempered sampling call honoring the configured
+            execution path (mirrors ``_sample_call``); ``p_rungs`` is
+            the full (K, W, D) replica state (or (W, D) replicated)."""
+            r = None
+            if sharded_step is not None:
+                # independent per-chip tempered ensembles through the
+                # fused kernel (parallel/kernel_sharded.py)
+                r = sharded_step.run_tempered_sharded(p_rungs, betas, n,
+                                                      k, mesh, thin=nthin)
+            if r is None and step_sampler is not None:
+                r = step_sampler.run_tempered(p_rungs, betas, n, k,
+                                              thin=nthin)
+            if r is None:
+                r = run_tempered_ensemble(log_like_batch, p_rungs, betas,
+                                          n, k, thin=nthin)
+            return r
+
+        def _adapt_tempered(rt, k):
+            # adapt a TemperedResult to the common cold-rung interface;
+            # the full replica state is kept separately (temper_state)
+            return EnsembleResult(
+                chain=rt.chain, log_prob=rt.log_prob,
+                acceptance_fraction=rt.acceptance_fraction[0],
+                final_state=(rt.final_state[0][0], rt.final_state[1][0],
+                             k),
+            )
+
+        res_t = _temper_call(p1, nsteps, sub)
         if verbose:
             print(f"swap acceptance per rung boundary: "
-                  f"{np.round(res.swap_acceptance, 3)}")
-        # adapt the tempered result to the common interface
-        res = EnsembleResult(
-            chain=res.chain, log_prob=res.log_prob,
-            acceptance_fraction=res.acceptance_fraction[0],
-            final_state=(res.final_state[0][0], res.final_state[1][0],
-                         sub),
-        )
+                  f"{np.round(res_t.swap_acceptance, 3)}")
+        temper_state = res_t.final_state[0]
+        res = _adapt_tempered(res_t, sub)
     elif chain_path and nsteps // nthin > checkpoint_every:
         # incremental persistence (the reference's HDF backend writes the
         # chain as it goes, SURVEY.md §5.4): sample in chunks, flushing the
@@ -353,7 +367,7 @@ def run_fit(
     ext_rounds = 0
     conv_cache = None     # (worst tau in raw steps, split-Rhat) — reused
     #                       by the post-fit warnings below
-    if auto_extend > 0 and n_temper_rungs <= 1:
+    if auto_extend > 0:
         from ..postproc.summary import integrated_autocorr_time, \
             convergence_rhat
 
@@ -387,7 +401,17 @@ def run_fit(
                 print(f"auto-extend round {ext_rounds + 1}/{auto_extend}: "
                       f"{'; '.join(need)} — sampling {nsteps} more steps")
             key, sub = jax.random.split(key)
-            r2 = _sample_call(jnp.asarray(res.final_state[0]), nsteps, sub)
+            if n_temper_rungs > 1:
+                # continue the FULL replica ladder, not just the cold rung
+                r2t = _temper_call(jnp.asarray(temper_state), nsteps, sub)
+                temper_state = r2t.final_state[0]
+                if verbose:
+                    print(f"  swap acceptance per rung boundary: "
+                          f"{np.round(r2t.swap_acceptance, 3)}")
+                r2 = _adapt_tempered(r2t, sub)
+            else:
+                r2 = _sample_call(jnp.asarray(res.final_state[0]), nsteps,
+                                  sub)
             res = EnsembleResult(
                 chain=np.concatenate([res.chain, r2.chain]),
                 log_prob=np.concatenate([res.log_prob, r2.log_prob]),

@@ -162,12 +162,60 @@ def test_run_fit_auto_extend_uses_step_sampler_path():
     assert SpySampler.sample_calls == 1 + rounds
 
 
-def test_run_fit_auto_extend_rejects_tempered():
-    log_like, t0, lo, hi, names, _ = _make_problem()
-    with pytest.raises(ValueError, match="auto_extend"):
-        run_fit(log_like, t0, lo, hi, names, nwalkers=8, nburn=10,
-                nsteps=10, nthin=1, auto_extend=2, n_temper_rungs=3,
-                verbose=False)
+def test_run_fit_auto_extend_tempered():
+    """auto_extend composes with tempering: the stopping rule runs on the
+    cold-rung chain and each extension round continues the FULL K-rung
+    replica state (not a re-replicated cold rung).  A deliberately short
+    schedule must extend and still recover the posterior."""
+    log_like, t0, lo, hi, names, mu = _make_problem(ndim=2)
+    # 20 steps / 10 saved draws cannot satisfy 20*tau: forces extension
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=20,
+                  nsteps=20, nthin=2, seed=2, prelim_iterations=20,
+                  max_prelim_rounds=1, auto_extend=4, n_temper_rungs=3,
+                  verbose=False)
+    rounds = res.timings["auto_extend_rounds"]
+    assert rounds >= 1
+    assert res.chain.shape == ((20 + 20 * rounds) // 2, 16, 2)
+    # evals bookkeeping counts all K rungs for the extended steps
+    assert res.timings["likelihood_evals"] >= 3 * (20 + 20 * rounds) * 16
+    med = np.median(res.flat_chain, axis=0)
+    assert np.allclose(med, mu, atol=0.2)
+
+
+def test_run_fit_auto_extend_tempered_continues_full_ladder():
+    """The extension call must receive the (K, W, D) replica state: a spy
+    on run_tempered_ensemble's p0 would be overkill — instead assert the
+    driver passes a 3-D state by running with rungs whose hot chains
+    start far away: if extensions re-replicated the cold rung the swap
+    acceptance would jump to ~1 between identical rungs."""
+    log_like, t0, lo, hi, names, _ = _make_problem(ndim=2)
+    import joxsz_tpu.sampling.driver as drv
+    from joxsz_tpu.sampling import tempered as tmod
+
+    seen_shapes = []
+    orig = tmod.run_tempered_ensemble
+
+    def spy(ll, p0, betas, n, key, **kw):
+        seen_shapes.append(np.asarray(p0).shape)
+        return orig(ll, p0, betas, n, key, **kw)
+
+    tmod.run_tempered_ensemble = spy
+    try:
+        # driver imports the symbol inside the branch, so patch the module
+        res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=20,
+                      nsteps=20, nthin=2, seed=2, prelim_iterations=20,
+                      max_prelim_rounds=1, auto_extend=2, n_temper_rungs=3,
+                      verbose=False)
+    finally:
+        tmod.run_tempered_ensemble = orig
+    rounds = res.timings["auto_extend_rounds"]
+    assert rounds >= 1
+    # first call: (W, D) replicated by the runner; extension calls MUST
+    # carry the full 3-D (K, W, D) replica state
+    assert len(seen_shapes) == 1 + rounds
+    assert seen_shapes[0] == (16, 2)
+    for s in seen_shapes[1:]:
+        assert s == (3, 16, 2)
 
 
 def test_run_fit_auto_extend_short_chain_extends_not_crashes():
