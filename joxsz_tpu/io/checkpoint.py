@@ -67,19 +67,27 @@ def load_chain_hdf5(path: str):
 
 
 def save_state(path: str, positions: np.ndarray, log_probs: np.ndarray,
-               key_data: np.ndarray, meta: dict):
+               key_data: np.ndarray, meta: dict,
+               temper_state: np.ndarray | None = None):
+    """``temper_state``: the full (K, W, D) replica-ladder state of a
+    tempered run, so a ``--temper`` resume continues the equilibrated
+    ladder instead of re-replicating the cold rung."""
     pathlib.Path(path).parent.mkdir(parents=True, exist_ok=True)
+    extra = {} if temper_state is None else {"temper_state": temper_state}
     np.savez_compressed(
         path, positions=positions, log_probs=log_probs, key=key_data,
-        meta=np.bytes_(json.dumps(meta).encode()),
+        meta=np.bytes_(json.dumps(meta).encode()), **extra,
     )
 
 
 def load_state(path: str):
     d = np.load(path)
-    return {
+    out = {
         "positions": d["positions"],
         "log_probs": d["log_probs"],
         "key": d["key"],
         "meta": json.loads(bytes(d["meta"]).decode()),
     }
+    if "temper_state" in d.files:
+        out["temper_state"] = d["temper_state"]
+    return out

@@ -283,6 +283,9 @@ def run_fit(
                             store_chain=True, move=move)
 
     temper_state = None     # full (K, W, D) replica state for auto-extend
+    swap_acc_rounds = []    # [(per-boundary swap rates, n steps)] — ladder
+    #                         health must survive into timings/summary for
+    #                         non-verbose production runs
     if n_temper_rungs > 1:
         from .tempered import run_tempered_ensemble, default_betas
 
@@ -316,7 +319,24 @@ def run_fit(
                              k),
             )
 
-        res_t = _temper_call(p1, nsteps, sub)
+        # resume continues the saved equilibrated replica ladder when the
+        # state file carries one with a matching rung count; otherwise the
+        # runner re-replicates the cold rung (and says so)
+        p_start = p1
+        if resumed is not None and "temper_state" in resumed:
+            ts = np.asarray(resumed["temper_state"])
+            if ts.shape[0] == n_temper_rungs:
+                p_start = jnp.asarray(ts)
+                if verbose:
+                    print(f"resuming the full {ts.shape[0]}-rung replica "
+                          "ladder from the saved state")
+            elif verbose:
+                print(f"note: saved ladder has {ts.shape[0]} rungs but "
+                      f"--temper {n_temper_rungs} was requested; "
+                      "restarting the ladder from a replicated cold rung")
+        res_t = _temper_call(p_start, nsteps, sub)
+        swap_acc_rounds.append(
+            (np.asarray(res_t.swap_acceptance, float), nsteps))
         if verbose:
             print(f"swap acceptance per rung boundary: "
                   f"{np.round(res_t.swap_acceptance, 3)}")
@@ -405,6 +425,8 @@ def run_fit(
                 # continue the FULL replica ladder, not just the cold rung
                 r2t = _temper_call(jnp.asarray(temper_state), nsteps, sub)
                 temper_state = r2t.final_state[0]
+                swap_acc_rounds.append(
+                    (np.asarray(r2t.swap_acceptance, float), nsteps))
                 if verbose:
                     print(f"  swap acceptance per rung boundary: "
                           f"{np.round(r2t.swap_acceptance, 3)}")
@@ -431,6 +453,11 @@ def run_fit(
         timings["auto_extend_rounds"] = ext_rounds
 
     timings["sample_s"] = time.time() - t0
+    if swap_acc_rounds:
+        # step-weighted mean per rung boundary (like acceptance_fraction)
+        total = sum(n for _, n in swap_acc_rounds)
+        timings["swap_acceptance"] = (
+            sum(a * n for a, n in swap_acc_rounds) / total).tolist()
     sample_mult = max(n_temper_rungs, 1)
     # a resumed run skips burn-in — don't count its phantom evals in the
     # reported throughput
@@ -507,7 +534,9 @@ def run_fit(
         save_state(state_path, np.asarray(x), np.asarray(lp),
                    np.asarray(jax.random.key_data(ksave)),
                    {"param_names": param_names, "nburn": nburn,
-                    "nthin": nthin, "seed": seed})
+                    "nthin": nthin, "seed": seed},
+                   temper_state=(np.asarray(temper_state)
+                                 if temper_state is not None else None))
 
     return FitResult(
         chain=res.chain,

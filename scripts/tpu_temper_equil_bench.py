@@ -43,7 +43,8 @@ from joxsz_tpu.build import build_session
 from joxsz_tpu.ops.pallas_joint import (make_joint_core, make_step_kernel,
                                         make_tempered_step_kernel)
 from joxsz_tpu.sampling.tempered import default_betas
-from joxsz_tpu.postproc.summary import chain_tau_steps
+from joxsz_tpu.postproc.summary import chain_tau_steps, \
+    collect_kernel_subchain
 
 cfg = JoXSZConfig.cl1226()
 cfg.dtype = "float32"
@@ -57,10 +58,13 @@ log(f"backend {jax.default_backend()}; session ready")
 W, K, THIN, N_Q, N_CHUNKS = 1024, 4, 25, 2000, 10
 x0 = jnp.asarray((theta0[None] * (1 + 0.1 * rng.standard_normal(
     (W, D)))).astype(np.float32))
-sl = jax.jit(lambda c: c[:, :64, :D])
 
 # ---- plain, own-kernel equilibration ---------------------------------------
 eq = make_step_kernel(sess, n_inner=4000, n_walkers=W)
+if eq is None:
+    log("make_step_kernel returned None (spec outside the kernel "
+        "specialisation) — aborting")
+    sys.exit(1)
 x, lp, acc = x0, core(x0), jnp.zeros(W, jnp.float32)
 for i in range(3):
     x, lp, acc = eq(x, lp, acc, 5 + i)
@@ -68,15 +72,24 @@ jax.block_until_ready(x)
 log("plain: equilibrated 12000 steps at W=1024")
 
 step_c = make_step_kernel(sess, n_inner=N_Q, n_walkers=W, thin=THIN)
+if step_c is None:
+    log("make_step_kernel(thin) returned None — aborting")
+    sys.exit(1)
 acc = jnp.zeros(W, jnp.float32)
-subs = []
+plain_state = {"x": x, "lp": lp, "acc": acc}
 t1 = time.time()
-for i in range(N_CHUNKS):
-    x, lp, acc, ch, chlp = step_c(x, lp, acc, 700 + i)
-    subs.append(sl(ch))
-jax.block_until_ready(x)
+
+
+def plain_chunk(i):
+    plain_state["x"], plain_state["lp"], plain_state["acc"], ch, _ = \
+        step_c(plain_state["x"], plain_state["lp"], plain_state["acc"],
+               700 + i)
+    return ch
+
+
+sub = collect_kernel_subchain(plain_chunk, N_CHUNKS, ndim=D)
+jax.block_until_ready(plain_state["x"])
 wall_p = time.time() - t1
-sub = np.concatenate([np.asarray(s) for s in subs])
 tau = chain_tau_steps(sub, THIN)
 tau_plain = float(tau.max())
 neff_p = N_Q * N_CHUNKS * W / tau_plain / wall_p
@@ -86,6 +99,9 @@ log(f"plain: tau mean {tau.mean():7.1f} max {tau_plain:7.1f}; "
 # ---- tempered, ladder equilibration ----------------------------------------
 betas = default_betas(K)
 eq_t = make_tempered_step_kernel(sess, betas, n_inner=N_Q, n_walkers=W)
+if eq_t is None:
+    log("make_tempered_step_kernel returned None — aborting")
+    sys.exit(1)
 xk = jnp.broadcast_to(x0[None], (K, W, D))
 lpk = jnp.stack([core(xk[k]) for k in range(K)])
 acck = jnp.zeros((K, W), jnp.float32)
@@ -96,17 +112,27 @@ log(f"tempered: equilibrated 4000 ladder steps at K={K} W={W}")
 
 step_t = make_tempered_step_kernel(sess, betas, n_inner=N_Q, n_walkers=W,
                                    thin=THIN)
-acck = jnp.zeros((K, W), jnp.float32)
-subs = []
+if step_t is None:
+    log("make_tempered_step_kernel(thin) returned None — aborting")
+    sys.exit(1)
+temper_state = {"x": xk, "lp": lpk, "acc": jnp.zeros((K, W), jnp.float32)}
 sacc = np.zeros(K - 1)
 t1 = time.time()
-for i in range(N_CHUNKS):
-    xk, lpk, acck, sa, ch, chlp = step_t(xk, lpk, acck, 900 + i)
-    sacc += np.asarray(sa)
-    subs.append(sl(ch))
-jax.block_until_ready(xk)
+
+
+def temper_chunk(i):
+    # swap-rate accumulation lives in this closure — the reason the
+    # shared collect_kernel_subchain helper fits here after all
+    temper_state["x"], temper_state["lp"], temper_state["acc"], sa, ch, \
+        _ = step_t(temper_state["x"], temper_state["lp"],
+                   temper_state["acc"], 900 + i)
+    sacc[:] += np.asarray(sa)
+    return ch
+
+
+sub = collect_kernel_subchain(temper_chunk, N_CHUNKS, ndim=D)
+jax.block_until_ready(temper_state["x"])
 wall_t = time.time() - t1
-sub = np.concatenate([np.asarray(s) for s in subs])
 tau = chain_tau_steps(sub, THIN)
 tau_t = float(tau.max())
 neff_t = N_Q * N_CHUNKS * W / tau_t / wall_t

@@ -74,6 +74,52 @@ def test_run_fit_tempered(tmp_path):
     assert res.chain.shape == (100, 16, 3)
     med = np.median(res.flat_chain, axis=0)
     assert np.allclose(med, mu, atol=0.15)
+    # ladder health survives non-verbose runs (ADVICE r2): per-boundary
+    # swap acceptance recorded in timings
+    sw = res.timings["swap_acceptance"]
+    assert len(sw) == 2 and all(0.0 <= s <= 1.0 for s in sw)
+
+
+def test_run_fit_tempered_resume_continues_ladder(tmp_path):
+    """A --temper resume must restore the saved (K, W, D) replica ladder
+    instead of re-replicating the cold rung (ADVICE r2: the state file
+    used to persist only the cold-rung positions)."""
+    from joxsz_tpu.io.checkpoint import load_state
+    from joxsz_tpu.sampling import tempered as tmod
+
+    log_like, t0, lo, hi, names, mu = _make_problem(2)
+    state = str(tmp_path / "s.npz")
+    run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=50,
+            nsteps=100, nthin=2, seed=4, prelim_iterations=20,
+            max_prelim_rounds=1, n_temper_rungs=3,
+            state_path=state, verbose=False)
+    saved = load_state(state)
+    assert saved["temper_state"].shape == (3, 16, 2)
+
+    seen_shapes = []
+    orig = tmod.run_tempered_ensemble
+
+    def spy(ll, p0, betas, n, key, **kw):
+        seen_shapes.append(np.asarray(p0).shape)
+        return orig(ll, p0, betas, n, key, **kw)
+
+    tmod.run_tempered_ensemble = spy
+    try:
+        res2 = run_fit(log_like, t0, lo, hi, names, nsteps=60, nthin=2,
+                       n_temper_rungs=3, resume_from=state, verbose=False)
+    finally:
+        tmod.run_tempered_ensemble = orig
+    assert seen_shapes == [(3, 16, 2)]      # full ladder, not (W, D)
+    assert res2.chain.shape == (30, 16, 2)
+    # rung-count mismatch falls back to a replicated cold start
+    seen_shapes.clear()
+    tmod.run_tempered_ensemble = spy
+    try:
+        run_fit(log_like, t0, lo, hi, names, nsteps=60, nthin=2,
+                n_temper_rungs=4, resume_from=state, verbose=False)
+    finally:
+        tmod.run_tempered_ensemble = orig
+    assert seen_shapes == [(16, 2)]
 
 
 @pytest.mark.parametrize("move", ["de", "snooker"])
@@ -183,11 +229,12 @@ def test_run_fit_auto_extend_tempered():
 
 
 def test_run_fit_auto_extend_tempered_continues_full_ladder():
-    """The extension call must receive the (K, W, D) replica state: a spy
-    on run_tempered_ensemble's p0 would be overkill — instead assert the
-    driver passes a 3-D state by running with rungs whose hot chains
-    start far away: if extensions re-replicated the cold rung the swap
-    acceptance would jump to ~1 between identical rungs."""
+    """Auto-extend rounds must continue the FULL replica ladder: spy on
+    run_tempered_ensemble and assert the first call receives the 2-D
+    (W, D) cold start (the runner replicates it across rungs) while
+    every extension call receives the 3-D (K, W, D) ladder state — if
+    extensions re-replicated the cold rung the equilibrated hot chains
+    would be silently discarded each round."""
     log_like, t0, lo, hi, names, _ = _make_problem(ndim=2)
     import joxsz_tpu.sampling.driver as drv
     from joxsz_tpu.sampling import tempered as tmod
