@@ -52,6 +52,58 @@ class MCMCConfig:
     seed: int | None = None
     initspread: float = 0.1                    # walker init perturbation
     prelim_iterations: int = 1000              # preliminary improvement loop
+    n_temper_rungs: int = 0                    # parallel-tempering rungs
+    #                                            (0/1 = plain ensemble)
+    auto_extend: int = 0                       # convergence-driven
+    #                                            extension budget (chunks)
+
+    @classmethod
+    def converged_tpu(cls) -> "MCMCConfig":
+        """The measured-converged TPU production schedule.
+
+        W=1024 walkers x K=4 tempering rungs passes the convergence bar
+        (tau-thinned split-Rhat <= 1.01) in 8000 steps on the bundled
+        CL J1226 joint posterior (results/tpu_conv/, split-Rhat 1.006),
+        where the reference 30-walker plain-GW schedule both piles
+        Z/epsilon at 0 (ensemble-size artifact) and never certifies
+        convergence (split-Rhat ~1.5 after 25k steps at W=1024 plain) —
+        docs/PERFORMANCE.md.  auto_extend=3 gives headroom for unlucky
+        seeds; the stopping rule ends the run at the bar, not the
+        budget."""
+        return cls(nwalkers=1024, nburn=4000, nsteps=8000, nthin=25,
+                   n_temper_rungs=4, auto_extend=3)
+
+
+def resolve_mcmc_schedule(mcmc: MCMCConfig, *, backend: str,
+                          reference_schedule: bool = False,
+                          quick: bool = False,
+                          from_config: bool = False) -> tuple[MCMCConfig,
+                                                              bool]:
+    """Resolve the sampling schedule for a CLI run.
+
+    On a TPU backend the flagless default is the measured-converged
+    production recipe (``MCMCConfig.converged_tpu``) — walkers are free
+    on TPU, so defaulting to the reference's 30-walker plain-GW schedule
+    would emit the posterior this repo's own measurements call
+    artifacted (Z/epsilon piled at 0) and non-converged.  The reference
+    schedule stays available behind ``reference_schedule=True`` for
+    parity studies (supersedes /root/reference/joxsz_main.py:42-46).
+
+    The converged recipe is NOT applied when: the backend is CPU (a
+    W=1024 x K=4 run is hours on one core; CPU is the parity/test
+    path), ``quick`` smoke runs, an explicit user JSON config
+    (``from_config``) — user schedules are never stomped — or
+    ``reference_schedule``.  Non-schedule fields (seed, initspread,
+    prelim_iterations) always carry over from the incoming config.
+
+    Returns ``(schedule, converged_applied)``."""
+    if (backend == "cpu" or reference_schedule or quick or from_config):
+        return mcmc, False
+    out = MCMCConfig.converged_tpu()
+    out.seed = mcmc.seed
+    out.initspread = mcmc.initspread
+    out.prelim_iterations = mcmc.prelim_iterations
+    return out, True
 
 
 @dataclasses.dataclass

@@ -37,15 +37,28 @@ def main(argv=None):
                     help="ensemble move for the XLA sampler (stretch = "
                     "the reference's emcee default; de/snooker = emcee "
                     "move-zoo analogs, see sampling.stretch)")
-    ap.add_argument("--auto-extend", type=int, default=0, metavar="K",
+    ap.add_argument("--reference-schedule", action="store_true",
+                    help="use the reference's sampling schedule (30 "
+                    "walkers, plain GW, 2000 burn / 5000 steps, "
+                    "joxsz_main.py:42-46) instead of the converged TPU "
+                    "default; kept for parity studies — W~30 fits pile "
+                    "Z and epsilon at 0 and plain GW does not certify "
+                    "convergence on this posterior (docs/PERFORMANCE.md)")
+    ap.add_argument("--no-step-kernel", action="store_true",
+                    help="keep the converged TPU default schedule but "
+                    "sample through the XLA scan path instead of the "
+                    "fused Pallas step kernel")
+    ap.add_argument("--auto-extend", type=int, default=None, metavar="K",
                     help="after the scheduled steps, keep sampling up to "
                     "K more nsteps-chunks until the chain passes the "
                     "convergence bar (20x worst tau + split-Rhat <= 1.01); "
                     "composes with --temper (rule applied to the cold-rung "
                     "chain, extensions continue the full replica ladder)")
-    ap.add_argument("--temper", type=int, default=0, metavar="K",
+    ap.add_argument("--temper", type=int, default=None, metavar="K",
                     help="parallel-temper the sampling phase with K rungs "
-                         "(multimodal posteriors)")
+                         "(multimodal posteriors); pass 1 to force a "
+                         "plain (untempered) ensemble over the TPU "
+                         "default of K=4")
     ap.add_argument("--walkers", type=int, default=None,
                     help="override the walker count (large ensembles are "
                          "effectively free on TPU and stabilise multimodal "
@@ -99,7 +112,7 @@ def main(argv=None):
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import numpy as np
-    from .config import JoXSZConfig
+    from .config import JoXSZConfig, resolve_mcmc_schedule
     from .build import build_session
     from .sampling import run_fit
 
@@ -113,10 +126,38 @@ def main(argv=None):
         jax.config.update("jax_enable_x64", True)
     else:
         cfg.dtype = "float32"
+
+    # flagless TPU runs get the measured-converged production schedule;
+    # the reference 30-walker plain-GW schedule is a parity study behind
+    # --reference-schedule (VERDICT r2 #1; config.resolve_mcmc_schedule)
+    cfg.mcmc, converged_default = resolve_mcmc_schedule(
+        cfg.mcmc, backend=jax.default_backend(),
+        reference_schedule=args.reference_schedule, quick=args.quick,
+        from_config=args.config is not None)
+    if converged_default and args.move != "stretch":
+        # the tempered/kernel paths are stretch-only; a non-stretch move
+        # falls back to the plain XLA schedule rather than erroring
+        cfg.mcmc.n_temper_rungs = 0
+        print(f"note: --move {args.move} is XLA-plain only; dropping the "
+              "default K=4 tempering (schedule otherwise unchanged)")
+    if converged_default:
+        print("schedule: converged TPU default — W=1024 x K=4 tempered, "
+              "4000 burn + 8000 steps, auto-extend to split-Rhat <= 1.01 "
+              "(--reference-schedule restores the reference's 30-walker "
+              "plain-GW run)")
+    elif args.reference_schedule:
+        print("WARNING: --reference-schedule is a parity configuration: "
+              "at W~30 the Z and epsilon posteriors pile at 0 (ensemble-"
+              "size artifact) and plain GW does not certify convergence "
+              "on this posterior (docs/PERFORMANCE.md)")
     if args.seed is not None:
         cfg.mcmc.seed = args.seed
     if args.walkers is not None:
         cfg.mcmc.nwalkers = args.walkers
+    if args.temper is not None:
+        cfg.mcmc.n_temper_rungs = args.temper
+    if args.auto_extend is not None:
+        cfg.mcmc.auto_extend = args.auto_extend
     if args.integ:
         cfg.sz.calc_integ = True
     if args.pressure is not None:
@@ -168,7 +209,9 @@ def main(argv=None):
               f"({'pallas' if use_pallas else 'jnp'} SZ core)")
 
     step_sampler = None
-    if args.step_kernel:
+    want_step_kernel = args.step_kernel or (converged_default
+                                            and not args.no_step_kernel)
+    if want_step_kernel:
         if jax.default_backend() == "cpu":
             print("note: --step-kernel needs the TPU hardware PRNG; "
                   "falling back to the XLA sampler on CPU")
@@ -193,12 +236,12 @@ def main(argv=None):
         state_path=str(save / f"{cfg.name}_state.npz"),
         best_path=str(save / "fit.dat"),
         resume_from=args.resume,
-        n_temper_rungs=args.temper,
+        n_temper_rungs=m.n_temper_rungs,
         mesh=mesh,
         log_like_batch=ll_batch,
         step_sampler=step_sampler,
         move=args.move,
-        auto_extend=args.auto_extend,
+        auto_extend=m.auto_extend,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(
