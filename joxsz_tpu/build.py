@@ -68,8 +68,24 @@ _SZOP_VERSION = 2
 
 
 def _operator_cache_path(cfg: JoXSZConfig) -> pathlib.Path:
+    """Cache file keyed on ONLY the inputs the SZ operator depends on:
+    map geometry (step, extent, flux-file radii), cosmology (kpc/arcsec),
+    beam/TF provenance, and the Abel scheme.  Hashing the full config
+    (the old scheme) rebuilt the identical operator for every sampling-
+    schedule or X-ray-option tweak — data/cache accumulated byte-identical
+    entries under different hashes."""
+    import json as _json
+
+    op_inputs = dict(
+        step_arcsec=cfg.step_arcsec,
+        cluster_extent_kpc=cfg.cluster_extent_kpc,
+        redshift=cfg.redshift, H0=cfg.H0, WM=cfg.WM, WV=cfg.WV,
+        abel_scheme=cfg.abel_scheme,
+        sz=dataclasses.asdict(cfg.sz),
+    )
     key = hashlib.sha256(
-        (cfg.to_json() + f"|szop_v{_SZOP_VERSION}").encode()
+        (_json.dumps(op_inputs, sort_keys=True)
+         + f"|szop_v{_SZOP_VERSION}").encode()
     ).hexdigest()[:16]
     repo = pathlib.Path(__file__).resolve().parents[1]
     return repo / "data" / "cache" / f"szop_{key}.npz"
@@ -191,9 +207,14 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
         # SZ-only (preprofit) mode: parameters that only the X-ray
         # likelihood constrains would wander on their priors — freeze them
         # (the density shape stays free: T_SZ = P/ne feeds the conversion)
-        for name in ("Z", "backscale", "log(T_X/T_{SZ})"):
+        for name in ("Z", "backscale", "log(T_X/T_{SZ})", "line_scale"):
             if name in params:
                 params.freeze(name)
+    elif cfg.xray is not None and cfg.xray.line_systematic:
+        # marginalize the fallback spectral model's line-emissivity
+        # systematic (N(1, 0.25) nuisance on the metal-line table
+        # component — see build_reference_params)
+        params.thaw("line_scale")
 
     model = JointModel(
         pressure=pressure, density=density, temperature=temperature,

@@ -41,6 +41,10 @@ class XrayConfig:
     NH_1022pcm2: float = 0.0183
     Z_solar: float = 0.3
     table_path: str | None = None              # pre-generated count-rate table
+    # thaw the line_scale nuisance (Gaussian N(1, 0.25)) to marginalize the
+    # fallback spectral model's anchored line-emissivity systematic into
+    # the posterior (PARITY.md #1) instead of documenting it
+    line_systematic: bool = False
 
 
 @dataclasses.dataclass

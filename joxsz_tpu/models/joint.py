@@ -236,6 +236,17 @@ def build_reference_params(
     pars.update(temperature.default_params())
     pars.update(OrderedDict([
         ("Z", Param(Z_solar, 0.0, 1.0, unit="solar")),
+        # spectral-line systematic nuisance: multiplies the metal-line
+        # component of the count-rate table (rate = r_Z0 + s*Z*(r_Z1 -
+        # r_Z0), exactly the line part since the tables are linear in Z).
+        # Frozen at 1 by default; thaw (--line-systematic) to marginalize
+        # the anchored ~25% line-emissivity spread of the fallback
+        # spectral model (PARITY.md #1, tests/test_spectrum_anchors.py)
+        # instead of carrying it as a documented caveat.  Supersedes the
+        # reference's implicit trust in XSPEC APEC rates
+        # (/root/reference/joxsz_funcs.py:652-681).
+        ("line_scale", Param(1.0, 0.0, 2.5, frozen=True, prior="gauss",
+                             prior_mu=1.0, prior_sigma=0.25)),
     ]))
     pars.update(pressure.default_params())
     pars.update(OrderedDict([

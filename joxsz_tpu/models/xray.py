@@ -198,7 +198,11 @@ def predicted_counts(pars: dict, x: XrayData, density, temperature,
     """(n_band, n_ann) predicted counts for the current parameters."""
     ne = density(pars, x.midpt_kpc)                      # (n_shell,)
     T = temperature.t_x(pars, x.midpt_kpc)               # (n_shell,)
-    Z = pars[Z_name] * jnp.ones_like(T)
+    # line_scale nuisance (optional, default 1): the tables are linear in
+    # Z (rate = r_Z0 + Z*(r_Z1 - r_Z0)), so scaling Z scales exactly the
+    # metal-line component — marginalizes the fallback spectral model's
+    # line-emissivity systematic when thawed (build_reference_params)
+    Z = pars[Z_name] * pars.get("line_scale", 1.0) * jnp.ones_like(T)
     rates = x.table.rates(T, Z)                          # (n_band, n_shell)
     emiss = rates * (ne * ne)                            # (n_band, n_shell)
     proj = emiss @ x.vols_norm.T                         # (n_band, n_ann)

@@ -107,7 +107,12 @@ def _detect_family(thawed, has_xray: bool = True):
         d_fam = "double"
     else:
         d_fam, d_set = "single", set()
-    if names != base | t_set | p_set | d_set:
+    # optional line_scale nuisance (joint sessions only): scales the
+    # Z-linear metal-line table component; consumed in ll_body as
+    # Z_eff = Z * line_scale — callers check "line_scale" in cix
+    ls_set = {"line_scale"} if (has_xray and "line_scale" in names) \
+        else set()
+    if names != base | t_set | p_set | d_set | ls_set:
         return None
     return (p_fam, t_fam, d_fam, n_knots,
             {n: i for i, n in enumerate(thawed)})
@@ -451,6 +456,11 @@ def _build_spec(sess, ablate: str = ""):
         if has_xray:
             Z = ncol("Z")
             bscale = ncol("backscale")
+            if "line_scale" in cix:
+                # line-systematic nuisance: rate = r0 + s*Z*(r1-r0), i.e.
+                # s scales exactly the metal-line component (the tables
+                # are linear in Z) — static branch, zero cost when frozen
+                Z = Z * ncol("line_scale")
         if t_family == "upp":
             tratio = ncol("log(T_X/T_{SZ})")
         elif t_family == "vikh":

@@ -105,7 +105,11 @@ def make_profile_fns(model, cosmo: Cosmology, r_kpc,
         entropy = t_sz / ne ** (2.0 / 3.0)
         mgas = cumulative_gas_mass(ne, r)
         if table is not None:
-            Z = pars[Z_name] * jnp.ones_like(t_sz)
+            # line_scale scales the Z-linear (metal-line) component of the
+            # flux table too, keeping cooling times consistent with the
+            # count-rate nuisance (models/xray.py::predicted_counts)
+            Z = (pars[Z_name] * pars.get("line_scale", 1.0)
+                 * jnp.ones_like(t_sz))
             tl = jnp.log(t_sz)
             from ..ops.splines import lerp_lookup
             f0 = jnp.exp(lerp_lookup(table.Tlog, table.logflux_Z0, tl))

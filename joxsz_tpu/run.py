@@ -78,6 +78,14 @@ def main(argv=None):
                     help="Vikhlinin density mode (reference mydens "
                          "mode; 'double' adds a second beta-model core "
                          "component)")
+    ap.add_argument("--line-systematic", action="store_true",
+                    help="thaw the line_scale nuisance (Gaussian "
+                         "N(1, 0.25)) scaling the metal-line component "
+                         "of the count-rate table — marginalizes the "
+                         "fallback spectral model's anchored ~25% line-"
+                         "emissivity systematic into the posterior "
+                         "(PARITY.md #1) instead of documenting it; "
+                         "joint fits only")
     ap.add_argument("--integ", action="store_true",
                     help="enable the integrated-Y Gaussian prior "
                          "(reference calc_integ, joxsz_main.py:65-67)")
@@ -160,6 +168,11 @@ def main(argv=None):
         cfg.mcmc.auto_extend = args.auto_extend
     if args.integ:
         cfg.sz.calc_integ = True
+    if args.line_systematic:
+        if args.sz_only or cfg.xray is None:
+            raise SystemExit("--line-systematic needs the X-ray "
+                             "likelihood (joint fits only)")
+        cfg.xray.line_systematic = True
     if args.pressure is not None:
         cfg.pressure_model = args.pressure
     if args.temperature is not None:
