@@ -1,12 +1,25 @@
 """Benchmark: joint-likelihood throughput (evals/sec) on the bundled
 CL J1226.9+3332 joint fit — the BASELINE.md headline metric.
 
-Runs the full TPU-resident sampling stack (vmapped walker batches inside a
-lax.scan) on the default device and reports likelihood evaluations per
-second, compared against the reference's measured ~107/s/core CPU ceiling
-(BASELINE.md: 9.3 ms per SZ forward eval, the dominant cost).
+Runs the full TPU-resident sampling stack (fused Pallas step kernels) on
+the default device and reports likelihood evaluations per second against
+the reference's measured ~107/s/core CPU ceiling (BASELINE.md: 9.3 ms per
+SZ forward eval, the dominant cost), plus:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* sampling QUALITY (N_eff/s) for BOTH the raw-throughput plain-GW
+  configuration (W=4096) AND the recommended converged-production
+  sampler (tempered K=4 x W=1024, docs/PERFORMANCE.md), with the
+  steps-to-convergence of the production stopping rule;
+* a same-claim normalization (`no_ll_us_per_step`) so round-over-round
+  deltas can be separated from the documented ~1.8x claim-to-claim
+  wall-clock variance (CLAUDE.md) — compare RATIOS to no_ll across
+  rounds, not raw walls;
+* the ablation-derived cost attribution (X-ray / SZ+prior chunk) and an
+  MXU-utilisation estimate at the attribution W (matmul FLOPs per step
+  over the v5e bf16-pass peak — the kernel is VPU-transcendental-bound,
+  so this is structurally low; docs/PERFORMANCE.md roofline note).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -16,6 +29,124 @@ import numpy as np
 
 
 REFERENCE_EVALS_PER_S = 1.0 / 9.3e-3   # BASELINE.md: 9.3 ms/eval, 1 core
+V5E_BF16_PEAK_FLOPS = 197e12           # per chip; f32 jnp.dot runs one
+#                                        bf16 MXU pass (CLAUDE.md)
+
+
+def _attribution_phase(sess, make_step_kernel, core, theta0, rng, jnp, jax):
+    """Same-claim ablation timings at W=4096: us/step for the full step
+    and the no_ll / no_xray / no_sz ablations (dependent-chained
+    invocations — independent back-to-back calls only measure dispatch
+    rate on this remote backend), plus the MXU-utilisation estimate."""
+    W_A, N_A = 4096, 200
+    p0 = jnp.asarray(theta0[None] * (
+        1 + 0.01 * rng.standard_normal((W_A, theta0.size))
+    ).astype(np.float32))
+    lp0 = core(p0)
+    us = {}
+    for ablate in ("", "no_ll", "no_xray", "no_sz"):
+        k = make_step_kernel(sess, n_inner=N_A, n_walkers=W_A,
+                             ablate=ablate)
+        if k is None:
+            return None
+        x, lp, acc = k(p0, lp0, jnp.zeros(W_A, jnp.float32), 11)  # warm
+        jax.block_until_ready(x)
+        t0 = time.time()
+        for i in range(3):
+            x, lp, acc = k(x, lp, acc, 12 + i)
+        jax.block_until_ready(x)
+        us[ablate or "full"] = (time.time() - t0) / (3 * N_A) * 1e6
+
+    # MXU-utilisation estimate: matmul FLOPs actually issued per step
+    # (per-walker likelihood matmuls x W + the one-hot partner gather,
+    # which partner="auto" still uses at W=4096) over the measured step
+    # wall and the single-chip bf16-pass peak.  A LOWER bound on MXU
+    # duty and the honest summary of "is this chip well used": the
+    # remaining ~85% of the step is VPU transcendental likelihood work.
+    from joxsz_tpu.ops.pallas_joint import _build_spec
+
+    spec = _build_spec(sess)
+    s = spec["spec"]
+    per_walker = 2.0 * (s["NP"] * s["PIX"] + s["PIX"] * s["ND"]
+                        + 2 * s["NSK"] * s["NBS"] + s["NBS"] * s["NBS"])
+    H, Dp = W_A // 2, spec["Dp"]
+    partner = 2 * (2.0 * H * H * Dp)            # two half-sweeps
+    flops_per_step = per_walker * W_A + partner
+    mxu_util = flops_per_step / (us["full"] * 1e-6) / V5E_BF16_PEAK_FLOPS
+    return {
+        "no_ll_us_per_step": round(us["no_ll"], 1),
+        "step_us_w4096": round(us["full"], 1),
+        "xray_us_per_step": round(us["full"] - us["no_xray"], 1),
+        "sz_us_per_step": round(us["full"] - us["no_sz"], 1),
+        "mxu_utilization_est": round(mxu_util, 3),
+    }
+
+
+def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
+    """Production-sampler quality: tempered K=4 x W=1024 from a fresh
+    10%-spread cloud (the production init), burn 4000 steps, then
+    accumulate the cold chain in 2000-step chunks applying the driver's
+    stopping rule (steps >= 20*tau AND tau-thinned split-Rhat <= 1.01,
+    sampling/driver.py) after each chunk.  Reports wall N_eff/s of the
+    accumulated cold chain and the steps the rule needed.
+
+    Rhat caveat: measured on 64 walker-sequences of ONE interacting
+    ensemble (mildly optimistic — postproc.summary.split_rhat docstring);
+    same form the production driver uses."""
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+    from joxsz_tpu.sampling.tempered import default_betas
+    from joxsz_tpu.postproc.summary import (integrated_autocorr_time,
+                                            convergence_rhat)
+
+    W_T, K, THIN, N_C = 1024, 4, 25, 2000
+    MAX_CHUNKS = 8                              # cap: 16000 steps
+    D = theta0.size
+    betas = default_betas(K)
+    step_t = make_tempered_step_kernel(sess, betas, n_inner=N_C,
+                                       n_walkers=W_T, thin=THIN)
+    if step_t is None:
+        return None
+    x0 = jnp.asarray(theta0[None] * (
+        1 + 0.1 * rng.standard_normal((W_T, D))).astype(np.float32))
+    xk = jnp.broadcast_to(x0[None], (K, W_T, D))
+    lpk = jnp.stack([core(xk[k]) for k in range(K)])
+    acck = jnp.zeros((K, W_T), jnp.float32)
+    # burn (production default: 4000 steps; chain discarded)
+    for i in range(2):
+        xk, lpk, acck = step_t(xk, lpk, acck, 51 + i)[:3]
+    jax.block_until_ready(xk)
+
+    sl = jax.jit(lambda c: c[:, :64, :D])
+    subs, swap_acc = [], []
+    steps_to_conv = None
+    t0 = time.time()
+    for i in range(MAX_CHUNKS):
+        xk, lpk, acck, sacc, ch, _ = step_t(xk, lpk, acck, 60 + i)
+        subs.append(sl(ch))
+        swap_acc.append(sacc)
+        if steps_to_conv is None:
+            sub = np.concatenate([np.asarray(c) for c in subs])
+            tau_saved = float(np.max(np.maximum(
+                np.asarray(integrated_autocorr_time(sub)), 1.0)))
+            steps = (i + 1) * N_C
+            if (steps >= 20.0 * tau_saved * THIN
+                    and convergence_rhat(sub, tau_saved=tau_saved)
+                    <= 1.01):
+                steps_to_conv = steps
+    jax.block_until_ready(xk)
+    wall = time.time() - t0
+    sub = np.concatenate([np.asarray(c) for c in subs])
+    tau_saved = float(np.max(np.maximum(
+        np.asarray(integrated_autocorr_time(sub)), 1.0)))
+    tau_steps = tau_saved * THIN
+    neff = MAX_CHUNKS * N_C * W_T / tau_steps
+    srate = float(np.mean([np.asarray(s) for s in swap_acc])) / (N_C * W_T)
+    return {
+        "neff_per_sec_tempered": round(neff / wall, 1),
+        "tau_steps_tempered": round(tau_steps, 1),
+        "steps_to_rhat_101": steps_to_conv,
+        "swap_acceptance": round(srate, 3),
+    }
 
 
 def main():
@@ -53,6 +184,7 @@ def main():
     p0 = jnp.asarray(theta0[None] * (
         1 + 0.01 * rng.standard_normal((W, theta0.size))
     ).astype(theta0.dtype))
+    extra = {}
     if on_tpu:
         try:
             from joxsz_tpu.ops.pallas_joint import (make_joint_core,
@@ -73,6 +205,14 @@ def main():
             x, lp, acc = step(x, lp, acc, 2 + i)
         jax.block_until_ready(x)
         wall = time.time() - t0
+
+        # ---- same-claim normalization + cost attribution (VERDICT r2
+        # #4a/#7): no_ll is the proposal/accept floor; ratios to it are
+        # comparable across claims where raw walls are not -------------
+        attr = _attribution_phase(sess, make_step_kernel, core, theta0,
+                                  rng, jnp, jax)
+        if attr:
+            extra.update(attr)
 
         # ---- sampling QUALITY: N_eff/s (VERDICT r1 weak #5) -------------
         # Record a thinned chain fully on-device and fetch only a
@@ -125,6 +265,13 @@ def main():
             "neff_vs_baseline": round(
                 neff_per_s / (REFERENCE_EVALS_PER_S / tau_steps), 1),
         }
+
+        # ---- recommended production sampler (VERDICT r2 #4b): tempered
+        # K=4 x W=1024 — the configuration that actually certifies
+        # convergence on this posterior (results/tpu_conv/) ------------
+        tq = _tempered_quality_phase(sess, core, theta0, rng, jnp, jax)
+        if tq:
+            extra.update(tq)
     else:
         log_like_batch = jax.jit(jax.vmap(sess.log_like))
         # ONE compiled program (the remote-TPU compile path is expensive):
@@ -150,6 +297,7 @@ def main():
         # time it derives from; baseline = reference emcee at the same
         # tau (same Goodman-Weare move)
         primary.update(neff_metrics)
+    primary.update(extra)
     print(json.dumps(primary))
 
 

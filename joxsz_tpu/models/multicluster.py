@@ -170,7 +170,9 @@ def _make_flat_log_like(model, sz: SZData, xr: XrayData | None):
             if xr is not None:
                 ne_s = model.density(pars, midpt)
                 T_s = model.temperature.t_x(pars, midpt)
-                Z = pars[model.Z_name]
+                # line_scale scales the Z-linear metal-line table
+                # component (models/xray.py::predicted_counts)
+                Z = pars[model.Z_name] * pars.get("line_scale", 1.0)
                 bscale = pars["backscale"]
             else:
                 ne_s = T_s = Z = bscale = 0.0

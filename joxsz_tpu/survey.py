@@ -11,9 +11,12 @@ and C independent walker ensembles advance in one jitted scan
 Two modes:
 
 * ``--spec survey.json`` — real data: one ``JoXSZConfig`` JSON per
-  cluster (clusters must share the instrument configuration — map
-  geometry, annuli/band counts — so the stacked leaves are rectangular;
-  heterogeneous surveys: group by shape, one run per group)::
+  cluster.  Heterogeneous surveys are handled automatically: clusters
+  are GROUPED by stack signature (map geometry + every data-leaf shape,
+  the rectangular-stacking requirement), one batched fit runs per group
+  (each on the kernel path where its group qualifies), and the groups
+  merge back into ONE survey result in spec order — the user never sees
+  a shape/StackMismatch error or has to split the spec by hand::
 
       {"clusters": [{"name": "cl1", "config": "cl1.json"},
                     {"name": "cl2", "config": "cl2.json"}]}
@@ -260,8 +263,70 @@ def _fit_survey_kernel(session, sz_stack, xray_stack, centers, *,
             {"setup_s": t_setup, "sampling_s": t_sampling})
 
 
+def _stack_signature(sess) -> tuple:
+    """Hashable stack signature of one cluster: the map-geometry static
+    (sep) plus the SHAPE of every SZ/X-ray data leaf — exactly the
+    rectangular-stacking requirement of ``models.multicluster.stack_*``.
+    Clusters sharing a signature batch into one fit; value-level
+    heterogeneity inside a group (e.g. different redshifts on equal
+    grids) is already handled downstream (the flat path falls back to
+    nested vmap, the Pallas kernel declines via StackMismatch)."""
+    import jax
+
+    def shapes(tree):
+        if tree is None:
+            return ("none",)
+        return tuple(tuple(np.shape(leaf))
+                     for leaf in jax.tree_util.tree_leaves(tree))
+
+    sz = sess.model.sz_data
+    return ((int(sz.sep),) + shapes(sz) + shapes(sess.model.xray_data))
+
+
+def _merge_survey_results(results: list[SurveyResult],
+                          orders: list[list[int]], C: int) -> SurveyResult:
+    """Merge per-group SurveyResults into ONE result in original spec
+    order.  Chains concatenate along the cluster axis (every group runs
+    the same schedule, so (n_saved, W, D) match); per-group kernel
+    timings are kept as a list."""
+    n_saved, _, W, D = results[0].chain.shape
+    names = [None] * C
+    chain = np.empty((n_saved, C, W, D), results[0].chain.dtype)
+    log_prob = np.empty((n_saved, C, W), results[0].log_prob.dtype)
+    acceptance = np.empty((C, W), results[0].acceptance.dtype)
+    medians = np.empty((C, D))
+    sds = np.empty((C, D))
+    truths = (np.empty((C, D))
+              if any(r.truths is not None for r in results) else None)
+    for res, idxs in zip(results, orders):
+        if res.chain.shape[0] != n_saved or res.chain.shape[2] != W:
+            raise ValueError("survey groups ran different schedules")
+        chain[:, idxs] = res.chain
+        log_prob[:, idxs] = res.log_prob
+        acceptance[idxs] = res.acceptance
+        medians[idxs] = res.medians
+        sds[idxs] = res.sds
+        for i, c in enumerate(idxs):
+            names[c] = res.cluster_names[i]
+            if truths is not None:
+                truths[c] = res.truths[i]
+    timings = None
+    if any(r.timings is not None for r in results):
+        timings = {"groups": [r.timings for r in results]}
+    return SurveyResult(
+        cluster_names=names, param_names=results[0].param_names,
+        chain=chain, log_prob=log_prob, acceptance=acceptance,
+        medians=medians, sds=sds, truths=truths, timings=timings)
+
+
 def _build_spec_survey(spec_path, args):
-    """--spec: one session per per-cluster config; stacked data."""
+    """--spec: one session per per-cluster config; clusters grouped by
+    stack signature, data stacked per group.  Returns a list of groups
+    ``(session, sz_stack, xray_stack, centers, names, truths,
+    orig_indices)`` — one batched fit runs per group and the results
+    merge back in spec order (heterogeneous surveys end-to-end; the
+    reference workflow is one cluster per process invocation,
+    /root/reference/joxsz_main.py:93-246)."""
     from .config import JoXSZConfig
     from .build import build_session
     from .models.multicluster import stack_sz_data, stack_xray_data
@@ -286,14 +351,9 @@ def _build_spec_survey(spec_path, args):
             "clusters thaw different parameter vectors (mixed model "
             f"families): {dict(zip(names, thawed))} — a survey batch "
             "must share one family")
-    sz_stack = stack_sz_data([s.model.sz_data for s in sessions])
     xr = [s.model.xray_data for s in sessions]
-    if all(x is None for x in xr):
-        xray_stack = None
-    elif any(x is None for x in xr):
+    if any(x is None for x in xr) and not all(x is None for x in xr):
         raise SystemExit("mixed SZ-only and joint clusters in one survey")
-    else:
-        xray_stack = stack_xray_data(xr)
 
     centers = np.stack([np.asarray(s.params.thawed_values())
                         for s in sessions])
@@ -303,7 +363,20 @@ def _build_spec_survey(spec_path, args):
                                  s.params.lo, s.params.hi)
             print(f"  {names[c]}: MLE log-like {ll:.2f}")
             centers[c] = theta
-    return sessions[0], sz_stack, xray_stack, centers, names, None
+
+    by_sig: dict[tuple, list[int]] = {}
+    for i, s in enumerate(sessions):
+        by_sig.setdefault(_stack_signature(s), []).append(i)
+    groups = []
+    for idxs in by_sig.values():
+        sz_stack = stack_sz_data([sessions[i].model.sz_data
+                                  for i in idxs])
+        xray_stack = (None if xr[idxs[0]] is None
+                      else stack_xray_data([xr[i] for i in idxs]))
+        groups.append((sessions[idxs[0]], sz_stack, xray_stack,
+                       centers[idxs], [names[i] for i in idxs], None,
+                       idxs))
+    return groups
 
 
 def _build_mock_survey(C, args):
@@ -725,17 +798,30 @@ def main(argv=None):
 
     t0 = time.time()
     if args.spec:
-        sess, sz_stack, xray_stack, centers, names, truths = \
-            _build_spec_survey(args.spec, args)
+        groups = _build_spec_survey(args.spec, args)
     else:
         sess, sz_stack, xray_stack, centers, names, truths = \
             _build_mock_survey(args.mock, args)
-    C = len(names)
+        groups = [(sess, sz_stack, xray_stack, centers, names, truths,
+                   list(range(len(names))))]
+    C = sum(len(g[6]) for g in groups)
+    names = [None] * C
+    for g in groups:
+        for i, c in enumerate(g[6]):
+            names[c] = g[4][i]
+    xray_any = any(g[2] is not None for g in groups)
     print(f"survey of {C} clusters built in {time.time()-t0:.1f}s "
-          f"({'SZ-only' if xray_stack is None else 'joint SZ+X'}; "
+          f"({'joint SZ+X' if xray_any else 'SZ-only'}; "
+          f"{len(groups)} stack group(s); "
           f"backend {jax.default_backend()})")
 
     if mh_info is not None:
+        if len(groups) > 1:
+            raise SystemExit(
+                "--multihost needs a homogeneous survey (one stack "
+                f"group; this spec has {len(groups)}): split the spec "
+                "by instrument configuration for multihost runs")
+        sess, sz_stack, xray_stack, centers, _, truths, _ = groups[0]
         if (args.step_kernel and jax.default_backend() == "cpu"
                 and not args.kernel_interpret):
             print("note: --step-kernel needs the TPU hardware PRNG; "
@@ -766,19 +852,29 @@ def main(argv=None):
             mesh = make_mesh(args.mesh, axis_names=("cluster",))
 
     t0 = time.time()
-    res = fit_survey(sess.model, sz_stack, xray_stack, centers,
-                     cluster_names=names, n_walkers=args.walkers,
-                     n_burn=args.burn, n_steps=args.steps,
-                     thin=args.thin, seed=args.seed, truths=truths,
-                     session=sess, step_kernel=use_kernel,
-                     kernel_interpret=args.kernel_interpret, mesh=mesh)
+    results, orders = [], []
+    for gi, (gsess, sz_stack, xray_stack, centers, gnames, truths,
+             idxs) in enumerate(groups):
+        if len(groups) > 1:
+            print(f"group {gi + 1}/{len(groups)}: "
+                  f"{len(idxs)} cluster(s) {gnames}")
+        results.append(fit_survey(
+            gsess.model, sz_stack, xray_stack, centers,
+            cluster_names=gnames, n_walkers=args.walkers,
+            n_burn=args.burn, n_steps=args.steps,
+            thin=args.thin, seed=args.seed + gi, truths=truths,
+            session=gsess, step_kernel=use_kernel,
+            kernel_interpret=args.kernel_interpret, mesh=mesh))
+        orders.append(idxs)
+    res = (results[0] if len(results) == 1
+           else _merge_survey_results(results, orders, C))
     evals = C * args.walkers * (args.burn + args.steps)
     wall = time.time() - t0
     print(f"fit {C} x {args.walkers} walkers x "
           f"{args.burn}+{args.steps} steps in {wall:.1f}s "
           f"({evals/wall:.0f} evals/s); acceptance "
           f"{np.round(res.acceptance.mean(axis=1), 3)}")
-    if res.timings is not None:
+    if res.timings is not None and "setup_s" in res.timings:
         ts, tk = res.timings["setup_s"], res.timings["sampling_s"]
         print(f"  kernel path: {ts:.1f}s one-time setup (builders/init) "
               f"+ {tk:.1f}s burn+sampling (incl. first-call compile; "

@@ -140,3 +140,90 @@ def test_fit_survey_kernel_mesh_path(ref_data):
     assert res.chain.shape == (2, C, W, D)
     assert np.all(np.isfinite(res.log_prob))
     assert res.timings is not None
+
+
+# ---- heterogeneous surveys (auto-grouping, VERDICT r2 #5) -------------------
+
+
+def _write_hetero_spec(tmp_path, ref_data):
+    """3-cluster spec in TWO stack groups: clusters 0 and 2 use the full
+    bundled 10-band configuration, cluster 1 drops the two softest bands
+    (different n_band leaf shapes -> different stack signature)."""
+    cfgs = []
+    for i, nb in enumerate((10, 8, 10)):
+        cfg = JoXSZConfig.cl1226(str(ref_data))
+        cfg.name = f"cl{i}"
+        if nb != 10:
+            cfg.xray.bands_eV = tuple(cfg.xray.bands_eV[10 - nb:])
+            cfg.xray.table_path = None      # force the per-band artifact
+        p = tmp_path / f"cl{i}.json"
+        p.write_text(cfg.to_json())
+        cfgs.append({"name": f"cl{i}", "config": str(p)})
+    spec = tmp_path / "survey.json"
+    spec.write_text(json.dumps({"clusters": cfgs}))
+    return spec
+
+
+def test_spec_survey_groups_heterogeneous(ref_data, tmp_path):
+    """_build_spec_survey groups by stack signature instead of failing:
+    the 10-band clusters batch together, the 8-band one fits alone."""
+
+    class _Args:
+        sz_only = False
+        mle = False
+
+    spec = _write_hetero_spec(tmp_path, ref_data)
+    groups = _build_spec_survey(str(spec), _Args())
+    assert len(groups) == 2
+    idx_sets = sorted(tuple(g[6]) for g in groups)
+    assert idx_sets == [(0, 2), (1,)]
+    for g in groups:
+        assert g[1].flux.shape[0] == len(g[6])       # stacked SZ leaves
+        n_band = g[2].counts.shape[1]
+        assert n_band == (10 if len(g[6]) == 2 else 8)
+
+
+def test_survey_cli_heterogeneous_merged_summary(ref_data, tmp_path):
+    """End-to-end CLI on a 2-group heterogeneous spec: one merged
+    summary in spec order, no StackMismatch/shape error user-facing."""
+    from joxsz_tpu.survey import main
+
+    spec = _write_hetero_spec(tmp_path, ref_data)
+    out = tmp_path / "hetero_summary.json"
+    main(["--spec", str(spec), "--cpu", "--walkers", "16",
+          "--burn", "30", "--steps", "30", "--thin", "5",
+          "--seed", "4", "--out", str(out)])
+    summary = json.loads(out.read_text())
+    assert [c["name"] for c in summary["clusters"]] == ["cl0", "cl1",
+                                                        "cl2"]
+    for c in summary["clusters"]:
+        assert np.isfinite(list(c["median"].values())).all()
+        assert 0.0 <= c["acceptance"] <= 1.0
+
+
+def test_merge_survey_results_restores_spec_order():
+    from joxsz_tpu.survey import _merge_survey_results
+
+    rng = np.random.default_rng(5)
+    D, W, n_saved = 3, 4, 6
+
+    def mk(names, idxs):
+        C = len(idxs)
+        return SurveyResult(
+            cluster_names=names, param_names=["a", "b", "c"],
+            chain=rng.standard_normal((n_saved, C, W, D)),
+            log_prob=rng.standard_normal((n_saved, C, W)),
+            acceptance=np.full((C, W), 0.25),
+            medians=np.arange(C * D, dtype=float).reshape(C, D)
+            + idxs[0] * 100,
+            sds=np.ones((C, D)))
+
+    r1 = mk(["c0", "c2"], [0, 2])
+    r2 = mk(["c1"], [1])
+    merged = _merge_survey_results([r1, r2], [[0, 2], [1]], 3)
+    assert merged.cluster_names == ["c0", "c1", "c2"]
+    np.testing.assert_array_equal(merged.chain[:, 0], r1.chain[:, 0])
+    np.testing.assert_array_equal(merged.chain[:, 1], r2.chain[:, 0])
+    np.testing.assert_array_equal(merged.chain[:, 2], r1.chain[:, 1])
+    np.testing.assert_array_equal(merged.medians[1], r2.medians[0])
+    assert merged.flat_chain(1).shape == (n_saved * W, D)
