@@ -1194,6 +1194,170 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     return step_block
 
 
+def make_coupled_half_kernel(sess, n_walkers_total: int, n_shards: int,
+                             a: float = 2.0, interpret: bool = False,
+                             vmem_limit_mb: int = 96,
+                             partner: str = "onehot",
+                             ll_tile: int = 256):
+    """ONE half-substep of a single W-total Goodman-Weare ensemble,
+    updating only this shard's row block against the FULL complementary
+    half — the building block of the coupled multi-chip sampler
+    (``parallel.kernel_sharded.run_coupled_sharded_ensemble``), which
+    all-gathers the complementary half between kernel invocations so one
+    ensemble genuinely spans the chips (closes the small-W asymmetry vs
+    the XLA sharded path; the independent-per-chip layout remains the
+    fast path at >= 64 walkers/chip — measured equivalent there,
+    docs/PERFORMANCE.md).
+
+    Bit-exactness contract (pinned by
+    ``test_coupled_sharded_bitmatches_single_device``): every per-row
+    computation (stretch blend, one-hot partner row, row-tiled
+    likelihood, accept) is row-independent, and the random stream is
+    addressed by GLOBAL row — each shard draws the full (H, 4) block
+    and keeps its rows — so the sampler is BIT-EXACT ACROSS SHARD
+    COUNTS: n_shards in {1, 2, 4, 8} give identical chains (measured).
+    Vs the fused ``make_step_kernel`` at equal total W and seed
+    (interpret mode) the trajectories match but log-probs agree only to
+    float32 ULPs (measured max rel 5.2e-7): the two kernels are
+    different XLA programs and the compiler contracts the same
+    likelihood arithmetic into different FMA forms — exact lp equality
+    across differently-fused programs is not a stable property.  On
+    hardware the fused kernel seeds once per n_inner-step invocation
+    while this kernel reseeds per substep (``prng_seed(seed, i,
+    which)``) — a different, equally valid stream; all shards draw
+    identical bits, so the global update is consistent.
+
+    State is PACKED (``make_step_kernel(packed_state=True)`` layout):
+    (rows, Dp) with log-prob in lane Dp-2 and accept count in lane
+    Dp-1.  Returns ``half_step(x_upd (H_loc, Dp), x_fixed (H, Dp),
+    seed, i, which, row_off) -> x_upd'`` (x_fixed enters raw — its
+    packed lanes are zeroed in the proposal exactly as the fused kernel
+    does), or None outside the kernel specialisation."""
+    if partner not in ("onehot", "roll"):
+        raise ValueError(f"partner must be 'onehot' or 'roll', "
+                         f"got {partner!r}")
+    spec = _build_spec(sess)
+    if spec is None:
+        return None
+    ll_body = spec["ll_body"]
+    const_vals = spec["const_vals"]
+    const_shapes = spec["const_shapes"]
+    D, Dp = spec["D"], spec["Dp"]
+    W = n_walkers_total
+    if W % 2:
+        raise ValueError("need an even number of walkers")
+    H = W // 2
+    if H % n_shards:
+        raise ValueError(f"half-ensemble ({H}) must divide over "
+                         f"{n_shards} shards")
+    H_loc = H // n_shards
+    f32 = jnp.float32
+    sa = float(np.sqrt(a))
+    inv24 = float(2.0 ** -24)
+    DL, DA = Dp - 2, Dp - 1
+    if D + 2 > Dp:      # pragma: no cover — D <= 16 for every family
+        return None
+    use_ll_loop = H_loc > ll_tile and H_loc % ll_tile == 0
+
+    def kernel(sc_ref, *refs):
+        refs = list(refs)
+        lsc_ref = ysc_ref = None
+        if use_ll_loop:
+            lsc_ref = refs.pop()
+            ysc_ref = refs.pop()
+        xu_ref = refs.pop()           # output, aliased to operand 1
+        refs.pop(0)                   # the aliased x_upd input slot
+        xf_ref = refs.pop(0)          # (H, Dp) full complementary half
+        const_refs = refs
+        if not interpret:
+            pltpu.prng_seed(sc_ref[0], sc_ref[1], sc_ref[2])
+        i, which, off = sc_ref[1], sc_ref[2], sc_ref[3]
+        random_bits = _make_random_bits(interpret, sc_ref, (H, 4))
+        const_vals_in = [r[:] for r in const_refs]
+
+        # full-(H, 4) draw addressed by global row, then rotate this
+        # shard's rows to the top (roll supports a traced shift; a
+        # dynamic_slice start would not be Mosaic-safe on all layouts)
+        bits = random_bits(i, which)
+        u_full = _uniforms(bits, inv24)
+        # non-negative equivalent of a -off roll (traced shifts into
+        # pltpu.roll follow the existing kernels' non-negative pattern)
+        noff = jnp.remainder(jnp.int32(H) - off, jnp.int32(H))
+        if interpret:
+            u = jnp.roll(u_full, noff, axis=0)[:H_loc]
+        else:
+            u = pltpu.roll(u_full, noff, 0)[:H_loc]
+
+        xm = xu_ref[:]                              # (H_loc, Dp)
+        xf = xf_ref[:]                              # (H, Dp)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (H_loc, Dp), 1)
+        is_pack = (lane == DL) | (lane == DA)
+        lm = xm[:, DL:DL + 1]
+        z = _stretch_z(u[:, 0:1], sa)
+        if partner == "roll":
+            # same hashed state-independent rotation as make_step_kernel
+            shift = jnp.remainder(
+                (jnp.int32(sc_ref[0]) * jnp.int32(1103515245)
+                 + i * jnp.int32(40503)
+                 + jnp.int32(which) * jnp.int32(10007)) >> 7,
+                jnp.int32(H))
+            shift2 = jnp.remainder(shift + noff, jnp.int32(H))
+            if interpret:
+                xp = jnp.roll(xf, shift2, axis=0)[:H_loc]
+            else:
+                xp = pltpu.roll(xf, shift2, 0)[:H_loc]
+        else:
+            pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
+            row = jax.lax.broadcasted_iota(jnp.int32, (H_loc, H), 1)
+            onehot = (row == pidx).astype(f32)
+            xp = jnp.dot(onehot, xf, preferred_element_type=f32)
+        y = xp + z * (xm - xp)
+        y = jnp.where(is_pack, 0.0, y)
+        lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, H_loc, ll_tile,
+                              use_ll_loop, ysc_ref, lsc_ref)
+        accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D)
+        y = jnp.where(lane == DL, lp_y, y)
+        y = jnp.where(lane == DA, xm[:, DA:DA + 1] + 1.0, y)
+        xu_ref[:] = jnp.where(accept, y, xm)
+
+    @jax.jit
+    def _half_step(x_upd, x_fixed, seed, i, which, row_off, consts):
+        sc = jnp.stack([
+            jnp.asarray(seed, jnp.int32), jnp.asarray(i, jnp.int32),
+            jnp.asarray(which, jnp.int32),
+            jnp.asarray(row_off, jnp.int32)])
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] + \
+            [pl.BlockSpec(memory_space=pltpu.VMEM)
+             for _ in range(2 + len(const_shapes))]
+        kwargs = {"input_output_aliases": {1: 0}}
+        if not interpret:
+            kwargs["compiler_params"] = pltpu.CompilerParams(
+                vmem_limit_bytes=vmem_limit_mb * 1024 * 1024)
+        if use_ll_loop:
+            kwargs["scratch_shapes"] = [pltpu.VMEM((H_loc, Dp), f32),
+                                        pltpu.VMEM((H_loc, 1), f32)]
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((H_loc, Dp), f32),
+            in_specs=in_specs,
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            interpret=interpret,
+            **kwargs,
+        )(sc, x_upd, x_fixed, *consts)
+
+    consts = tuple(const_vals)
+
+    def half_step(x_upd, x_fixed, seed, i, which, row_off):
+        return _half_step(x_upd, x_fixed, seed, i, which, row_off,
+                          consts)
+
+    half_step._jitted = _half_step
+    half_step._consts = consts
+    half_step.D, half_step.Dp = D, Dp
+    half_step.H, half_step.H_loc = H, H_loc
+    return half_step
+
+
 def make_multicluster_consts(sess, sz_stack, xr_stack, spec=None,
                              device: bool = True):
     """Stack the per-cluster kernel constants (operators, flux, counts,

@@ -311,6 +311,117 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
     )
 
 
+def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
+                                 thin: int = 1, a: float = 2.0,
+                                 interpret: bool = False,
+                                 axis: str = "walker",
+                                 partner: str = "onehot",
+                                 ) -> EnsembleResult | None:
+    """ONE W-total Goodman-Weare ensemble spanning the mesh's chips on
+    the kernel path (the single-ensemble analogue of
+    ``run_sharded_kernel_ensembles``'s independent-per-chip layout).
+
+    Each full step all-gathers the complementary half across the mesh
+    (``jax.lax.all_gather`` over ICI), then every chip advances its row
+    block through ONE fused half-substep kernel
+    (``ops.pallas_joint.make_coupled_half_kernel``) — so each walker's
+    partner is drawn from the FULL complementary half, exactly the
+    single-device move.  BIT-EXACT across shard counts (n_dev in
+    {1, 2, 4, 8} measured identical); vs ``make_step_kernel`` at equal
+    total W and seed the trajectories match with log-probs to float32
+    ULPs (different XLA programs contract the same likelihood math
+    into different FMA forms — see the kernel docstring; pinned by
+    ``test_coupled_sharded_bitmatches_single_device``).
+
+    When to use: only when walkers-per-chip must drop below the
+    measured independent-ensemble equivalence floor (~64;
+    docs/PERFORMANCE.md A.5) — the per-substep kernel invocation +
+    all-gather costs ~2 dispatches/step where the independent layout
+    amortises one dispatch over 500 steps.  Above the floor, use
+    ``run_sharded_kernel_ensembles``.
+
+    ``p0``: (W, D); H = W/2 must divide over the mesh.  Returns an
+    ``EnsembleResult`` (chain (n_steps//thin, W, D)) or None outside
+    the kernel specialisation."""
+    from ..ops.pallas_joint import make_coupled_half_kernel, \
+        make_joint_core
+
+    W, D = np.asarray(p0).shape
+    if W % 2:
+        raise ValueError("need an even number of walkers")
+    H = W // 2
+    n_dev = mesh.shape[axis]
+    if H % n_dev:
+        raise ValueError(f"half-ensemble ({H}) must divide over "
+                         f"{n_dev} devices")
+    if n_steps % thin:
+        raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
+                         f"thin ({thin})")
+    half = make_coupled_half_kernel(sess, W, n_dev, a=a,
+                                    interpret=interpret, partner=partner)
+    if half is None:
+        return None
+    core = make_joint_core(sess, interpret=interpret)
+    if core is None:
+        return None
+    Dp, H_loc = half.Dp, half.H_loc
+    DL, DA = Dp - 2, Dp - 1
+    f32 = jnp.float32
+
+    x0 = jnp.asarray(p0, f32)
+    lp0 = core(x0)
+    # packed state (make_step_kernel layout): positions + lp/acc lanes
+    xp = jnp.zeros((W, Dp), f32).at[:, :D].set(x0)
+    xp = xp.at[:, DL].set(lp0.astype(f32))
+    xA0, xB0 = xp[:H], xp[H:]
+    jitted = half._jitted
+    consts = half._consts
+    n_keep = n_steps // thin
+
+    def local(seed_a, xA, xB, *consts_in):
+        off = jax.lax.axis_index(axis) * H_loc
+        sd = seed_a[0]
+
+        def one_step(carry, i):
+            xA, xB = carry
+            xBf = jax.lax.all_gather(xB, axis, axis=0, tiled=True)
+            xA = jitted(xA, xBf, sd, i, 0, off, tuple(consts_in))
+            xAf = jax.lax.all_gather(xA, axis, axis=0, tiled=True)
+            xB = jitted(xB, xAf, sd, i, 1, off, tuple(consts_in))
+            return (xA, xB), None
+
+        def one_frame(carry, k):
+            carry, _ = jax.lax.scan(one_step, carry,
+                                    k * thin + jnp.arange(thin))
+            xA, xB = carry
+            # keep halves as their own axis: sharding the concatenated
+            # blocks over `axis` would interleave [A_d; B_d] per device
+            # instead of the global [A_all; B_all] walker order
+            return carry, jnp.stack([xA, xB])
+
+        (xA, xB), frames = jax.lax.scan(one_frame, (xA, xB),
+                                        jnp.arange(n_keep))
+        return xA, xB, frames
+
+    in_specs = ((P(), P(axis), P(axis))
+                + tuple(P() for _ in consts))
+    out_specs = (P(axis), P(axis), P(None, None, axis))
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False))
+    seed_a = jnp.asarray([seed], jnp.int32)
+    xA, xB, frames = fn(seed_a, xA0, xB0, *consts)
+    # frames: (n_keep, 2, H, Dp) packed -> (n_keep, W, Dp)
+    frames = np.asarray(frames).reshape(n_keep, W, Dp)
+    xfin = np.concatenate([np.asarray(xA), np.asarray(xB)])
+    return EnsembleResult(
+        chain=frames[:, :, :D],
+        log_prob=frames[:, :, DL],
+        acceptance_fraction=xfin[:, DA] / float(n_steps),
+        final_state=(jnp.asarray(xfin[:, :D]),
+                     jnp.asarray(xfin[:, DL]), seed),
+    )
+
+
 def make_sharded_multicluster_step(sess, sz_stack, xr_stack, mesh,
                                    n_inner: int, n_walkers: int,
                                    thin=None, a: float = 2.0,
