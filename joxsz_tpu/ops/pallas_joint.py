@@ -1223,9 +1223,10 @@ def make_coupled_half_kernel(sess, n_walkers_total: int, n_shards: int,
     likelihood arithmetic into different FMA forms — exact lp equality
     across differently-fused programs is not a stable property.  On
     hardware the fused kernel seeds once per n_inner-step invocation
-    while this kernel reseeds per substep (``prng_seed(seed, i,
-    which)``) — a different, equally valid stream; all shards draw
-    identical bits, so the global update is consistent.
+    while this kernel reseeds per substep (``prng_seed(seed,
+    2*i + which)`` — Mosaic caps prng_seed at 2 values) — a different,
+    equally valid stream; all shards draw identical bits, so the
+    global update is consistent.
 
     State is PACKED (``make_step_kernel(packed_state=True)`` layout):
     (rows, Dp) with log-prob in lane Dp-2 and accept count in lane
@@ -1270,7 +1271,9 @@ def make_coupled_half_kernel(sess, n_walkers_total: int, n_shards: int,
         xf_ref = refs.pop(0)          # (H, Dp) full complementary half
         const_refs = refs
         if not interpret:
-            pltpu.prng_seed(sc_ref[0], sc_ref[1], sc_ref[2])
+            # Mosaic caps prng_seed at 2 values: fold (i, which) into
+            # one per-substep stream id
+            pltpu.prng_seed(sc_ref[0], sc_ref[1] * 2 + sc_ref[2])
         i, which, off = sc_ref[1], sc_ref[2], sc_ref[3]
         random_bits = _make_random_bits(interpret, sc_ref, (H, 4))
         const_vals_in = [r[:] for r in const_refs]

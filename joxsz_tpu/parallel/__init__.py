@@ -7,7 +7,7 @@ from .sharded import (
 from .kernel_sharded import (
     make_sharded_kernel_step, run_sharded_kernel_ensembles,
     make_sharded_tempered_step, run_sharded_tempered_ensembles,
-    make_sharded_multicluster_step,
+    make_sharded_multicluster_step, run_coupled_sharded_ensemble,
 )
 from .multihost import (
     initialize as initialize_multihost, global_mesh, replicated_to_global,
@@ -20,7 +20,7 @@ __all__ = [
     "make_sharded_drive", "run_sharded_ensemble", "run_multi_cluster",
     "make_sharded_kernel_step", "run_sharded_kernel_ensembles",
     "make_sharded_tempered_step", "run_sharded_tempered_ensembles",
-    "make_sharded_multicluster_step",
+    "make_sharded_multicluster_step", "run_coupled_sharded_ensemble",
     "initialize_multihost", "global_mesh", "replicated_to_global",
     "local_block", "run_multihost_multi_cluster",
     "make_multihost_multicluster_step",

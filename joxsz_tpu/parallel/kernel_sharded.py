@@ -27,6 +27,8 @@ that floor.
 
 from __future__ import annotations
 
+from collections import OrderedDict
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -311,6 +313,74 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
     )
 
 
+# compiled coupled drivers are cached: every run_coupled_sharded_ensemble
+# call would otherwise rebuild a fresh jax.jit wrapper, and on this host
+# even a persistent-cache hit reloads the whole scan program (seconds
+# through the remote tunnel), dwarfing short runs.  FitSession is an
+# eq-dataclass (unhashable), so the key carries id(sess) and the hit is
+# guarded by an IDENTITY check on the stored session (a dead session's
+# id could be reused; the strong ref in the value keeps ids of cached
+# entries live, the `is` check rejects any impostor).
+_COUPLED_CACHE: OrderedDict = OrderedDict()
+_COUPLED_CACHE_MAX = 8
+
+
+def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
+                        partner, mesh):
+    from ..ops.pallas_joint import make_coupled_half_kernel
+
+    n_dev = mesh.shape[axis]
+    key = (id(sess), W, n_dev, n_steps, thin, a, interpret, axis,
+           partner, tuple(d.id for d in mesh.devices.flat))
+    hit = _COUPLED_CACHE.get(key)
+    if hit is not None and hit[0] is sess:
+        _COUPLED_CACHE.move_to_end(key)
+        return hit[1], hit[2]
+    half = make_coupled_half_kernel(sess, W, n_dev, a=a,
+                                    interpret=interpret, partner=partner)
+    if half is None:
+        return None
+    H_loc = half.H_loc
+    jitted = half._jitted
+    n_keep = n_steps // thin
+    n_consts = len(half._consts)
+
+    def local(seed_a, xA, xB, *consts_in):
+        off = jax.lax.axis_index(axis) * H_loc
+        sd = seed_a[0]
+
+        def one_step(carry, i):
+            xA, xB = carry
+            xBf = jax.lax.all_gather(xB, axis, axis=0, tiled=True)
+            xA = jitted(xA, xBf, sd, i, 0, off, tuple(consts_in))
+            xAf = jax.lax.all_gather(xA, axis, axis=0, tiled=True)
+            xB = jitted(xB, xAf, sd, i, 1, off, tuple(consts_in))
+            return (xA, xB), None
+
+        def one_frame(carry, k):
+            carry, _ = jax.lax.scan(one_step, carry,
+                                    k * thin + jnp.arange(thin))
+            xA, xB = carry
+            # keep halves as their own axis: sharding the concatenated
+            # blocks over `axis` would interleave [A_d; B_d] per device
+            # instead of the global [A_all; B_all] walker order
+            return carry, jnp.stack([xA, xB])
+
+        (xA, xB), frames = jax.lax.scan(one_frame, (xA, xB),
+                                        jnp.arange(n_keep))
+        return xA, xB, frames
+
+    in_specs = ((P(), P(axis), P(axis))
+                + tuple(P() for _ in range(n_consts)))
+    out_specs = (P(axis), P(axis), P(None, None, axis))
+    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
+                               out_specs=out_specs, check_vma=False))
+    _COUPLED_CACHE[key] = (sess, fn, half)
+    if len(_COUPLED_CACHE) > _COUPLED_CACHE_MAX:
+        _COUPLED_CACHE.popitem(last=False)
+    return fn, half
+
+
 def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
                                  thin: int = 1, a: float = 2.0,
                                  interpret: bool = False,
@@ -343,8 +413,7 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
     ``p0``: (W, D); H = W/2 must divide over the mesh.  Returns an
     ``EnsembleResult`` (chain (n_steps//thin, W, D)) or None outside
     the kernel specialisation."""
-    from ..ops.pallas_joint import make_coupled_half_kernel, \
-        make_joint_core
+    from ..ops.pallas_joint import make_joint_core
 
     W, D = np.asarray(p0).shape
     if W % 2:
@@ -357,14 +426,15 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
     if n_steps % thin:
         raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
                          f"thin ({thin})")
-    half = make_coupled_half_kernel(sess, W, n_dev, a=a,
-                                    interpret=interpret, partner=partner)
-    if half is None:
+    built = _get_coupled_driver(sess, W, n_steps, thin, a, interpret,
+                                axis, partner, mesh)
+    if built is None:
         return None
+    fn, half = built
     core = make_joint_core(sess, interpret=interpret)
     if core is None:
         return None
-    Dp, H_loc = half.Dp, half.H_loc
+    Dp = half.Dp
     DL, DA = Dp - 2, Dp - 1
     f32 = jnp.float32
 
@@ -374,40 +444,8 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
     xp = jnp.zeros((W, Dp), f32).at[:, :D].set(x0)
     xp = xp.at[:, DL].set(lp0.astype(f32))
     xA0, xB0 = xp[:H], xp[H:]
-    jitted = half._jitted
     consts = half._consts
     n_keep = n_steps // thin
-
-    def local(seed_a, xA, xB, *consts_in):
-        off = jax.lax.axis_index(axis) * H_loc
-        sd = seed_a[0]
-
-        def one_step(carry, i):
-            xA, xB = carry
-            xBf = jax.lax.all_gather(xB, axis, axis=0, tiled=True)
-            xA = jitted(xA, xBf, sd, i, 0, off, tuple(consts_in))
-            xAf = jax.lax.all_gather(xA, axis, axis=0, tiled=True)
-            xB = jitted(xB, xAf, sd, i, 1, off, tuple(consts_in))
-            return (xA, xB), None
-
-        def one_frame(carry, k):
-            carry, _ = jax.lax.scan(one_step, carry,
-                                    k * thin + jnp.arange(thin))
-            xA, xB = carry
-            # keep halves as their own axis: sharding the concatenated
-            # blocks over `axis` would interleave [A_d; B_d] per device
-            # instead of the global [A_all; B_all] walker order
-            return carry, jnp.stack([xA, xB])
-
-        (xA, xB), frames = jax.lax.scan(one_frame, (xA, xB),
-                                        jnp.arange(n_keep))
-        return xA, xB, frames
-
-    in_specs = ((P(), P(axis), P(axis))
-                + tuple(P() for _ in consts))
-    out_specs = (P(axis), P(axis), P(None, None, axis))
-    fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
-                               out_specs=out_specs, check_vma=False))
     seed_a = jnp.asarray([seed], jnp.int32)
     xA, xB, frames = fn(seed_a, xA0, xB0, *consts)
     # frames: (n_keep, 2, H, Dp) packed -> (n_keep, W, Dp)
