@@ -67,8 +67,13 @@ def _attribution_phase(sess, make_step_kernel, core, theta0, rng, jnp, jax):
 
     spec = _build_spec(sess)
     s = spec["spec"]
-    per_walker = 2.0 * (s["NP"] * s["PIX"] + s["PIX"] * s["ND"]
-                        + 2 * s["NSK"] * s["NBS"] + s["NBS"] * s["NBS"])
+    if s.get("xray_fuse") == "packed":
+        # one (NSK, 2*NBS) hat matmul + the doubled (2*NBS, NBS)
+        # projection (ops/pallas_joint.py XRAY_FUSE)
+        xr = s["NSK"] * 2 * s["NBS"] + 2 * s["NBS"] * s["NBS"]
+    else:
+        xr = 2 * s["NSK"] * s["NBS"] + s["NBS"] * s["NBS"]
+    per_walker = 2.0 * (s["NP"] * s["PIX"] + s["PIX"] * s["ND"] + xr)
     H, Dp = W_A // 2, spec["Dp"]
     partner = 2 * (2.0 * H * H * Dp)            # two half-sweeps
     flops_per_step = per_walker * W_A + partner

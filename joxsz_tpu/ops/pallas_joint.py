@@ -40,6 +40,20 @@ _REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
                "log(T_X/T_{SZ})", "Z", "P_0", "a", "b", "r_p",
                "backscale", "calibration"]
 
+# X-ray hat-basis lerp layout (same math, different MXU tiling):
+#   "packed" (default) packs SPG = KG//nT shells into each 128-aligned
+#     lane group (2 shells/group at the bundled nT=64 — contraction
+#     1920 -> 1024) and fuses the Z=0/Z=1 tables into ONE (NSK, 2*NBS)
+#     operator whose Z-mix rides the doubled projection matmul — ~40%
+#     of the legacy layout's issued MXU FLOPs for the dominant X-ray
+#     chunk (docs/PERFORMANCE.md cost structure);
+#   "legacy" keeps one shell per group and two separate table matmuls.
+# Module-level so the same-claim A/B script (scripts/
+# tpu_xray_fuse_bench.py) can flip it without threading a kwarg through
+# every kernel builder; both layouts are bit-checked against the XLA
+# path in tests/test_pallas_joint.py.
+XRAY_FUSE = "packed"
+
 
 _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
                   "c_t"]
@@ -195,22 +209,46 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
         LR1 = np.asarray(xr.table.lograte_Z1, dtype=f64)
 
         # hat-basis table operators + block-diagonal projection (see the
-        # _build_spec docstring for the formulation)
+        # _build_spec docstring for the formulation).  Shell j lives in
+        # lane group g = j // SPG at offset h*nT, h = j % SPG (SPG=1
+        # recovers the one-shell-per-group legacy layout); dead lanes
+        # keep KV at -1e9 so their hat is exactly zero.
+        SPG = spec["SPG"]
+        fuse = spec["xray_fuse"]
+
+        def _rows(j):
+            g, h = divmod(j, SPG)
+            return slice(g * KG + h * nT, g * KG + h * nT + nT)
+
         kv = np.full((1, NSK), -1e9)
         for j in range(n_sh):
-            kv[0, j * KG: j * KG + nT] = np.arange(nT)
-        M0 = np.zeros((NSK, NBS))
-        M1 = np.zeros((NSK, NBS))
-        for j in range(n_sh):
-            for b in range(n_band):
-                M0[j * KG: j * KG + nT, b * n_sh + j] = LR0[b]
-                M1[j * KG: j * KG + nT, b * n_sh + j] = LR1[b]
+            kv[0, _rows(j)] = np.arange(nT)
         VB = np.zeros((NBS, NBS))
         for b in range(n_band):
             VB[b * n_sh:(b + 1) * n_sh,
                b * n_sh:(b + 1) * n_sh] = volsT
+        if fuse == "packed":
+            # ONE (NSK, 2*NBS) operator [log-rates(Z=0) | log-rates(Z=1)];
+            # the Z-mix is an elementwise lane mask and the projection
+            # operator is stacked [VB; VB] so no misaligned lane slice
+            # ever materialises: proj = (exp(l01)*zmix*ne2) @ VB2
+            # == ((1-Z) exp(l0) + Z exp(l1)) * ne2 @ VB exactly.
+            M01 = np.zeros((NSK, 2 * NBS))
+            for j in range(n_sh):
+                for b in range(n_band):
+                    M01[_rows(j), b * n_sh + j] = LR0[b]
+                    M01[_rows(j), NBS + b * n_sh + j] = LR1[b]
+            table_ops = [M01, np.vstack([VB, VB])]
+        else:
+            M0 = np.zeros((NSK, NBS))
+            M1 = np.zeros((NSK, NBS))
+            for j in range(n_sh):
+                for b in range(n_band):
+                    M0[_rows(j), b * n_sh + j] = LR0[b]
+                    M1[_rows(j), b * n_sh + j] = LR1[b]
+            table_ops = [M0, M1, VB]
         xray_arrays = [
-            midpt[None, :], kv, M0, M1, VB,
+            midpt[None, :], kv, *table_ops,
             sig_c.reshape(1, NBS), bg_c.reshape(1, NBS),
             counts_mask.reshape(1, NBS), counts_filled.reshape(1, NBS),
         ]
@@ -311,18 +349,24 @@ def _build_spec(sess, ablate: str = ""):
         nT = Tlog.size                                  # 64
         t0g = float(Tlog[0])
         dtg = float(Tlog[1] - Tlog[0])
-        # per-shell lane group: 128-aligned. KG = nT (64, halving the
-        # hat matmul contraction) was measured NOT to help — the
-        # unaligned 64-lane broadcasts/concat eat the savings (0.060 vs
-        # 0.045-0.062 ms/step at W=512) — so keep the aligned layout.
+        # per-shell lane group: 128-aligned.  KG = nT (64, halving the
+        # hat matmul contraction via UNALIGNED groups) was measured NOT
+        # to help — the 64-lane broadcasts/concat eat the savings — but
+        # the "packed" layout keeps groups 128-aligned and instead
+        # packs SPG = KG//nT shells per group (pos streams built from
+        # aligned broadcasts + one lane-iota select), shrinking the
+        # contraction without any unaligned op.
         KG = _round_up(nT, 128)                        # 128
-        NSK = n_sh * KG                                # 1920
+        SPG = max(1, KG // nT) if XRAY_FUSE == "packed" else 1
+        NG = -(-n_sh // SPG)                           # groups
+        NSK = NG * KG                                  # 1024 packed
         NBS = n_band * n_sh                            # 150 (band, shell)
     else:
         midpt = np.zeros(0)
         n_sh = n_band = nT = 0
         t0g = dtg = 0.0
         KG = NSK = NBS = 0
+        SPG, NG = 1, 0
         Tlog = np.zeros(0)
 
     # ---- priors ---------------------------------------------------------------
@@ -338,7 +382,7 @@ def _build_spec(sess, ablate: str = ""):
     sg_p[D:] = 1.0
 
     spec = dict(
-        NP=NP, PIX=PIX, ND=ND, KG=KG, NSK=NSK, NBS=NBS,
+        NP=NP, PIX=PIX, ND=ND, KG=KG, NSK=NSK, NBS=NBS, SPG=SPG, NG=NG,
         n_press=n_press, n_sh=n_sh, n_band=n_band, nT=nT, sep=sep,
         r_pp=r_pp, conv_T=np.asarray(conv_T), conv_val=np.asarray(conv_val),
         Tlog=Tlog, lo_p=lo_p, hi_p=hi_p, isg_p=isg_p, mu_p=mu_p, sg_p=sg_p,
@@ -346,9 +390,12 @@ def _build_spec(sess, ablate: str = ""):
         has_xray=has_xray, midpt=midpt,
     )
     cnames = ["r", "pmask", "LT", "GT", "flux_v", "wres", "wT0"]
+    fuse = XRAY_FUSE  # frozen into this spec (the global is an A/B knob)
+    spec["xray_fuse"] = fuse
     if has_xray:
-        cnames += ["midr", "KV", "M0v", "M1v", "VBv", "sigf", "bgf",
-                   "cmf", "ctf"]
+        cnames += ["midr", "KV"]
+        cnames += ["M01"] if fuse == "packed" else ["M0v", "M1v"]
+        cnames += ["VBv", "sigf", "bgf", "cmf", "ctf"]
     cnames += ["plo", "phi", "pig", "pmu", "psg", "wint", "mui"]
     if family == "knots":
         cnames += ["AKP"] + (["AKM"] if has_xray else [])
@@ -632,7 +679,7 @@ def _build_spec(sess, ablate: str = ""):
 
         # ---- X-ray -------------------------------------------------------------
         midr = C["midr"]
-        KV, M0v, M1v, VBv = C["KV"], C["M0v"], C["M1v"], C["VBv"]
+        KV, VBv = C["KV"], C["VBv"]
         sigf, bgf, cmf, ctf = C["sigf"], C["bgf"], C["cmf"], C["ctf"]
         if family == "gnfw":
             xm = midr / rp_
@@ -668,18 +715,47 @@ def _build_spec(sess, ablate: str = ""):
         pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
 
         # hat-basis matmul lerp (see _build_spec): expand pos to the
-        # 128-aligned (B, n_sh*KG) lane layout, form the hat activations,
-        # contract against the table operators on the MXU
+        # 128-aligned lane-group layout, form the hat activations,
+        # contract against the table operator(s) on the MXU
         ne2m_w = nem * nem
-        pos_e = jnp.concatenate(
-            [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
-             for j in range(n_sh)], axis=1)             # (B, NSK)
-        hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
-        l0f = jnp.dot(hat, M0v, preferred_element_type=jnp.float32)
-        l1f = jnp.dot(hat, M1v, preferred_element_type=jnp.float32)
-        rates = jnp.exp(l0f) * (1.0 - Z) + jnp.exp(l1f) * Z   # (B, NBS)
-        ne2_e = jnp.concatenate([ne2m_w] * n_band, axis=1)    # (B, NBS)
-        emiss = rates * ne2_e
+        if fuse == "packed":
+            # SPG shells per group: SPG aligned broadcast streams merged
+            # by one lane-iota select (no unaligned broadcast/concat —
+            # the failure mode of the old KG=64 attempt)
+            streams = []
+            for h in range(SPG):
+                cols = [min(g * SPG + h, n_sh - 1) for g in range(NG)]
+                streams.append(jnp.concatenate(
+                    [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
+                     for j in cols], axis=1))            # (B, NSK)
+            pos_e = streams[0]
+            if SPG > 1:
+                lane = (jax.lax.broadcasted_iota(jnp.int32, (B, NSK), 1)
+                        % KG)
+                for h in range(1, SPG):
+                    pos_e = jnp.where(lane >= h * nT, streams[h], pos_e)
+            hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
+            l01 = jnp.dot(hat, C["M01"],
+                          preferred_element_type=jnp.float32)  # (B, 2*NBS)
+            # Z-mix as an elementwise lane mask; projection operator is
+            # [VB; VB], so proj == ((1-Z) e^l0 + Z e^l1) * ne2 @ VB
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * NBS), 1)
+            zmix = jnp.where(lane2 < NBS, 1.0 - Z, Z)
+            ne2_ee = jnp.concatenate([ne2m_w] * (2 * n_band), axis=1)
+            emiss = jnp.exp(l01) * zmix * ne2_ee         # (B, 2*NBS)
+        else:
+            pos_e = jnp.concatenate(
+                [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
+                 for j in range(n_sh)], axis=1)          # (B, NSK)
+            hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
+            l0f = jnp.dot(hat, C["M0v"],
+                          preferred_element_type=jnp.float32)
+            l1f = jnp.dot(hat, C["M1v"],
+                          preferred_element_type=jnp.float32)
+            rates = (jnp.exp(l0f) * (1.0 - Z)
+                     + jnp.exp(l1f) * Z)                 # (B, NBS)
+            ne2_e = jnp.concatenate([ne2m_w] * n_band, axis=1)
+            emiss = rates * ne2_e
         proj = jnp.dot(emiss, VBv,
                        preferred_element_type=jnp.float32)    # (B, NBS)
         pred = proj * sigf + bscale * bgf

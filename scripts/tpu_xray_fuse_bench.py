@@ -1,0 +1,113 @@
+"""X-ray hat-layout A/B: packed (SPG shells per 128-lane group, fused
+Z table) vs legacy (one shell/group, two table matmuls), ONE claim.
+
+The packed layout shrinks the dominant X-ray chunk's issued MXU FLOPs
+~2.5x: contraction 1920 -> 1024 on the hat matmul, one (NSK, 2*NBS)
+table operator instead of two (and one exp pass over (B, 2*NBS) with
+the Z-mix folded into the doubled projection matmul).  Same math —
+bit-checked against the XLA path in tests/test_pallas_joint.py.
+
+Phases (all same claim):
+  1. hardware value agreement: joint core, packed vs legacy vs XLA,
+     on a 1024-row batch;
+  2. per-step A/B at W in {4096, 16384, 32768}, plus the no_ll and
+     no_xray ablations at each W as same-claim normalisers (full -
+     no_xray isolates the X-ray chunk each layout actually costs).
+
+Run: setsid nohup python -u scripts/tpu_xray_fuse_bench.py \
+       > /tmp/xfuse.log 2>&1 &
+"""
+
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+t0 = time.time()
+
+
+def log(m):
+    print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
+
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from joxsz_tpu.config import JoXSZConfig
+from joxsz_tpu.build import build_session
+import joxsz_tpu.ops.pallas_joint as pj
+
+cfg = JoXSZConfig.cl1226()
+cfg.dtype = "float32"
+sess = build_session(cfg)
+theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+log(f"backend {jax.default_backend()}; session ready")
+
+rng = np.random.default_rng(0)
+
+# ---- phase 1: hardware value agreement --------------------------------------
+batch = jnp.asarray((theta0[None] * (1 + 0.03 * rng.standard_normal(
+    (1024, theta0.size)))).astype(np.float32))
+vals = {}
+for fuse in ("packed", "legacy"):
+    pj.XRAY_FUSE = fuse
+    core = pj.make_joint_core(sess, block_b=256)
+    vals[fuse] = np.asarray(core(batch))
+    log(f"core[{fuse}] done")
+pj.XRAY_FUSE = "packed"
+ref = np.asarray(jax.jit(jax.vmap(sess.log_like))(batch))
+fin = np.isfinite(ref)
+ok = (np.array_equal(np.isfinite(vals["packed"]), fin)
+      and np.array_equal(np.isfinite(vals["legacy"]), fin))
+for fuse in ("packed", "legacy"):
+    d = np.abs(vals[fuse][fin] - ref[fin]).max()
+    log(f"max|{fuse} - xla| = {d:.4f}")
+    ok &= bool(d < 0.5)
+dpl = np.abs(vals["packed"][fin] - vals["legacy"][fin]).max()
+log(f"max|packed - legacy| = {dpl:.4f}")
+ok &= bool(dpl < 0.1)
+print("PHASE1", "PASS" if ok else "FAIL", flush=True)
+
+
+# ---- phase 2: same-claim per-step A/B ---------------------------------------
+def timed_steps(W, n_inner, reps, fuse, **kw):
+    pj.XRAY_FUSE = fuse
+    x = jnp.asarray((theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size)))).astype(np.float32))
+    pj.XRAY_FUSE = "packed"
+    core = pj.make_joint_core(sess, block_b=256)
+    lp, acc = core(x), jnp.zeros(W, jnp.float32)
+    pj.XRAY_FUSE = fuse
+    step = pj.make_step_kernel(sess, n_inner=n_inner, n_walkers=W, **kw)
+    if step is None:
+        log(f"  W={W} fuse={fuse} {kw}: spec mismatch, skipped")
+        return None
+    tc = time.time()
+    x, lp, acc = step(x, lp, acc, 1)
+    jax.block_until_ready(x)
+    log(f"  compile+warm W={W} fuse={fuse} {kw}: {time.time()-tc:.1f}s")
+    t = time.time()
+    for i in range(reps):
+        x, lp, acc = step(x, lp, acc, 2 + i)
+    jax.block_until_ready(x)
+    return (time.time() - t) / (n_inner * reps)
+
+
+print("\nW       packed(us)  legacy(us)  no_xray(us)  no_ll(us)  "
+      "xray_packed  xray_legacy", flush=True)
+for W in (4096, 16384, 32768):
+    tp = timed_steps(W, 100, 10, "packed")
+    tl = timed_steps(W, 100, 10, "legacy")
+    tnx = timed_steps(W, 100, 10, "packed", ablate="no_xray")
+    tnl = timed_steps(W, 100, 10, "packed", ablate="no_ll")
+    if None in (tp, tl, tnx, tnl):
+        continue
+    print(f"{W:6d} {tp*1e6:10.1f} {tl*1e6:11.1f} {tnx*1e6:12.1f} "
+          f"{tnl*1e6:10.1f} {(tp-tnx)*1e6:11.1f} {(tl-tnx)*1e6:11.1f}",
+          flush=True)
+    log(f"W={W}: packed {W/tp/1e6:.2f}M evals/s, legacy {W/tl/1e6:.2f}M")
+print("DONE", flush=True)

@@ -759,3 +759,28 @@ def test_step_kernel_hlo_data_independent(sess32):
             0, step._consts)
         texts.append(lowered.as_text())
     assert texts[0] == texts[1]
+
+
+def test_xray_fuse_packed_matches_legacy(sess32, monkeypatch):
+    """The packed X-ray hat layout (SPG shells per 128-aligned lane
+    group + one fused (NSK, 2*NBS) Z=0/Z=1 table operator) is the same
+    math as the legacy layout (one shell per group, two table matmuls):
+    identical batch through both interpret-mode kernels must agree to
+    f32 roundoff of the ~1e4-magnitude log-like, with exact vetoes."""
+    import joxsz_tpu.ops.pallas_joint as pj
+
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(3)
+    batch = (theta0[None] * (1 + 0.03 * rng.standard_normal(
+        (16, theta0.size)))).astype(np.float32)
+
+    outs = {}
+    for fuse in ("packed", "legacy"):
+        monkeypatch.setattr(pj, "XRAY_FUSE", fuse)
+        core = make_joint_core(sess32, block_b=8, interpret=True)
+        outs[fuse] = np.asarray(core(jnp.asarray(batch)))
+    fin = np.isfinite(outs["legacy"])
+    assert np.array_equal(np.isfinite(outs["packed"]), fin)
+    assert np.allclose(outs["packed"][fin], outs["legacy"][fin],
+                       rtol=2e-5, atol=0.05), (
+        np.max(np.abs(outs["packed"][fin] - outs["legacy"][fin])))
