@@ -43,19 +43,34 @@ class GNFWPressure:
         ]))
 
     def __call__(self, pars: dict, r_kpc) -> jnp.ndarray:
+        # log-space evaluation: the naive (1+x^a)^((b-c)/a) overflows
+        # f32 for in-bounds corners (x=50, a=20 -> x^a ~ 1e34);
+        # softplus(a ln x) = ln(1+x^a) never materialises x^a.
         P0, a, b, c, rp = (pars["P_0"], pars["a"], pars["b"], pars["c"],
                            pars["r_p"])
-        x = r_kpc / rp
-        return P0 / (x**c * (1.0 + x**a) ** ((b - c) / a))
+        lnx = jnp.log(r_kpc / rp)
+        return P0 * jnp.exp(-c * lnx
+                            - ((b - c) / a) * jax.nn.softplus(a * lnx))
 
     def derivative(self, pars: dict, r_kpc) -> jnp.ndarray:
-        """Analytic dP/dr (keV cm^-3 kpc^-1)."""
+        """Analytic dP/dr (keV cm^-3 kpc^-1).
+
+        Evaluated as -(P/r) * (c + (b-c) * sigmoid(a ln x)): identical
+        math to the reference's closed form (joxsz_funcs.py:283-301),
+        but underflows only where P itself does.  The naive form's
+        (1+x^a)^((b-c+a)/a) denominator overflows f32 to inf inside the
+        prior box (a~20, r_p~100 at r~5000 kpc), returning dP/dr = -0
+        and making the HSE-mass monotonicity veto falsely reject
+        genuine posterior states (f64-adjudicated on converged-chain
+        samples, scripts/cpu_finite_mask_adjudicate.py)."""
         P0, a, b, c, rp = (pars["P_0"], pars["a"], pars["b"], pars["c"],
                            pars["r_p"])
-        x = r_kpc / rp
-        return -P0 * (c + b * x**a) / (
-            rp * x ** (c + 1.0) * (1.0 + x**a) ** ((b - c + a) / a)
-        )
+        r = jnp.asarray(r_kpc)
+        lnx = jnp.log(r / rp)
+        press = P0 * jnp.exp(-c * lnx
+                             - ((b - c) / a) * jax.nn.softplus(a * lnx))
+        s = jax.nn.sigmoid(a * lnx)          # x^a / (1 + x^a)
+        return -press / r * (c + (b - c) * s)
 
 
 class KnotPressure:

@@ -563,9 +563,13 @@ def _build_spec(sess, ablate: str = ""):
             ln1xa = jnp.log1p(xa)
             press = P0 * jnp.exp(-c_gnfw * lnx
                                  - ((b_ - c_gnfw) / a_) * ln1xa)
-            dpress = (-P0 * (c_gnfw + b_ * xa) / rp_
-                      * jnp.exp(-(c_gnfw + 1.0) * lnx
-                                - ((b_ - c_gnfw + a_) / a_) * ln1xa))
+            # dP/dr = -(P/r) (c + (b-c) x^a/(1+x^a)): reuses press (one
+            # exp fewer) and stays finite wherever press does — the
+            # grouped-exponent form still rounds to -0 near the f32
+            # underflow edge at in-bounds corners (a~20, r_p~100),
+            # where -0 flips the mass veto (see models/pressure.py)
+            dpress = -press / r * (c_gnfw
+                                   + (b_ - c_gnfw) * xa / (1.0 + xa))
         else:
             # knot pressure: clamped log-log lerp is linear in th —
             # accumulate per-knot VPU FMAs (exact f32; an MXU matmul

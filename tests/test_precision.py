@@ -82,6 +82,44 @@ def test_veto_flip_rate_pinned(ref_data, fam, mod):
         assert flips == 0, (fam, spread, flips)
 
 
+# Converged-chain state (results/tpu_conv) with a~19.7, r_p~126: the
+# naive gNFW-derivative form overflows its (1+x^a)^((b-c+a)/a)
+# denominator to f32 inf at the outer pressure radii, rounding dP/dr to
+# -0 and falsely tripping the mass-monotonicity veto (f64-adjudicated
+# genuine PASS, margin ~1e-3 of max|grad| — scripts/
+# cpu_finite_mask_adjudicate.py).  Pins the stable -(P/r)(c+(b-c)s) form.
+_UNDERFLOW_THETA = {
+    "log(n_0)": -1.3871971, r"\beta": 0.21283358, "log(r_c)": 1.7109979,
+    "log(r_s)": 2.1557074, r"\epsilon": 2.6171775,
+    "log(T_X/T_{SZ})": 0.093440391, "Z": 0.20441175, "P_0": 0.19654875,
+    "a": 19.731991, "b": 2.0354238, "r_p": 125.73824,
+    "backscale": 0.96535051, "calibration": 1.1109961,
+}
+
+
+def test_f32_gnfw_derivative_no_underflow_veto(sessions):
+    s64, s32 = sessions
+    theta = np.array([_UNDERFLOW_THETA[n] for n in s32.params.thawed])
+
+    # derivative at the outer grid edge: strictly negative in f32 and
+    # consistent with f64 (the old form returned exactly -0.0 here)
+    r_edge = np.asarray(s32.model.sz_data.r_press_kpc)[-1]
+    pars32 = s32.params.unpack(jnp.asarray(theta, dtype=jnp.float32))
+    pars64 = s64.params.unpack(jnp.asarray(theta))
+    d32 = float(s32.model.pressure.derivative(pars32, jnp.float32(r_edge)))
+    d64 = float(s64.model.pressure.derivative(pars64, float(r_edge)))
+    assert d64 < 0
+    assert d32 < 0, "f32 dP/dr underflowed to -0 at the outer grid point"
+    assert abs(d32 - d64) < 1e-4 * abs(d64)
+
+    # and the joint f32 log-like agrees with f64 on finiteness
+    ll64 = float(s64.log_like(jnp.asarray(theta)))
+    ll32 = float(jax.jit(s32.log_like)(jnp.asarray(theta,
+                                                   dtype=jnp.float32)))
+    assert np.isfinite(ll64)
+    assert np.isfinite(ll32), "f32 falsely vetoed a genuine posterior state"
+
+
 def test_f32_no_spurious_inf(sessions):
     """Plausible parameter regions must not produce f32 overflow -inf."""
     _, s32 = sessions
