@@ -6,11 +6,13 @@ CL J1226.9+3332 within MC error" (/root/reference/README.md:8-14,
 BASELINE.md).  No *external* anchor exists in this environment (zero
 network egress; mbproj2/XSPEC/HEASOFT not installed; the companion paper
 arXiv:2005.12315 is unreachable), so the converged production posterior
-(results/tpu_conv/, split-Rhat <= 1.006) is frozen into
-``tests/fixtures/cl1226_posterior_pin.json`` as an *internal* regression
-anchor: a future physics/table/kernel change that silently moves the
-posterior now fails a test instead of passing the whole suite
-(VERDICT r2 missing #2).  The wider evidence chain that the pinned
+(the r3 FLAGLESS hardware fit, results/tpu_r3/, split-Rhat 1.0063) is
+frozen into ``tests/fixtures/cl1226_posterior_pin.json`` as an
+*internal* regression anchor (``scripts/refreeze_pin.py``; re-pin only
+for INTENDED physics changes — the r3 re-pin records the
+gNFW-derivative fix removing false f32 mass vetoes): a future physics/
+table/kernel change that silently moves the posterior now fails a test
+instead of passing the whole suite (VERDICT r2 missing #2).  The wider evidence chain that the pinned
 posterior is *correct* is documented in VALIDATION.md.
 
 Two comparison modes:
@@ -94,9 +96,16 @@ def check_pin(summary: dict, pin: dict | None = None, *,
                 f"|diff| {abs(med_s - med_p):.4g} > tol {tol:.4g} "
                 f"({n_sigma} sigma MC, floor {median_floor_std} sd)")
         ratio = std_s / std_p if std_p > 0 else float("inf")
-        if not (width_ratio_band[0] <= ratio <= width_ratio_band[1]):
+        # a pinned parameter may carry its own measured band: the width
+        # of a heavy-tailed marginal (P_0 against the curved gNFW
+        # degeneracy) varies 0.66-1.17x across CONVERGED runs — the
+        # sample std converges far more slowly than the median there,
+        # and a one-size band would flake (fixture _provenance notes
+        # the measured per-run spread the overrides derive from)
+        band = tuple(p.get("width_band", width_ratio_band))
+        if not (band[0] <= ratio <= band[1]):
             report.append(
                 f"{name}: posterior width ratio {ratio:.3f} outside "
-                f"{width_ratio_band} (std {std_s:.4g} vs pinned "
+                f"{band} (std {std_s:.4g} vs pinned "
                 f"{std_p:.4g})")
     return (not report), report

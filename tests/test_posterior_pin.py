@@ -1,13 +1,16 @@
 """Posterior regression pin (VERDICT r2 missing #2).
 
-The converged CL J1226 posterior (results/tpu_conv/, split-Rhat <= 1.006)
-is frozen into tests/fixtures/cl1226_posterior_pin.json.  A physics/
-table/kernel change that silently moves the posterior previously passed
-the entire suite; now the --postprocess path must reproduce the pinned
-medians/widths from the stored chain.  A FRESH hardware fit is checked
-against the same pin by scripts/tpu_pin_check.py (fresh mode, MC-error
-tolerances) — that half cannot run under pytest because tests force the
-CPU platform (conftest.py).  See VALIDATION.md for the evidence chain.
+The converged CL J1226 posterior — the r3 FLAGLESS hardware fit
+(results/tpu_r3/, split-Rhat 1.0063, post gNFW-derivative fix) — is
+frozen into tests/fixtures/cl1226_posterior_pin.json
+(scripts/refreeze_pin.py; re-pin ONLY for intended physics changes).
+A physics/table/kernel change that silently moves the posterior
+previously passed the entire suite; now the --postprocess path must
+reproduce the pinned medians/widths from the stored chain.  A FRESH
+hardware fit is checked against the same pin by scripts/tpu_pin_check.py
+(fresh mode, MC-error tolerances) — that half cannot run under pytest
+because tests force the CPU platform (conftest.py).  See VALIDATION.md
+for the evidence chain.
 """
 
 import json
@@ -19,7 +22,7 @@ import pytest
 from joxsz_tpu.postproc.pin import load_pin, check_pin
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
-CONV_CHAIN = REPO / "results" / "tpu_conv" / "joxsz_chain.hdf5"
+CONV_CHAIN = REPO / "results" / "tpu_r3" / "joxsz_chain.hdf5"
 
 
 def test_pin_fixture_is_converged():
