@@ -123,7 +123,15 @@ def run_fit(
     rule is applied to the cold-rung chain (the posterior product; the
     standard PT practice) and each extension round continues the FULL
     K-rung replica state, so the ladder keeps ferrying walkers between
-    modes while the cold chain accumulates."""
+    modes while the cold chain accumulates.
+
+    Warmup-aware fallback: when the accumulated chain is long enough
+    but split-Rhat fails while the TRAILING HALF certifies on both
+    rules, the leading half is promoted to burn-in (chain trimmed,
+    ``timings['extra_burn_steps']`` recorded, HDF5 burn attribute
+    raised) — an insufficient ``nburn`` otherwise holds Rhat above the
+    bar forever, since extensions dilute the head transient but never
+    remove it."""
     timings: dict = {}
     key = jax.random.PRNGKey(0 if seed is None else seed)
 
@@ -385,6 +393,8 @@ def run_fit(
     # the chain passes (20x worst-tau, split-Rhat) or the budget runs out
     steps_sampled = nsteps
     ext_rounds = 0
+    extra_burn = 0        # steps promoted from chain head to burn-in by
+    #                       the warmup-aware fallback below
     conv_cache = None     # (worst tau in raw steps, split-Rhat) — reused
     #                       by the post-fit warnings below
     if auto_extend > 0:
@@ -392,6 +402,7 @@ def run_fit(
             convergence_rhat
 
         while ext_rounds < auto_extend:
+            chain_steps = res.chain.shape[0] * nthin
             if res.chain.shape[0] < 8:
                 # too few saved draws for any tau/Rhat estimate — by
                 # definition under-converged, keep extending
@@ -405,8 +416,40 @@ def run_fit(
                 tau_w = tau_saved * nthin
                 rh = convergence_rhat(res.chain, tau_saved=tau_saved)
             conv_cache = (tau_w, rh)
-            if steps_sampled >= 20 * tau_w and rh <= target_rhat:
+            if chain_steps >= 20 * tau_w and rh <= target_rhat:
                 break
+            # warmup-aware fallback: an insufficient nburn leaves a
+            # relaxation transient at the HEAD of the accumulated chain
+            # that holds split-Rhat above the bar no matter how long the
+            # run extends (extensions dilute the head but never remove
+            # it).  Signature: the length rule passes but Rhat fails,
+            # while the trailing half alone certifies on BOTH rules —
+            # then the head demonstrably differs from the (stationary)
+            # tail, so promote it to burn-in (emcee's discard workflow,
+            # automated) instead of extending forever.
+            n0 = res.chain.shape[0] // 2
+            if (n0 >= 8 and chain_steps >= 20 * tau_w
+                    and rh > target_rhat):
+                tail = res.chain[n0:]
+                tau2 = float(np.max(np.maximum(
+                    integrated_autocorr_time(tail), 1.0)))
+                rh2 = convergence_rhat(tail, tau_saved=tau2)
+                if ((res.chain.shape[0] - n0) * nthin >= 20 * tau2 * nthin
+                        and rh2 <= target_rhat):
+                    extra_burn += n0 * nthin
+                    res = EnsembleResult(
+                        chain=res.chain[n0:],
+                        log_prob=res.log_prob[n0:],
+                        acceptance_fraction=res.acceptance_fraction,
+                        final_state=res.final_state)
+                    conv_cache = (tau2 * nthin, rh2)
+                    if verbose:
+                        print(f"auto-extend: head transient — promoted "
+                              f"the first {extra_burn} sampled steps to "
+                              f"burn-in; the trailing "
+                              f"{res.chain.shape[0] * nthin} certify "
+                              f"(split-Rhat {rh2:.3f} <= {target_rhat})")
+                    break
             if verbose:
                 if not np.isfinite(tau_w):
                     need = [f"only {res.chain.shape[0]} saved draws — "
@@ -451,6 +494,8 @@ def run_fit(
                                 res.acceptance_fraction, param_names,
                                 nburn, nthin)
         timings["auto_extend_rounds"] = ext_rounds
+        if extra_burn:
+            timings["extra_burn_steps"] = extra_burn
 
     timings["sample_s"] = time.time() - t0
     if swap_acc_rounds:
@@ -489,9 +534,12 @@ def run_fit(
                     integrated_autocorr_time(res.chain), 1.0)))
                 worst = tau_saved * nthin
                 rh = convergence_rhat(res.chain, tau_saved=tau_saved)
-            if steps_sampled < 20 * worst:
+            # chain-based length (equals steps_sampled unless the
+            # warmup-aware fallback promoted a head segment to burn-in)
+            chain_len_steps = res.chain.shape[0] * nthin
+            if chain_len_steps < 20 * worst:
                 print(f"WARNING: longest autocorrelation time ~{worst:.0f} "
-                      f"steps; chain of {steps_sampled} steps may be "
+                      f"steps; chain of {chain_len_steps} steps may be "
                       "under-converged (consider more steps or more "
                       "walkers)")
             if rh > 1.01:
@@ -523,8 +571,11 @@ def run_fit(
         os.replace(tmp, best_path)
 
     if chain_path:
+        # nburn + extra_burn: steps the warmup-aware auto-extend fallback
+        # promoted from the chain head to burn-in are burn-in on disk too
         save_chain_hdf5(chain_path, res.chain, res.log_prob,
-                        res.acceptance_fraction, param_names, nburn, nthin)
+                        res.acceptance_fraction, param_names,
+                        nburn + extra_burn, nthin)
     if state_path:
         x, lp, _ = res.final_state
         # persist an UNCONSUMED key (the final_state key was already used
@@ -533,7 +584,7 @@ def run_fit(
         key, ksave = jax.random.split(key)
         save_state(state_path, np.asarray(x), np.asarray(lp),
                    np.asarray(jax.random.key_data(ksave)),
-                   {"param_names": param_names, "nburn": nburn,
+                   {"param_names": param_names, "nburn": nburn + extra_burn,
                     "nthin": nthin, "seed": seed},
                    temper_state=(np.asarray(temper_state)
                                  if temper_state is not None else None))

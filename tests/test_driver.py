@@ -180,6 +180,57 @@ def test_run_fit_auto_extend(tmp_path):
     assert res2.timings["auto_extend_rounds"] == 0
 
 
+def test_run_fit_auto_extend_head_transient_promoted_to_burn(tmp_path,
+                                                             monkeypatch):
+    """Warmup-aware fallback: when the accumulated chain is long enough
+    (20x tau) but split-Rhat fails, while the trailing half alone
+    certifies on both rules, the driver must promote the leading half to
+    burn-in (emcee's discard workflow, automated) instead of extending
+    forever — and the trimmed chain, extra_burn_steps bookkeeping, and
+    the flushed HDF5 burn attribute must all agree.
+
+    The diagnostics are stubbed (full chain fails Rhat, any shorter
+    slice passes) because producing a real head transient that fails
+    split-Rhat while passing 20x tau is seed-lottery on a cheap
+    posterior; the stub keys on chain length only, exercising the real
+    control flow."""
+    import joxsz_tpu.postproc.summary as summ
+
+    log_like, t0, lo, hi, names, mu = _make_problem(ndim=2)
+    n_saved = 100          # nsteps=200, nthin=2
+
+    monkeypatch.setattr(summ, "integrated_autocorr_time",
+                        lambda c: np.ones(c.shape[-1]))
+    monkeypatch.setattr(
+        summ, "convergence_rhat",
+        lambda c, tau_saved=None: 1.5 if c.shape[0] == n_saved else 1.0)
+
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=50,
+                  nsteps=200, nthin=2, seed=5, prelim_iterations=50,
+                  max_prelim_rounds=1, auto_extend=3,
+                  chain_path=str(tmp_path / "c.hdf5"), verbose=False)
+    assert res.timings["auto_extend_rounds"] == 0
+    assert res.timings["extra_burn_steps"] == (n_saved // 2) * 2
+    assert res.chain.shape[0] == n_saved - n_saved // 2
+    assert res.log_prob.shape[0] == res.chain.shape[0]
+    from joxsz_tpu.io.checkpoint import load_chain_hdf5
+
+    on_disk = load_chain_hdf5(str(tmp_path / "c.hdf5"))
+    assert on_disk["chain"].shape[0] == res.chain.shape[0]
+    assert on_disk["burn"] == 50 + (n_saved // 2) * 2
+
+    # control: when the trailing half does NOT certify either, the
+    # driver must extend as before (no trim, no extra_burn_steps)
+    monkeypatch.setattr(summ, "convergence_rhat",
+                        lambda c, tau_saved=None: 1.5)
+    res2 = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=50,
+                   nsteps=200, nthin=2, seed=5, prelim_iterations=50,
+                   max_prelim_rounds=1, auto_extend=2, verbose=False)
+    assert res2.timings["auto_extend_rounds"] == 2
+    assert "extra_burn_steps" not in res2.timings
+    assert res2.chain.shape[0] == 300    # 200 + 2x200 steps, thin 2
+
+
 def test_run_fit_auto_extend_uses_step_sampler_path():
     """Extension rounds must go through the configured execution path
     (here a spy step_sampler), not silently fall back to the XLA
