@@ -296,7 +296,7 @@ def _merge_survey_results(results: list[SurveyResult],
     acceptance = np.empty((C, W), results[0].acceptance.dtype)
     medians = np.empty((C, D))
     sds = np.empty((C, D))
-    truths = (np.empty((C, D))
+    truths = (np.full((C, D), np.nan)
               if any(r.truths is not None for r in results) else None)
     for res, idxs in zip(results, orders):
         if res.chain.shape[0] != n_saved or res.chain.shape[2] != W:
@@ -309,7 +309,11 @@ def _merge_survey_results(results: list[SurveyResult],
         for i, c in enumerate(idxs):
             names[c] = res.cluster_names[i]
             if truths is not None:
-                truths[c] = res.truths[i]
+                # a group without truths leaves NaN rows rather than
+                # failing the whole merge (spec surveys carry no truths;
+                # only mock surveys do, and those are single-group)
+                truths[c] = (res.truths[i] if res.truths is not None
+                             else np.nan)
     timings = None
     if any(r.timings is not None for r in results):
         timings = {"groups": [r.timings for r in results]}
