@@ -3,10 +3,16 @@ and the done-criterion of #1: a FLAGLESS run must end converged).
 
 Runs `python -m joxsz_tpu.run` with no schedule flags — which must
 resolve to the converged TPU default (W=1024, K=4 tempering, auto-extend
-to split-Rhat <= 1.01) — into results/tpu_r3/, then compares the fresh
-posterior against tests/fixtures/cl1226_posterior_pin.json in fresh mode
-(MC-error-derived tolerances) and asserts the summary certifies
-convergence.
+to split-Rhat <= 1.01) — into results/tpu_pin_fresh/, then compares the
+fresh posterior against tests/fixtures/cl1226_posterior_pin.json in
+fresh mode (MC-error-derived tolerances) and asserts the summary
+certifies convergence.
+
+NEVER point OUT at the pin-source run directory (results/tpu_r3/ since
+the r3 re-pin): the fixture freezes that chain's SHA-256 and the
+exact-mode test recomputes from it — overwriting it would break both.
+Re-pinning (intended physics changes only) goes through
+scripts/refreeze_pin.py against a run you designate.
 
 Run:  setsid nohup python -u scripts/tpu_pin_check.py > /tmp/pin.log 2>&1 &
 """
@@ -25,7 +31,7 @@ def log(m):
     print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
 
 
-OUT = REPO / "results" / "tpu_r3"
+OUT = REPO / "results" / "tpu_pin_fresh"
 OUT.mkdir(parents=True, exist_ok=True)
 
 import jax  # noqa: E402
