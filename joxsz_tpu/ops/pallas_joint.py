@@ -54,6 +54,21 @@ _REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
 # path in tests/test_pallas_joint.py.
 XRAY_FUSE = "packed"
 
+# Experimental same-claim A/B knobs (scripts/tpu_xray_micro_bench.py):
+#   HAT_BF16  — cast the (B, NSK) hat activations to bfloat16 before the
+#     table matmul.  The in-kernel f32 dot already runs ONE bf16 MXU
+#     pass (CLAUDE.md), so the products see bf16-rounded operands either
+#     way; the cast halves the VMEM traffic of the step's largest
+#     intermediate (134 MB at W=32768).
+#   LNX_CONST — take ln(r) of the constant radial grids from precomputed
+#     constant rows (lnr/lnmid) instead of a per-step full-width
+#     jnp.log: lnx = lnr - ln(r_p) is the same math with one scalar
+#     transcendental per walker in place of a (B, NP) pass.
+# Defaults are the measured winners; both change bits (not math), so
+# flipping them invalidates bit-exactness pins, not posteriors.
+HAT_BF16 = False
+LNX_CONST = False
+
 
 _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
                   "c_t"]
@@ -248,7 +263,7 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
                     M1[_rows(j), b * n_sh + j] = LR1[b]
             table_ops = [M0, M1, VB]
         xray_arrays = [
-            midpt[None, :], kv, *table_ops,
+            midpt[None, :], np.log(midpt)[None, :], kv, *table_ops,
             sig_c.reshape(1, NBS), bg_c.reshape(1, NBS),
             counts_mask.reshape(1, NBS), counts_filled.reshape(1, NBS),
         ]
@@ -273,7 +288,7 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
         if "RMK" in spec:
             knot_arrays += [spec["RMK"], spec["AKV"], spec["SKV"]]
     return [
-        r_pad[None, :], press_mask[None, :],
+        r_pad[None, :], np.log(r_pad)[None, :], press_mask[None, :],
         LT, GT,
         flux_p[None, :], w_p[None, :],
         w_T0[None, :],
@@ -289,9 +304,11 @@ def _build_spec(sess, ablate: str = ""):
     """Constants + scalar closure data for the flagship joint-likelihood
     kernel body; returns None when the configuration doesn't match.
 
-    ``ablate`` ("", "no_xray", "no_sz", "priors") skips likelihood
-    sections — a PROFILING tool for cost attribution only
-    (scripts/tpu_kernel_ablate.py); never use for fits.
+    ``ablate`` ("", "no_xray", "no_sz", "priors", and the packed-layout
+    micro-ablations "xray_hatstub"/"xray_noexp"/"xray_nocash") skips
+    likelihood sections — a PROFILING tool for cost attribution only
+    (scripts/tpu_kernel_ablate.py, scripts/tpu_peak_ablate.py); never
+    use for fits.
 
     The hat-basis X-ray formulation: linear interpolation is linear in the
     table values, so the whole (band, shell) count-rate lookup collapses
@@ -389,11 +406,13 @@ def _build_spec(sess, ablate: str = ""):
         D=D, Dp=Dp, family=family, t_family=t_family,
         has_xray=has_xray, midpt=midpt,
     )
-    cnames = ["r", "pmask", "LT", "GT", "flux_v", "wres", "wT0"]
+    cnames = ["r", "lnr", "pmask", "LT", "GT", "flux_v", "wres", "wT0"]
     fuse = XRAY_FUSE  # frozen into this spec (the global is an A/B knob)
+    hat_bf16, lnx_const = HAT_BF16, LNX_CONST     # frozen per spec
     spec["xray_fuse"] = fuse
+    spec["hat_bf16"], spec["lnx_const"] = hat_bf16, lnx_const
     if has_xray:
-        cnames += ["midr", "KV"]
+        cnames += ["midr", "lnmid", "KV"]
         cnames += ["M01"] if fuse == "packed" else ["M0v", "M1v"]
         cnames += ["VBv", "sigf", "bgf", "cmf", "ctf"]
     cnames += ["plo", "phi", "pig", "pmu", "psg", "wint", "mui"]
@@ -557,8 +576,12 @@ def _build_spec(sess, ablate: str = ""):
         # dpress) — 2 logs + 3 exps instead of 5 of each; measured ~83us
         # of the 287us W=4096 step was this pressure/density chunk
         if family == "gnfw":
-            x = r / rp_                        # (B, NP)
-            lnx = jnp.log(x)
+            if lnx_const:
+                # same math, one scalar log per walker instead of a
+                # (B, NP) transcendental pass (lnr is a constant row)
+                lnx = C["lnr"] - jnp.log(rp_)  # (B, NP)
+            else:
+                lnx = jnp.log(r / rp_)         # (B, NP)
             xa = jnp.exp(a_ * lnx)
             ln1xa = jnp.log1p(xa)
             press = P0 * jnp.exp(-c_gnfw * lnx
@@ -686,8 +709,10 @@ def _build_spec(sess, ablate: str = ""):
         KV, VBv = C["KV"], C["VBv"]
         sigf, bgf, cmf, ctf = C["sigf"], C["bgf"], C["cmf"], C["ctf"]
         if family == "gnfw":
-            xm = midr / rp_
-            lnxm = jnp.log(xm)
+            if lnx_const:
+                lnxm = C["lnmid"] - jnp.log(rp_)
+            else:
+                lnxm = jnp.log(midr / rp_)
             press_m = P0 * jnp.exp(
                 -c_gnfw * lnxm
                 - ((b_ - c_gnfw) / a_) * jnp.log1p(jnp.exp(a_ * lnxm)))
@@ -738,7 +763,19 @@ def _build_spec(sess, ablate: str = ""):
                         % KG)
                 for h in range(1, SPG):
                     pos_e = jnp.where(lane >= h * nT, streams[h], pos_e)
-            hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
+            if ablate == "xray_hatstub":
+                # profiling only: skip the hat construction chain but
+                # keep the (B, NSK) materialization + matmul (a cheap
+                # data-dependent stand-in so nothing hoists out of the
+                # step loop)
+                hat = jnp.broadcast_to(pos[:, 0:1], (B, NSK))
+            else:
+                hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
+            if hat_bf16:
+                # the f32 dot already runs a bf16 MXU pass; the explicit
+                # cast only halves the biggest intermediate's VMEM
+                # traffic (weights stay f32)
+                hat = hat.astype(jnp.bfloat16)
             l01 = jnp.dot(hat, C["M01"],
                           preferred_element_type=jnp.float32)  # (B, 2*NBS)
             # Z-mix as an elementwise lane mask; projection operator is
@@ -746,7 +783,10 @@ def _build_spec(sess, ablate: str = ""):
             lane2 = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * NBS), 1)
             zmix = jnp.where(lane2 < NBS, 1.0 - Z, Z)
             ne2_ee = jnp.concatenate([ne2m_w] * (2 * n_band), axis=1)
-            emiss = jnp.exp(l01) * zmix * ne2_ee         # (B, 2*NBS)
+            if ablate == "xray_noexp":   # profiling only
+                emiss = l01 * zmix * ne2_ee
+            else:
+                emiss = jnp.exp(l01) * zmix * ne2_ee     # (B, 2*NBS)
         else:
             pos_e = jnp.concatenate(
                 [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
@@ -763,11 +803,14 @@ def _build_spec(sess, ablate: str = ""):
         proj = jnp.dot(emiss, VBv,
                        preferred_element_type=jnp.float32)    # (B, NBS)
         pred = proj * sigf + bscale * bgf
-        okmin = jnp.all(pred > 0.0, axis=1, keepdims=True)
-        safe = jnp.where(pred > 0.0, pred, 1.0)
-        cash = jnp.sum(cmf * (ctf * jnp.log(safe) - safe),
-                       axis=1, keepdims=True)
-        total = total + jnp.where(okmin, cash, NEG)
+        if ablate == "xray_nocash":      # profiling only
+            total = total + jnp.sum(pred, axis=1, keepdims=True) * 1e-9
+        else:
+            okmin = jnp.all(pred > 0.0, axis=1, keepdims=True)
+            safe = jnp.where(pred > 0.0, pred, 1.0)
+            cash = jnp.sum(cmf * (ctf * jnp.log(safe) - safe),
+                           axis=1, keepdims=True)
+            total = total + jnp.where(okmin, cash, NEG)
 
         total = jnp.where(jnp.isnan(total), NEG, total)
         return total
