@@ -66,8 +66,14 @@ XRAY_FUSE = "packed"
 #     transcendental per walker in place of a (B, NP) pass.
 # Defaults are the measured winners; both change bits (not math), so
 # flipping them invalidates bit-exactness pins, not posteriors.
+# Measured (same claim, W=32768, scripts/tpu_xray_micro_bench.py):
+# HAT_BF16 is 4 us/step SLOWER (the f32 dot's bf16 MXU pass already
+# absorbs the conversion) — keep False; LNX_CONST wins 15 us/step
+# (1.6%) and its kernel-vs-XLA band on 2048 posterior rows is 0.50 vs
+# the base kernel's 0.40 with zero veto flips
+# (scripts/tpu_lnx_validate.py PASS) — default True.
 HAT_BF16 = False
-LNX_CONST = False
+LNX_CONST = True
 
 
 _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
