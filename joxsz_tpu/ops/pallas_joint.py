@@ -75,6 +75,28 @@ XRAY_FUSE = "packed"
 HAT_BF16 = False
 LNX_CONST = True
 
+#   RECIP_MUL — replace full-width VPU divides/sqrt in the shared
+#     profile/veto chunk (the 344 us/step "likelihood_rest" of the peak
+#     ablation) with reciprocal-multiplies: per-walker scalar
+#     reciprocals 10**(-log_rc)/10**(-log_rs) feed the density x-ratios,
+#     ne comes out as ne_inv = rsqrt(ne2) (consumed multiplicatively by
+#     T_SZ = P*ne_inv and the mass veto), the veto mass folds dpress
+#     algebraically to m = P*r*(c+(b-c)*s)*ne_inv*C, the prior Gaussian
+#     folds pig/psg^2 into one weight row, and the y->mJy conversion
+#     lerp accumulates host-folded per-segment slopes (dropping the
+#     x1/y1 accumulators AND the (B, PIX) divide).  Mosaic has no
+#     divide->reciprocal algebraic pass, so each of these is a real
+#     multi-cycle VPU op removed.  Same math, different rounding (ULP
+#     class — same bit-change policy as LNX_CONST).
+# Measured (same claim, W=32768, scripts/tpu_prof_micro_bench.py):
+# 918.3 -> 843.2 us/step, a 75 us (8.2%) win, and the kernel-vs-XLA
+# band on 2048 posterior rows is IDENTICAL to base (0.50) with zero
+# veto flips — default True.  Same-claim chunk attribution: pressure
+# transcendentals 11 us, density transcendentals 58 us, mass veto
+# (m + shifted compares + reductions) 103 us (results/
+# tpu_prof_micro.json).
+RECIP_MUL = True
+
 
 _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
                   "c_t"]
@@ -415,8 +437,10 @@ def _build_spec(sess, ablate: str = ""):
     cnames = ["r", "lnr", "pmask", "LT", "GT", "flux_v", "wres", "wT0"]
     fuse = XRAY_FUSE  # frozen into this spec (the global is an A/B knob)
     hat_bf16, lnx_const = HAT_BF16, LNX_CONST     # frozen per spec
+    recip_mul = RECIP_MUL
     spec["xray_fuse"] = fuse
     spec["hat_bf16"], spec["lnx_const"] = hat_bf16, lnx_const
+    spec["recip_mul"] = recip_mul
     if has_xray:
         cnames += ["midr", "lnmid", "KV"]
         cnames += ["M01"] if fuse == "packed" else ["M0v", "M1v"]
@@ -555,24 +579,40 @@ def _build_spec(sess, ablate: str = ""):
             # additive beta-model term of the double-mode Vikhlinin
             # density (models/density.py:62-66)
             n02 = 10.0 ** log_n02
-            x2 = rr / (10.0 ** log_rc2)
+            if recip_mul:
+                x2 = rr * (10.0 ** (-log_rc2))
+            else:
+                x2 = rr / (10.0 ** log_rc2)
             return n02 * n02 * jnp.exp(-3.0 * beta2
                                        * jnp.log1p(x2 * x2))
 
         def vikh_T(rr):
             # parametric Vikhlinin temperature
             # (models/temperature.py::VikhlininTemperature.t_x)
-            xcl = jnp.exp(acool * jnp.log(rr / rcool))
+            if recip_mul:
+                # (B,1)-scalar reciprocals ahead of the full-width ratio
+                xcl = jnp.exp(acool * jnp.log(rr * (1.0 / rcool)))
+                xt = rr * (1.0 / rtv)
+            else:
+                xcl = jnp.exp(acool * jnp.log(rr / rcool))
+                xt = rr / rtv
             cool = (xcl + tminr) / (xcl + 1.0)
-            outer = jnp.exp(-0.5 * ctv
-                            * jnp.log1p((rr / rtv) * (rr / rtv)))
+            outer = jnp.exp(-0.5 * ctv * jnp.log1p(xt * xt))
             return T0v * cool * outer
 
         # ---- priors ----------------------------------------------------------
         inside = jnp.all((th >= plo) & (th <= phi),
                          axis=1, keepdims=True)          # (B,1)
-        zres = (th - pmu) / psg
-        gauss = -0.5 * jnp.sum(pig * zres * zres, axis=1, keepdims=True)
+        dres = th - pmu
+        if recip_mul:
+            # fold pig/psg^2 into one weight row: a row-shaped divide
+            # replaces the (B, Dp) one
+            wg = pig / (psg * psg)
+            gauss = -0.5 * jnp.sum(wg * dres * dres, axis=1, keepdims=True)
+        else:
+            zres = dres / psg
+            gauss = -0.5 * jnp.sum(pig * zres * zres, axis=1,
+                                   keepdims=True)
         total = jnp.where(inside, gauss, NEG)
         total = jnp.where(log_rc > log_rs, NEG, total)   # r_c <= r_s veto
 
@@ -588,17 +628,26 @@ def _build_spec(sess, ablate: str = ""):
                 lnx = C["lnr"] - jnp.log(rp_)  # (B, NP)
             else:
                 lnx = jnp.log(r / rp_)         # (B, NP)
-            xa = jnp.exp(a_ * lnx)
-            ln1xa = jnp.log1p(xa)
-            press = P0 * jnp.exp(-c_gnfw * lnx
-                                 - ((b_ - c_gnfw) / a_) * ln1xa)
+            if ablate == "prof_pressstub":
+                # profiling only: drop the exp/log1p/exp chain but keep
+                # shapes, data dependence and the downstream arithmetic
+                xa = a_ * lnx + 2.0
+                press = P0 * (1.0 + 1e-3 * lnx)
+            else:
+                xa = jnp.exp(a_ * lnx)
+                ln1xa = jnp.log1p(xa)
+                press = P0 * jnp.exp(-c_gnfw * lnx
+                                     - ((b_ - c_gnfw) / a_) * ln1xa)
             # dP/dr = -(P/r) (c + (b-c) x^a/(1+x^a)): reuses press (one
             # exp fewer) and stays finite wherever press does — the
             # grouped-exponent form still rounds to -0 near the f32
             # underflow edge at in-bounds corners (a~20, r_p~100),
             # where -0 flips the mass veto (see models/pressure.py)
-            dpress = -press / r * (c_gnfw
-                                   + (b_ - c_gnfw) * xa / (1.0 + xa))
+            if recip_mul:
+                sfrac = xa / (1.0 + xa)        # consumed by the veto fold
+            else:
+                dpress = -press / r * (c_gnfw
+                                       + (b_ - c_gnfw) * xa / (1.0 + xa))
         else:
             # knot pressure: clamped log-log lerp is linear in th —
             # accumulate per-knot VPU FMAs (exact f32; an MXU matmul
@@ -615,33 +664,53 @@ def _build_spec(sess, ablate: str = ""):
         # frozen-exponent folds: alpha=0 drops its pow entirely, gamma=3
         # is a cube (two multiplies); the param-exponent terms share
         # log1p bases
-        rc = 10.0 ** log_rc
-        rs = 10.0 ** log_rs
+        if recip_mul:
+            # per-walker scalar reciprocals: the (B, NP)/(B, n_sh)
+            # x-ratio divides become multiplies (10**-x costs the same
+            # scalar exp as 10**x)
+            rci = 10.0 ** (-log_rc)
+            rsi = 10.0 ** (-log_rs)
+        else:
+            rc = 10.0 ** log_rc
+            rs = 10.0 ** log_rs
         n0 = 10.0 ** log_n0
 
-        def ne_of(rr):
-            xc = rr / rc
-            xs = rr / rs
+        def ne2_of(rr):
+            xc = rr * rci if recip_mul else rr / rc
+            xs = rr * rsi if recip_mul else rr / rs
             if gamma == 3.0:
                 xs_g = xs * xs * xs
             else:
                 xs_g = xs ** gamma
-            ne2 = (n0 * n0
-                   * jnp.exp(-(3.0 * beta - alpha / 2.0)
-                             * jnp.log1p(xc * xc)
-                             - (eps / gamma) * jnp.log1p(xs_g)))
+            if ablate == "prof_densstub":
+                # profiling only: drop the log1p/log1p/exp chain, keep
+                # the x-ratios and downstream consumers
+                ne2 = n0 * n0 * (1.0 + 1e-6 * (xc * xc + xs_g))
+            else:
+                ne2 = (n0 * n0
+                       * jnp.exp(-(3.0 * beta - alpha / 2.0)
+                                 * jnp.log1p(xc * xc)
+                                 - (eps / gamma) * jnp.log1p(xs_g)))
             if alpha != 0.0:
                 ne2 = ne2 * xc ** (-alpha)
             if d_family == "double":
                 ne2 = ne2 + double_beta_ne2(rr)
-            return jnp.sqrt(ne2)
+            return ne2
 
-        ne = ne_of(r)
+        ne2 = ne2_of(r)
+        if recip_mul:
+            # one rsqrt serves T_SZ = P*ne_inv and the veto mass —
+            # replaces sqrt + two full-width divides
+            ne_inv = jax.lax.rsqrt(ne2)
+        else:
+            ne = jnp.sqrt(ne2)
 
         # ---- HSE mass physicality veto (config-gated like the XLA
         # path's exclude_unphysical_mass; criteria match
         # models/joint.py::_mass_veto_ok per family) ---------------------------
-        if mass_veto and family == "knots":
+        if mass_veto and ablate == "prof_noveto":
+            pass                          # profiling only: veto cost
+        elif mass_veto and family == "knots":
             # segment-averaged mass at one log-midpoint per segment,
             # strictly increasing and ending positive
             RMK, AKV, SKV = C["RMK"], C["AKV"], C["SKV"]
@@ -652,7 +721,13 @@ def _build_spec(sess, ablate: str = ""):
                 slopem = slopem + col(kc0 + ki) * SKV[ki:ki + 1, :]
             pressm = jnp.exp(LN10 * logPm)
             # dP/dr = P * dlogP/dlogr / r  =>  M = -P * slope * r / ne * C
-            m = -pressm * slopem * RMK / ne_of(RMK) * mass_C   # (B, NM)
+            ne2m_v = ne2_of(RMK)
+            if recip_mul:
+                m = (-pressm * slopem * RMK
+                     * jax.lax.rsqrt(ne2m_v) * mass_C)         # (B, NM)
+            else:
+                m = (-pressm * slopem * RMK
+                     / jnp.sqrt(ne2m_v) * mass_C)              # (B, NM)
             NM = m.shape[1]
             idx = jax.lax.broadcasted_iota(jnp.int32, (B, NM - 1), 1)
             inc_ok = (m[:, 1:] > m[:, :-1]) | (idx >= n_mid - 1)
@@ -660,7 +735,15 @@ def _build_spec(sess, ablate: str = ""):
                     & (m[:, n_mid - 1:n_mid] > 0.0))
             total = jnp.where(mono, total, NEG)
         elif mass_veto:
-            m = -dpress * r * r / ne * mass_C  # (B, NP)
+            if recip_mul:
+                # algebraic dpress fold: m = -dpress r^2/ne C with
+                # dpress = -(P/r)(c+(b-c)s)  =>  P r (c+(b-c)s) ne_inv C
+                # (same zeros/signs: m underflows to 0 exactly where
+                # dpress rounds to -0)
+                m = (press * r * (c_gnfw + (b_ - c_gnfw) * sfrac)
+                     * ne_inv * mass_C)        # (B, NP)
+            else:
+                m = -dpress * r * r / ne * mass_C  # (B, NP)
             # np.gradient(m) > 0 over the real grid == central
             # differences m[i+1] > m[i-1] at interior points plus
             # one-sided edges
@@ -679,6 +762,8 @@ def _build_spec(sess, ablate: str = ""):
             raw = jnp.dot(pp, LT, preferred_element_type=jnp.float32)
             if t_family == "vikh":
                 t_sz_full = vikh_T(r)          # parametric T (B, NP)
+            elif recip_mul:
+                t_sz_full = press * ne_inv     # (B, NP); "upp"/"none"
             else:
                 t_sz_full = press / ne         # (B, NP); "upp"/"none"
             t0 = jnp.sum(t_sz_full * wT0, axis=1, keepdims=True)
@@ -689,13 +774,24 @@ def _build_spec(sess, ablate: str = ""):
             cidx = jnp.zeros_like(t_all, dtype=jnp.int32)
             for k in range(1, n_conv - 1):
                 cidx = cidx + (t_all >= conv_T[k]).astype(jnp.int32)
-            x0 = jnp.zeros_like(t_all); x1 = jnp.zeros_like(t_all)
-            y0 = jnp.zeros_like(t_all); y1 = jnp.zeros_like(t_all)
-            for k in range(n_conv - 1):
-                s = (cidx == k).astype(t_all.dtype)
-                x0 += s * conv_T[k]; x1 += s * conv_T[k + 1]
-                y0 += s * conv_val[k]; y1 += s * conv_val[k + 1]
-            conv = y0 + (t_all - x0) / (x1 - x0) * (y1 - y0)
+            x0 = jnp.zeros_like(t_all); y0 = jnp.zeros_like(t_all)
+            if recip_mul:
+                # host-folded per-segment slopes: drops the x1/y1
+                # accumulators and the (B, PIX) divide
+                sl = jnp.zeros_like(t_all)
+                for k in range(n_conv - 1):
+                    s = (cidx == k).astype(t_all.dtype)
+                    x0 += s * conv_T[k]; y0 += s * conv_val[k]
+                    sl += s * ((conv_val[k + 1] - conv_val[k])
+                               / (conv_T[k + 1] - conv_T[k]))
+                conv = y0 + (t_all - x0) * sl
+            else:
+                x1 = jnp.zeros_like(t_all); y1 = jnp.zeros_like(t_all)
+                for k in range(n_conv - 1):
+                    s = (cidx == k).astype(t_all.dtype)
+                    x0 += s * conv_T[k]; x1 += s * conv_T[k + 1]
+                    y0 += s * conv_val[k]; y1 += s * conv_val[k + 1]
+                conv = y0 + (t_all - x0) / (x1 - x0) * (y1 - y0)
 
             prof = raw * conv * cal
             model = jnp.dot(prof, GT, preferred_element_type=jnp.float32)
@@ -728,31 +824,29 @@ def _build_spec(sess, ablate: str = ""):
             for ki in range(1, n_knots):
                 logPm = logPm + col(kc0 + ki) * AKM[ki:ki + 1, :]
             press_m = jnp.exp(LN10 * logPm)
-        xcm = midr / rc; xsm = midr / rs
-        if gamma == 3.0:
-            xsm_g = xsm * xsm * xsm
+        ne2m = ne2_of(midr)                    # (B, n_sh)
+        if recip_mul:
+            ne2m_w = ne2m                      # skip the sqrt roundtrip
+            if t_family == "upp":
+                Tm = press_m * jax.lax.rsqrt(ne2m) * 10.0 ** tratio
+            else:
+                Tm = vikh_T(midr)
         else:
-            xsm_g = xsm ** gamma
-        ne2m = (n0 * n0
-                * jnp.exp(-(3.0 * beta - alpha / 2.0)
-                          * jnp.log1p(xcm * xcm)
-                          - (eps / gamma) * jnp.log1p(xsm_g)))
-        if alpha != 0.0:
-            ne2m = ne2m * xcm ** (-alpha)
-        if d_family == "double":
-            ne2m = ne2m + double_beta_ne2(midr)
-        nem = jnp.sqrt(ne2m)                   # (B, n_sh)
-        if t_family == "upp":
-            Tm = press_m / nem * 10.0 ** tratio
-        else:
-            Tm = vikh_T(midr)
+            nem = jnp.sqrt(ne2m)
+            ne2m_w = nem * nem
+            if t_family == "upp":
+                Tm = press_m / nem * 10.0 ** tratio
+            else:
+                Tm = vikh_T(midr)
         tl = jnp.log(jnp.maximum(Tm, 1e-30))
-        pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
+        if recip_mul:
+            pos = jnp.clip((tl - t0g) * (1.0 / dtg), 0.0, nT - 1 - 1e-6)
+        else:
+            pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
 
         # hat-basis matmul lerp (see _build_spec): expand pos to the
         # 128-aligned lane-group layout, form the hat activations,
         # contract against the table operator(s) on the MXU
-        ne2m_w = nem * nem
         if fuse == "packed":
             # SPG shells per group: SPG aligned broadcast streams merged
             # by one lane-iota select (no unaligned broadcast/concat —

@@ -784,3 +784,35 @@ def test_xray_fuse_packed_matches_legacy(sess32, monkeypatch):
     assert np.allclose(outs["packed"][fin], outs["legacy"][fin],
                        rtol=2e-5, atol=0.05), (
         np.max(np.abs(outs["packed"][fin] - outs["legacy"][fin])))
+
+
+@pytest.mark.parametrize("pm", ["gnfw", "knots"])
+def test_recip_mul_matches_base(ref_data, pm, monkeypatch):
+    """The RECIP_MUL knob (divide/sqrt -> reciprocal-multiply/rsqrt in
+    the shared profile/veto chunk, with the dpress->veto-mass algebraic
+    fold) is the same math as the base kernel: identical batches through
+    both interpret-mode kernels agree to f32 roundoff with exact vetoes,
+    for both pressure families (the knots family exercises the
+    segment-midpoint veto's rsqrt form)."""
+    import joxsz_tpu.ops.pallas_joint as pj
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.pressure_model = pm
+    sess = build_session(cfg)
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(11)
+    batch = jnp.asarray(theta0[None] * (1 + 0.05 * rng.standard_normal(
+        (32, theta0.size))), jnp.float32)
+
+    outs = {}
+    for knob in (False, True):
+        monkeypatch.setattr(pj, "RECIP_MUL", knob)
+        core = make_joint_core(sess, block_b=8, interpret=True)
+        outs[knob] = np.asarray(core(batch))
+    fin = np.isfinite(outs[False])
+    assert fin.any()
+    assert np.array_equal(np.isfinite(outs[True]), fin)
+    assert np.allclose(outs[True][fin], outs[False][fin],
+                       rtol=2e-5, atol=0.05), (
+        np.max(np.abs(outs[True][fin] - outs[False][fin])))
