@@ -27,6 +27,20 @@ Two comparison modes:
   ensemble-internal n_eff estimate is optimistic (walkers within one
   Goodman-Weare ensemble interact — see postproc.summary.split_rhat
   notes); posterior widths must agree within ``width_ratio_band``.
+
+The fresh-mode floor is MEASURED, not guessed (round 3,
+``scripts/tpu_pin_scatter.py`` -> ``results/tpu_pin_scatter/``): a 2x2
+(seed x RECIP_MUL) design of four independent converged hardware fits.
+Same-knob pairs (pure seed scatter) put medians within 0.055 sd; pairs
+across the ULP-class RECIP_MUL kernel rewrite reach 0.131 sd worst
+(the heavy-tailed beta/r_c/epsilon degeneracy directions — a ~0.03 sd
+mean systematic from a ~0.5-unit posterior-row log-like ripple,
+physically negligible at 0.1x the posterior width).  The original
+0.08-sd floor was calibrated on what turned out to be a bit-identical
+seed-31 replay and flaked the first genuinely independent realization.
+Floor 0.20 = the observed worst cross-pair + ~50% headroom; real
+physics regressions (e.g. the r3 derivative fix, the table-version
+bump) move medians well past it.
 """
 
 from __future__ import annotations
@@ -51,7 +65,7 @@ def _median_mc_error(std: float, n_eff: float) -> float:
 
 def check_pin(summary: dict, pin: dict | None = None, *,
               mode: str = "fresh", n_sigma: float = 6.0,
-              median_floor_std: float = 0.08,
+              median_floor_std: float = 0.20,
               width_ratio_band: tuple[float, float] = (0.8, 1.25),
               exact_rtol: float = 1e-5) -> tuple[bool, list[str]]:
     """Compare a posterior ``summary`` dict (the ``parameters`` layout of

@@ -69,6 +69,17 @@ fixture = {
             "rule": f"band = (min_ratio/{MARGIN}, max_ratio*{MARGIN}) "
                     f"where outside the default {DEFAULT_BAND}",
         },
+        "median_floor_calibration": {
+            "study": "scripts/tpu_pin_scatter.py (round 3) -> "
+                     "results/tpu_pin_scatter/scatter.json",
+            "design": "2x2 seed(31,47) x RECIP_MUL(on,off), four "
+                      "independent converged flagless hardware fits",
+            "seed_only_max_sd": 0.055,
+            "ulp_knob_cross_pair_max_sd": 0.131,
+            "rule": "fresh-mode median floor = worst observed "
+                    "cross-pair + ~50% headroom = 0.20 sd "
+                    "(postproc/pin.py default)",
+        },
         "note": "internal regression anchor; no external anchor exists "
                 "in this environment (VALIDATION.md)",
     },
