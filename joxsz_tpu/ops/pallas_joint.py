@@ -96,6 +96,20 @@ LNX_CONST = True
 # (m + shifted compares + reductions) 103 us (results/
 # tpu_prof_micro.json).
 RECIP_MUL = True
+#   VETO_MIN — evaluate the gNFW mass-veto monotonicity test as ONE
+#     masked min-reduce over the central differences (min(m[i+2]-m[i])
+#     over interior points > 0) instead of a boolean compare + OR +
+#     all-reduce chain.  Mathematically the same strict-inequality test
+#     (a-b>0 <=> a>b for normal f32 diffs; TPU flush-to-zero could flip
+#     a subnormal diff, impossible at mass scale — veto-flip-gated on
+#     hardware like every bit-changing knob).
+# Measured NEGATIVE (same claim, W=32768, scripts/tpu_veto_min_bench.py,
+# results/tpu_veto_min.json): 844.0 -> 850.3 us/step — no win; the
+# veto's ~103 us (tpu_prof_micro) is the m computation and the one
+# lane-reduce itself, which both forms share, not the compare chain.
+# Accuracy identical (posterior-row band 0.5, zero veto flips).  Kept
+# as a documented negative: default False.
+VETO_MIN = False
 
 
 _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
@@ -438,9 +452,11 @@ def _build_spec(sess, ablate: str = ""):
     fuse = XRAY_FUSE  # frozen into this spec (the global is an A/B knob)
     hat_bf16, lnx_const = HAT_BF16, LNX_CONST     # frozen per spec
     recip_mul = RECIP_MUL
+    veto_min = VETO_MIN
     spec["xray_fuse"] = fuse
     spec["hat_bf16"], spec["lnx_const"] = hat_bf16, lnx_const
     spec["recip_mul"] = recip_mul
+    spec["veto_min"] = veto_min
     if has_xray:
         cnames += ["midr", "lnmid", "KV"]
         cnames += ["M01"] if fuse == "packed" else ["M0v", "M1v"]
@@ -747,13 +763,21 @@ def _build_spec(sess, ablate: str = ""):
             # np.gradient(m) > 0 over the real grid == central
             # differences m[i+1] > m[i-1] at interior points plus
             # one-sided edges
-            idx = jax.lax.broadcasted_iota(jnp.int32, (B, NP - 2), 1)
-            interior_ok = (m[:, 2:] > m[:, :-2]) | (idx > n_press - 3)
             edge_lo = m[:, 1:2] > m[:, 0:1]
             edge_hi = (m[:, n_press - 1:n_press]
                        > m[:, n_press - 2:n_press - 1])
-            mono = (jnp.all(interior_ok, axis=1, keepdims=True)
-                    & edge_lo & edge_hi)
+            idx = jax.lax.broadcasted_iota(jnp.int32, (B, NP - 2), 1)
+            if veto_min:
+                # one masked min-reduce replaces compare+or+all (see
+                # VETO_MIN knob comment); iota mask const-folds
+                d2 = m[:, 2:] - m[:, :-2]
+                mn = jnp.min(jnp.where(idx > n_press - 3, 1.0, d2),
+                             axis=1, keepdims=True)
+                mono = (mn > 0.0) & edge_lo & edge_hi
+            else:
+                interior_ok = (m[:, 2:] > m[:, :-2]) | (idx > n_press - 3)
+                mono = (jnp.all(interior_ok, axis=1, keepdims=True)
+                        & edge_lo & edge_hi)
             total = jnp.where(mono, total, NEG)
 
         # ---- SZ ----------------------------------------------------------------
