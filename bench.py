@@ -38,8 +38,16 @@ def _attribution_phase(sess, make_step_kernel, core, theta0, rng, jnp, jax):
     """Same-claim ablation timings at W=4096: us/step for the full step
     and the no_ll / no_xray / no_sz ablations (dependent-chained
     invocations — independent back-to-back calls only measure dispatch
-    rate on this remote backend), plus the MXU-utilisation estimate."""
-    W_A, N_A = 4096, 200
+    rate on this remote backend), plus the MXU-utilisation estimate.
+
+    Methodology (hardened after BENCH r3 draft measured a NEGATIVE
+    X-ray attribution): 200-step invocations put the ~10 ms remote
+    dispatch at ~17 us/step of claim-dependent noise — larger than the
+    differences being reported.  Each ablation now runs 1000-step
+    invocations (n_inner is a fori_loop trip count, so compile cost is
+    unchanged) and reports the MIN of 3 individually-blocked reps
+    (~157 ms timed work each at W=4096), putting dispatch at ~1-2%."""
+    W_A, N_A = 4096, 1000
     p0 = jnp.asarray(theta0[None] * (
         1 + 0.01 * rng.standard_normal((W_A, theta0.size))
     ).astype(np.float32))
@@ -52,11 +60,13 @@ def _attribution_phase(sess, make_step_kernel, core, theta0, rng, jnp, jax):
             return None
         x, lp, acc = k(p0, lp0, jnp.zeros(W_A, jnp.float32), 11)  # warm
         jax.block_until_ready(x)
-        t0 = time.time()
+        best = float("inf")
         for i in range(3):
+            t0 = time.time()
             x, lp, acc = k(x, lp, acc, 12 + i)
-        jax.block_until_ready(x)
-        us[ablate or "full"] = (time.time() - t0) / (3 * N_A) * 1e6
+            jax.block_until_ready(x)
+            best = min(best, (time.time() - t0) / N_A * 1e6)
+        us[ablate or "full"] = best
 
     # MXU-utilisation estimate: matmul FLOPs actually issued per step
     # (per-walker likelihood matmuls x W + the one-hot partner gather,
@@ -123,8 +133,7 @@ def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
     from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
     from joxsz_tpu.sampling.tempered import default_betas
     from joxsz_tpu.sampling.mle import find_mle
-    from joxsz_tpu.postproc.summary import (integrated_autocorr_time,
-                                            convergence_rhat)
+    from joxsz_tpu.postproc.summary import chain_tau_steps, convergence_rhat
 
     W_T, K, THIN, N_C = 1024, 4, 25, 2000
     MAX_CHUNKS = 8                              # cap: 16000 steps
@@ -154,6 +163,11 @@ def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
         xk, lpk, acck = step_t(xk, lpk, acck, 51 + i)[:3]
     jax.block_until_ready(xk)
 
+    # per-chunk slice kept local (not collect_kernel_subchain): the
+    # stopping rule must be consulted on the ACCUMULATED chain after
+    # every chunk, and the swap counter rides the same invocation — the
+    # helper collects all chunks before returning.  tau rules go
+    # through chain_tau_steps (the one shared encoding).
     sl = jax.jit(lambda c: c[:, :64, :D])
     subs, swap_acc = [], []
     steps_to_conv = None
@@ -165,23 +179,21 @@ def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
         swap_acc.append(sacc)
         if i >= 1:          # chunk 1's 80 draws underestimate tau
             sub = np.concatenate([np.asarray(c) for c in subs])
-            tau_saved = float(np.max(np.maximum(
-                np.asarray(integrated_autocorr_time(sub)), 1.0)))
-            rhat = float(convergence_rhat(sub, tau_saved=tau_saved))
+            tau_steps_i = float(chain_tau_steps(sub, THIN).max())
+            rhat = float(convergence_rhat(
+                sub, tau_saved=tau_steps_i / THIN))
             steps = (i + 1) * N_C
             print(f"  tempered chunk {i + 1}/{MAX_CHUNKS}: steps {steps} "
-                  f"tau {tau_saved * THIN:.0f} rhat {rhat:.4f}",
+                  f"tau {tau_steps_i:.0f} rhat {rhat:.4f}",
                   file=sys.stderr)
             if (steps_to_conv is None
-                    and steps >= 20.0 * tau_saved * THIN
+                    and steps >= 20.0 * tau_steps_i
                     and rhat <= 1.01):
                 steps_to_conv = steps
     jax.block_until_ready(xk)
     wall = time.time() - t0
     sub = np.concatenate([np.asarray(c) for c in subs])
-    tau_saved = float(np.max(np.maximum(
-        np.asarray(integrated_autocorr_time(sub)), 1.0)))
-    tau_steps = tau_saved * THIN
+    tau_steps = float(chain_tau_steps(sub, THIN).max())
     neff = MAX_CHUNKS * N_C * W_T / tau_steps
     srate = float(np.mean([np.asarray(s) for s in swap_acc])) / (N_C * W_T)
     return {

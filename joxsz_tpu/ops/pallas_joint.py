@@ -650,8 +650,16 @@ def _build_spec(sess, ablate: str = ""):
                 xa = a_ * lnx + 2.0
                 press = P0 * (1.0 + 1e-3 * lnx)
             else:
-                xa = jnp.exp(a_ * lnx)
-                ln1xa = jnp.log1p(xa)
+                # ln(1+x^a) as a STABLE softplus (max(z,0)+log1p(e^-|z|))
+                # — exp(a ln x) overflows f32 at a*lnx > 88.7, which a
+                # custom config (bigger map / wider a box) reaches
+                # inside its prior box; log1p(exp(z)) then turns press
+                # into exp(-inf)=0 and falsely vetoes XLA-finite states
+                # (the models/pressure.py softplus/sigmoid form never
+                # materialises x^a — same fix class as a382b23)
+                za = a_ * lnx
+                ln1xa = (jnp.maximum(za, 0.0)
+                         + jnp.log1p(jnp.exp(-jnp.abs(za))))
                 press = P0 * jnp.exp(-c_gnfw * lnx
                                      - ((b_ - c_gnfw) / a_) * ln1xa)
             # dP/dr = -(P/r) (c + (b-c) x^a/(1+x^a)): reuses press (one
@@ -659,11 +667,22 @@ def _build_spec(sess, ablate: str = ""):
             # grouped-exponent form still rounds to -0 near the f32
             # underflow edge at in-bounds corners (a~20, r_p~100),
             # where -0 flips the mass veto (see models/pressure.py)
-            if recip_mul:
-                sfrac = xa / (1.0 + xa)        # consumed by the veto fold
+            if ablate == "prof_pressstub":
+                sfrac = xa / (1.0 + xa)        # stub: xa is fake-linear
             else:
-                dpress = -press / r * (c_gnfw
-                                       + (b_ - c_gnfw) * xa / (1.0 + xa))
+                # x^a/(1+x^a) = 1 - exp(-ln(1+x^a)): reuses ln1xa,
+                # saturates to exactly 1 where exp(a ln x) overflows f32
+                # (the XLA path's sigmoid, models/pressure.py) instead
+                # of inf/inf = NaN -> false veto — the bundled prior box
+                # tops out at a*lnx ~ 78 vs the 88.7 overflow edge, so
+                # only custom configs (bigger maps / wider a box) hit
+                # it — and swaps a full-width divide for one exp.  The
+                # 1-exp cancellation at small ln1xa costs only ~1e-7
+                # ABSOLUTE error in sfrac (expm1 would avoid it, but
+                # Mosaic has no expm1 lowering — hardware-verified)
+                sfrac = 1.0 - jnp.exp(-ln1xa)
+            if not recip_mul:
+                dpress = -press / r * (c_gnfw + (b_ - c_gnfw) * sfrac)
         else:
             # knot pressure: clamped log-log lerp is linear in th —
             # accumulate per-knot VPU FMAs (exact f32; an MXU matmul
@@ -839,9 +858,12 @@ def _build_spec(sess, ablate: str = ""):
                 lnxm = C["lnmid"] - jnp.log(rp_)
             else:
                 lnxm = jnp.log(midr / rp_)
+            zam = a_ * lnxm
             press_m = P0 * jnp.exp(
                 -c_gnfw * lnxm
-                - ((b_ - c_gnfw) / a_) * jnp.log1p(jnp.exp(a_ * lnxm)))
+                - ((b_ - c_gnfw) / a_)
+                * (jnp.maximum(zam, 0.0)
+                   + jnp.log1p(jnp.exp(-jnp.abs(zam)))))  # stable softplus
         else:
             AKM = C["AKM"]
             logPm = col(kc0) * AKM[0:1, :]

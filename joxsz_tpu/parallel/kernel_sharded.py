@@ -327,7 +327,7 @@ _COUPLED_CACHE_MAX = 8
 
 def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
                         partner, mesh):
-    from ..ops.pallas_joint import make_coupled_half_kernel
+    from ..ops.pallas_joint import make_coupled_half_kernel, make_joint_core
 
     n_dev = mesh.shape[axis]
     key = (id(sess), W, n_dev, n_steps, thin, a, interpret, axis,
@@ -335,10 +335,16 @@ def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
     hit = _COUPLED_CACHE.get(key)
     if hit is not None and hit[0] is sess:
         _COUPLED_CACHE.move_to_end(key)
-        return hit[1], hit[2]
+        return hit[1], hit[2], hit[3]
     half = make_coupled_half_kernel(sess, W, n_dev, a=a,
                                     interpret=interpret, partner=partner)
     if half is None:
+        return None
+    # the initial-lp core is cached WITH the driver: make_joint_core
+    # pays the full _build_spec table-operator construction, noticeable
+    # per call on this 1-core host
+    core = make_joint_core(sess, interpret=interpret)
+    if core is None:
         return None
     H_loc = half.H_loc
     jitted = half._jitted
@@ -375,10 +381,10 @@ def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
     out_specs = (P(axis), P(axis), P(None, None, axis))
     fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False))
-    _COUPLED_CACHE[key] = (sess, fn, half)
+    _COUPLED_CACHE[key] = (sess, fn, half, core)
     if len(_COUPLED_CACHE) > _COUPLED_CACHE_MAX:
         _COUPLED_CACHE.popitem(last=False)
-    return fn, half
+    return fn, half, core
 
 
 def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
@@ -413,8 +419,6 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
     ``p0``: (W, D); H = W/2 must divide over the mesh.  Returns an
     ``EnsembleResult`` (chain (n_steps//thin, W, D)) or None outside
     the kernel specialisation."""
-    from ..ops.pallas_joint import make_joint_core
-
     W, D = np.asarray(p0).shape
     if W % 2:
         raise ValueError("need an even number of walkers")
@@ -430,10 +434,7 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
                                 axis, partner, mesh)
     if built is None:
         return None
-    fn, half = built
-    core = make_joint_core(sess, interpret=interpret)
-    if core is None:
-        return None
+    fn, half, core = built
     Dp = half.Dp
     DL, DA = Dp - 2, Dp - 1
     f32 = jnp.float32

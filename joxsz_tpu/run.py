@@ -148,16 +148,8 @@ def main(argv=None):
         cfg.mcmc.n_temper_rungs = 0
         print(f"note: --move {args.move} is XLA-plain only; dropping the "
               "default K=4 tempering (schedule otherwise unchanged)")
-    if converged_default:
-        print("schedule: converged TPU default — W=1024 x K=4 tempered, "
-              "4000 burn + 8000 steps, auto-extend to split-Rhat <= 1.01 "
-              "(--reference-schedule restores the reference's 30-walker "
-              "plain-GW run)")
-    elif args.reference_schedule:
-        print("WARNING: --reference-schedule is a parity configuration: "
-              "at W~30 the Z and epsilon posteriors pile at 0 (ensemble-"
-              "size artifact) and plain GW does not certify convergence "
-              "on this posterior (docs/PERFORMANCE.md)")
+    # apply explicit schedule overrides BEFORE the banner so the log —
+    # the primary record of detached TPU runs — states what actually ran
     if args.seed is not None:
         cfg.mcmc.seed = args.seed
     if args.walkers is not None:
@@ -166,6 +158,20 @@ def main(argv=None):
         cfg.mcmc.n_temper_rungs = args.temper
     if args.auto_extend is not None:
         cfg.mcmc.auto_extend = args.auto_extend
+    if converged_default:
+        k = cfg.mcmc.n_temper_rungs
+        samp = f"K={k} tempered" if k > 1 else "plain GW"
+        ext = (", auto-extend to split-Rhat <= 1.01"
+               if cfg.mcmc.auto_extend else "")
+        print(f"schedule: converged TPU default — W={cfg.mcmc.nwalkers} "
+              f"x {samp}, {cfg.mcmc.nburn} burn + {cfg.mcmc.nsteps} "
+              f"steps{ext} (--reference-schedule restores the "
+              "reference's 30-walker plain-GW run)")
+    elif args.reference_schedule:
+        print("WARNING: --reference-schedule is a parity configuration: "
+              "at W~30 the Z and epsilon posteriors pile at 0 (ensemble-"
+              "size artifact) and plain GW does not certify convergence "
+              "on this posterior (docs/PERFORMANCE.md)")
     if args.integ:
         cfg.sz.calc_integ = True
     if args.line_systematic:
@@ -222,8 +228,13 @@ def main(argv=None):
               f"({'pallas' if use_pallas else 'jnp'} SZ core)")
 
     step_sampler = None
+    # the fused kernel implements the stretch move only: a non-stretch
+    # --move must not engage the default kernel path (run_fit would
+    # reject it with advice to drop a flag the user never passed);
+    # explicit --step-kernel still errors loudly in run_fit
     want_step_kernel = args.step_kernel or (converged_default
-                                            and not args.no_step_kernel)
+                                            and not args.no_step_kernel
+                                            and args.move == "stretch")
     if want_step_kernel:
         if jax.default_backend() == "cpu":
             print("note: --step-kernel needs the TPU hardware PRNG; "

@@ -11,26 +11,50 @@ heavy-tailed marginal (P_0 against the curved gNFW degeneracy) varies
 one-size (0.8, 1.25) band flakes on exactly the parameter that mixes
 worst.
 
+The pin run's narrative (what intended change the re-pin records, which
+seed/date) is CLI input — the audit trail must describe the run actually
+being pinned, not a hard-coded past one.
+
 Usage: python scripts/refreeze_pin.py <pin_summary.json> <chain.hdf5> \
-           <split_rhat_max> [comparison_summary.json ...]
+           <split_rhat_max> [comparison_summary.json ...] \
+           --why "<the intended physics change this re-pin records>" \
+           --seed N [--date YYYY-MM-DD] [--schedule "..."]
 """
 
+import argparse
+import datetime
 import hashlib
 import json
 import pathlib
-import sys
 
 REPO = pathlib.Path(__file__).resolve().parents[1]
 FIXTURE = REPO / "tests" / "fixtures" / "cl1226_posterior_pin.json"
 DEFAULT_BAND = (0.8, 1.25)
 MARGIN = 1.15          # headroom beyond the observed cross-run extreme
 
-summary_path, chain_path, rhat = sys.argv[1], sys.argv[2], float(sys.argv[3])
-others = sys.argv[4:]
+ap = argparse.ArgumentParser()
+ap.add_argument("summary")
+ap.add_argument("chain")
+ap.add_argument("rhat", type=float)
+ap.add_argument("comparisons", nargs="*",
+                help="other converged summaries for width-band "
+                     "calibration")
+ap.add_argument("--why", required=True,
+                help="the INTENDED physics change this re-pin records "
+                     "(commit hash + one line)")
+ap.add_argument("--seed", type=int, required=True,
+                help="seed of the pin-source run")
+ap.add_argument("--date", default=datetime.date.today().isoformat())
+ap.add_argument("--schedule",
+                default="FLAGLESS converged TPU default (run.py with no "
+                        "schedule flags -> W=1024, K=4 tempering, 4000 "
+                        "burn + 8000 steps thin 25, fused step kernel, "
+                        "auto-extend to split-Rhat <= 1.01)")
+args = ap.parse_args()
 
-summary = json.loads(pathlib.Path(summary_path).read_text())["parameters"]
+summary = json.loads(pathlib.Path(args.summary).read_text())["parameters"]
 comps = [json.loads(pathlib.Path(p).read_text())["parameters"]
-         for p in others]
+         for p in args.comparisons]
 
 params = {}
 spread_note = {}
@@ -49,22 +73,17 @@ for name, s in summary.items():
                                  round(max(ratios), 3)]
     params[name] = entry
 
-sha = hashlib.sha256(pathlib.Path(chain_path).read_bytes()).hexdigest()
+sha = hashlib.sha256(pathlib.Path(args.chain).read_bytes()).hexdigest()
 fixture = {
     "_provenance": {
-        "run": "FLAGLESS converged TPU default (run.py with no schedule "
-               "flags -> W=1024, K=4 tempering, 4000 burn + 8000 steps "
-               "thin 25, fused step kernel, auto-extend to split-Rhat "
-               "<= 1.01), seed 31; post gNFW-derivative fix (a382b23: "
-               "false f32 mass vetoes removed — the INTENDED physics "
-               "change this re-pin records) and packed X-ray layout "
-               "(902f407, bit-checked vs XLA)",
-        "claim_date": "2026-08-19 (round 3)",
-        "chain": str(pathlib.Path(chain_path).resolve().relative_to(REPO)),
+        "run": f"{args.schedule}, seed {args.seed}; {args.why}",
+        "claim_date": args.date,
+        "chain": str(pathlib.Path(args.chain).resolve()
+                     .relative_to(REPO)),
         "chain_sha256": sha,
-        "split_rhat_max": rhat,
+        "split_rhat_max": args.rhat,
         "width_band_calibration": {
-            "comparison_runs": others,
+            "comparison_runs": args.comparisons,
             "observed_std_ratio_range": spread_note,
             "rule": f"band = (min_ratio/{MARGIN}, max_ratio*{MARGIN}) "
                     f"where outside the default {DEFAULT_BAND}",
@@ -86,6 +105,6 @@ fixture = {
     "parameters": params,
 }
 FIXTURE.write_text(json.dumps(fixture, indent=1) + "\n")
-print(f"re-froze {FIXTURE} from {summary_path} "
-      f"(split-Rhat {rhat}, {len(params)} parameters, "
+print(f"re-froze {FIXTURE} from {args.summary} "
+      f"(split-Rhat {args.rhat}, {len(params)} parameters, "
       f"width-band overrides: {sorted(spread_note)})")

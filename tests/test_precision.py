@@ -137,3 +137,40 @@ def test_f32_no_spurious_inf(sessions):
     # a few walkers may trip real vetoes; the bulk must be finite
     assert np.isfinite(ll).mean() > 0.5
     assert not np.any(np.isnan(ll))
+
+
+def test_kernel_gnfw_softplus_no_overflow_veto(ref_data):
+    """Kernel-vs-XLA parity past the f32 exp overflow edge (round-3
+    review finding): the fused kernel used to form ln(1+x^a) as
+    log1p(exp(a ln x)), which overflows at a*lnx > 88.7 — reachable
+    inside a CUSTOM prior box (wider `a`, bigger map, smaller r_p floor)
+    though not the bundled one (max ~78) — zeroing press and falsely
+    vetoing XLA-finite states (log-like ~34668 -> -inf).  Both the main
+    grid and the X-ray midpoint block now use the stable softplus
+    max(z,0)+log1p(e^-|z|), the same form as models/pressure.py."""
+    from joxsz_tpu.ops.pallas_joint import make_joint_core
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    p = sess.params
+    ia = p.thawed.index("a")
+    p.hi[ia] = 60.0                      # the custom-config scenario
+    theta = np.array([_UNDERFLOW_THETA[n] for n in p.thawed],
+                     dtype=np.float32)
+    core = make_joint_core(sess, block_b=64, interpret=True)
+    assert core is not None
+    ll_xla = jax.jit(jax.vmap(sess.log_like))
+
+    rows = []
+    for a in (25.0, 28.0, 40.0):         # a*lnx up to ~147 at r_max
+        t = theta.copy()
+        t[ia] = a
+        rows.append(t)
+    batch = jnp.asarray(np.stack(rows))
+    lx = np.asarray(ll_xla(batch))
+    lk = np.asarray(core(batch))
+    assert np.all(np.isfinite(lx)), lx   # genuine states by construction
+    assert np.all(np.isfinite(lk)), (
+        "kernel falsely vetoed past the exp overflow edge", lk)
+    assert np.max(np.abs(lx - lk)) < 0.1, (lx, lk)
