@@ -110,6 +110,30 @@ RECIP_MUL = True
 # Accuracy identical (posterior-row band 0.5, zero veto flips).  Kept
 # as a documented negative: default False.
 VETO_MIN = False
+#   ILV — issue the X-ray hat-table matmul (the step's largest MXU op,
+#     ~130 us of issued FLOPs at W=32768) BEFORE the mass-veto and SZ
+#     blocks instead of after them.  Hypothesis (DISPROVED below): the
+#     measured chunk costs are ADDITIVE (proposal + X-ray + SZ + shared
+#     == full, results/tpu_peak_ablation.json), suggesting the MXU time
+#     is fully exposed — the in-order VPU issue stalling at exp(l01)
+#     right after the dot.  Hoisting the dot puts ~200 us of
+#     independent veto+SZ VPU work between issue and first use.  The
+#     pre/post split moves COMPUTATION only; every op and the
+#     total-update order (veto -> SZ -> X-ray) are unchanged, so the
+#     result is BIT-EXACT vs the linear order (pinned in
+#     tests/test_pallas_joint.py) — no band/veto-flip gate needed.
+# Measured NEGATIVE (same claim, interleaved A/B/A/B reps,
+# scripts/tpu_ilv_bench.py, results/tpu_ilv_bench.json): base 868.5 ->
+# ilv 1002.5 us/step at W=32768 (-15.4%) and 135.2 -> 149.5 at W=4096
+# (-10.6%); bit-exact confirmed on hardware.  The penalty (~134 us) is
+# one M01-matmul wall, i.e. in the LINEAR order the dot was already
+# hidden — the additivity of the chunk ablations does NOT mean the MXU
+# time is exposed, and lengthening l01's live range across the veto+SZ
+# blocks un-hides it.  Kept as a documented negative (the pre/post
+# split itself is retained: with ILV=False the call sites lower
+# identically to the old linear form, bit-checked in
+# tests/test_pallas_joint.py::test_ilv_bit_exact).  Default False.
+ILV = False
 
 
 _VIKH_T_PARAMS = ["T_0", "T_{min}/T_0", "r_{cool}", "a_{cool}", "r_t",
@@ -453,6 +477,7 @@ def _build_spec(sess, ablate: str = ""):
     hat_bf16, lnx_const = HAT_BF16, LNX_CONST     # frozen per spec
     recip_mul = RECIP_MUL
     veto_min = VETO_MIN
+    ilv = ILV
     spec["xray_fuse"] = fuse
     spec["hat_bf16"], spec["lnx_const"] = hat_bf16, lnx_const
     spec["recip_mul"] = recip_mul
@@ -740,6 +765,139 @@ def _build_spec(sess, ablate: str = ""):
         else:
             ne = jnp.sqrt(ne2)
 
+        # ---- X-ray pre/post split (definitions only; invoked below) -----------
+        # Split at the table matmul so ILV can issue the step's dominant
+        # MXU op before the independent veto+SZ VPU work (see the ILV
+        # knob comment).  The split moves COMPUTATION only: the op set
+        # and the total-update order (veto -> SZ -> X-ray) are identical
+        # to the linear form, so both orders are bit-exact.
+        xray_on = has_xray and ablate not in ("no_xray", "priors")
+
+        def xray_pre():
+            """Midpoint profiles, hat construction, table matmul(s)."""
+            midr = C["midr"]
+            KV = C["KV"]
+            if family == "gnfw":
+                if lnx_const:
+                    lnxm = C["lnmid"] - jnp.log(rp_)
+                else:
+                    lnxm = jnp.log(midr / rp_)
+                zam = a_ * lnxm
+                press_m = P0 * jnp.exp(
+                    -c_gnfw * lnxm
+                    - ((b_ - c_gnfw) / a_)
+                    * (jnp.maximum(zam, 0.0)
+                       + jnp.log1p(jnp.exp(-jnp.abs(zam)))))  # stable softplus
+            else:
+                AKM = C["AKM"]
+                logPm = col(kc0) * AKM[0:1, :]
+                for ki in range(1, n_knots):
+                    logPm = logPm + col(kc0 + ki) * AKM[ki:ki + 1, :]
+                press_m = jnp.exp(LN10 * logPm)
+            ne2m = ne2_of(midr)                    # (B, n_sh)
+            if recip_mul:
+                ne2m_w = ne2m                      # skip the sqrt roundtrip
+                if t_family == "upp":
+                    Tm = press_m * jax.lax.rsqrt(ne2m) * 10.0 ** tratio
+                else:
+                    Tm = vikh_T(midr)
+            else:
+                nem = jnp.sqrt(ne2m)
+                ne2m_w = nem * nem
+                if t_family == "upp":
+                    Tm = press_m / nem * 10.0 ** tratio
+                else:
+                    Tm = vikh_T(midr)
+            tl = jnp.log(jnp.maximum(Tm, 1e-30))
+            if recip_mul:
+                pos = jnp.clip((tl - t0g) * (1.0 / dtg), 0.0, nT - 1 - 1e-6)
+            else:
+                pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
+
+            # hat-basis matmul lerp (see _build_spec): expand pos to the
+            # 128-aligned lane-group layout, form the hat activations,
+            # contract against the table operator(s) on the MXU
+            if fuse == "packed":
+                # SPG shells per group: SPG aligned broadcast streams
+                # merged by one lane-iota select (no unaligned
+                # broadcast/concat — the failure mode of the old KG=64
+                # attempt)
+                streams = []
+                for h in range(SPG):
+                    cols = [min(g * SPG + h, n_sh - 1) for g in range(NG)]
+                    streams.append(jnp.concatenate(
+                        [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
+                         for j in cols], axis=1))            # (B, NSK)
+                pos_e = streams[0]
+                if SPG > 1:
+                    lane = (jax.lax.broadcasted_iota(jnp.int32, (B, NSK),
+                                                     1) % KG)
+                    for h in range(1, SPG):
+                        pos_e = jnp.where(lane >= h * nT, streams[h],
+                                          pos_e)
+                if ablate == "xray_hatstub":
+                    # profiling only: skip the hat construction chain but
+                    # keep the (B, NSK) materialization + matmul (a cheap
+                    # data-dependent stand-in so nothing hoists out of
+                    # the step loop)
+                    hat = jnp.broadcast_to(pos[:, 0:1], (B, NSK))
+                else:
+                    hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
+                if hat_bf16:
+                    # the f32 dot already runs a bf16 MXU pass; the
+                    # explicit cast only halves the biggest
+                    # intermediate's VMEM traffic (weights stay f32)
+                    hat = hat.astype(jnp.bfloat16)
+                l01 = jnp.dot(hat, C["M01"],
+                              preferred_element_type=jnp.float32)
+                return (l01,), ne2m_w              # (B, 2*NBS)
+            pos_e = jnp.concatenate(
+                [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
+                 for j in range(n_sh)], axis=1)          # (B, NSK)
+            hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
+            l0f = jnp.dot(hat, C["M0v"],
+                          preferred_element_type=jnp.float32)
+            l1f = jnp.dot(hat, C["M1v"],
+                          preferred_element_type=jnp.float32)
+            return (l0f, l1f), ne2m_w
+
+        def xray_apply(total, pre):
+            """Emissivity, volume projection, Cash — the post-dot ops."""
+            tabs, ne2m_w = pre
+            VBv = C["VBv"]
+            sigf, bgf, cmf, ctf = (C["sigf"], C["bgf"], C["cmf"],
+                                   C["ctf"])
+            if fuse == "packed":
+                (l01,) = tabs
+                # Z-mix as an elementwise lane mask; projection operator
+                # is [VB; VB], so proj == ((1-Z) e^l0 + Z e^l1) * ne2 @ VB
+                lane2 = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * NBS),
+                                                 1)
+                zmix = jnp.where(lane2 < NBS, 1.0 - Z, Z)
+                ne2_ee = jnp.concatenate([ne2m_w] * (2 * n_band), axis=1)
+                if ablate == "xray_noexp":   # profiling only
+                    emiss = l01 * zmix * ne2_ee
+                else:
+                    emiss = jnp.exp(l01) * zmix * ne2_ee     # (B, 2*NBS)
+            else:
+                l0f, l1f = tabs
+                rates = (jnp.exp(l0f) * (1.0 - Z)
+                         + jnp.exp(l1f) * Z)                 # (B, NBS)
+                ne2_e = jnp.concatenate([ne2m_w] * n_band, axis=1)
+                emiss = rates * ne2_e
+            proj = jnp.dot(emiss, VBv,
+                           preferred_element_type=jnp.float32)  # (B, NBS)
+            pred = proj * sigf + bscale * bgf
+            if ablate == "xray_nocash":      # profiling only
+                return total + jnp.sum(pred, axis=1, keepdims=True) * 1e-9
+            okmin = jnp.all(pred > 0.0, axis=1, keepdims=True)
+            safe = jnp.where(pred > 0.0, pred, 1.0)
+            cash = jnp.sum(cmf * (ctf * jnp.log(safe) - safe),
+                           axis=1, keepdims=True)
+            return total + jnp.where(okmin, cash, NEG)
+
+        xpre = xray_pre() if (ilv and xray_on) else None
+
         # ---- HSE mass physicality veto (config-gated like the XLA
         # path's exclude_unphysical_mass; criteria match
         # models/joint.py::_mass_veto_ok per family) ---------------------------
@@ -846,117 +1004,13 @@ def _build_spec(sess, ablate: str = ""):
             di = jnp.sum(pp * wint, axis=1, keepdims=True) - mui
             total = total - 0.5 * di * di
 
-        if not has_xray or ablate in ("no_xray", "priors"):
+        if not xray_on:
             return jnp.where(jnp.isnan(total), NEG, total)
 
         # ---- X-ray -------------------------------------------------------------
-        midr = C["midr"]
-        KV, VBv = C["KV"], C["VBv"]
-        sigf, bgf, cmf, ctf = C["sigf"], C["bgf"], C["cmf"], C["ctf"]
-        if family == "gnfw":
-            if lnx_const:
-                lnxm = C["lnmid"] - jnp.log(rp_)
-            else:
-                lnxm = jnp.log(midr / rp_)
-            zam = a_ * lnxm
-            press_m = P0 * jnp.exp(
-                -c_gnfw * lnxm
-                - ((b_ - c_gnfw) / a_)
-                * (jnp.maximum(zam, 0.0)
-                   + jnp.log1p(jnp.exp(-jnp.abs(zam)))))  # stable softplus
-        else:
-            AKM = C["AKM"]
-            logPm = col(kc0) * AKM[0:1, :]
-            for ki in range(1, n_knots):
-                logPm = logPm + col(kc0 + ki) * AKM[ki:ki + 1, :]
-            press_m = jnp.exp(LN10 * logPm)
-        ne2m = ne2_of(midr)                    # (B, n_sh)
-        if recip_mul:
-            ne2m_w = ne2m                      # skip the sqrt roundtrip
-            if t_family == "upp":
-                Tm = press_m * jax.lax.rsqrt(ne2m) * 10.0 ** tratio
-            else:
-                Tm = vikh_T(midr)
-        else:
-            nem = jnp.sqrt(ne2m)
-            ne2m_w = nem * nem
-            if t_family == "upp":
-                Tm = press_m / nem * 10.0 ** tratio
-            else:
-                Tm = vikh_T(midr)
-        tl = jnp.log(jnp.maximum(Tm, 1e-30))
-        if recip_mul:
-            pos = jnp.clip((tl - t0g) * (1.0 / dtg), 0.0, nT - 1 - 1e-6)
-        else:
-            pos = jnp.clip((tl - t0g) / dtg, 0.0, nT - 1 - 1e-6)
-
-        # hat-basis matmul lerp (see _build_spec): expand pos to the
-        # 128-aligned lane-group layout, form the hat activations,
-        # contract against the table operator(s) on the MXU
-        if fuse == "packed":
-            # SPG shells per group: SPG aligned broadcast streams merged
-            # by one lane-iota select (no unaligned broadcast/concat —
-            # the failure mode of the old KG=64 attempt)
-            streams = []
-            for h in range(SPG):
-                cols = [min(g * SPG + h, n_sh - 1) for g in range(NG)]
-                streams.append(jnp.concatenate(
-                    [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
-                     for j in cols], axis=1))            # (B, NSK)
-            pos_e = streams[0]
-            if SPG > 1:
-                lane = (jax.lax.broadcasted_iota(jnp.int32, (B, NSK), 1)
-                        % KG)
-                for h in range(1, SPG):
-                    pos_e = jnp.where(lane >= h * nT, streams[h], pos_e)
-            if ablate == "xray_hatstub":
-                # profiling only: skip the hat construction chain but
-                # keep the (B, NSK) materialization + matmul (a cheap
-                # data-dependent stand-in so nothing hoists out of the
-                # step loop)
-                hat = jnp.broadcast_to(pos[:, 0:1], (B, NSK))
-            else:
-                hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
-            if hat_bf16:
-                # the f32 dot already runs a bf16 MXU pass; the explicit
-                # cast only halves the biggest intermediate's VMEM
-                # traffic (weights stay f32)
-                hat = hat.astype(jnp.bfloat16)
-            l01 = jnp.dot(hat, C["M01"],
-                          preferred_element_type=jnp.float32)  # (B, 2*NBS)
-            # Z-mix as an elementwise lane mask; projection operator is
-            # [VB; VB], so proj == ((1-Z) e^l0 + Z e^l1) * ne2 @ VB
-            lane2 = jax.lax.broadcasted_iota(jnp.int32, (B, 2 * NBS), 1)
-            zmix = jnp.where(lane2 < NBS, 1.0 - Z, Z)
-            ne2_ee = jnp.concatenate([ne2m_w] * (2 * n_band), axis=1)
-            if ablate == "xray_noexp":   # profiling only
-                emiss = l01 * zmix * ne2_ee
-            else:
-                emiss = jnp.exp(l01) * zmix * ne2_ee     # (B, 2*NBS)
-        else:
-            pos_e = jnp.concatenate(
-                [jnp.broadcast_to(pos[:, j:j + 1], (B, KG))
-                 for j in range(n_sh)], axis=1)          # (B, NSK)
-            hat = jnp.maximum(0.0, 1.0 - jnp.abs(pos_e - KV))
-            l0f = jnp.dot(hat, C["M0v"],
-                          preferred_element_type=jnp.float32)
-            l1f = jnp.dot(hat, C["M1v"],
-                          preferred_element_type=jnp.float32)
-            rates = (jnp.exp(l0f) * (1.0 - Z)
-                     + jnp.exp(l1f) * Z)                 # (B, NBS)
-            ne2_e = jnp.concatenate([ne2m_w] * n_band, axis=1)
-            emiss = rates * ne2_e
-        proj = jnp.dot(emiss, VBv,
-                       preferred_element_type=jnp.float32)    # (B, NBS)
-        pred = proj * sigf + bscale * bgf
-        if ablate == "xray_nocash":      # profiling only
-            total = total + jnp.sum(pred, axis=1, keepdims=True) * 1e-9
-        else:
-            okmin = jnp.all(pred > 0.0, axis=1, keepdims=True)
-            safe = jnp.where(pred > 0.0, pred, 1.0)
-            cash = jnp.sum(cmf * (ctf * jnp.log(safe) - safe),
-                           axis=1, keepdims=True)
-            total = total + jnp.where(okmin, cash, NEG)
+        if xpre is None:
+            xpre = xray_pre()
+        total = xray_apply(total, xpre)
 
         total = jnp.where(jnp.isnan(total), NEG, total)
         return total

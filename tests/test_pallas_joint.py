@@ -816,3 +816,31 @@ def test_recip_mul_matches_base(ref_data, pm, monkeypatch):
     assert np.allclose(outs[True][fin], outs[False][fin],
                        rtol=2e-5, atol=0.05), (
         np.max(np.abs(outs[True][fin] - outs[False][fin])))
+
+
+@pytest.mark.parametrize("pm", ["gnfw", "knots"])
+def test_ilv_bit_exact(ref_data, pm, monkeypatch):
+    """The ILV knob (issue the X-ray table matmul before the veto+SZ
+    blocks) moves COMPUTATION only — the op set and the total-update
+    order are unchanged — so its log-likes must be BIT-EXACT against
+    the linear order, for both pressure families (the knots family
+    exercises the AKM-midpoint branch of xray_pre)."""
+    import joxsz_tpu.ops.pallas_joint as pj
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    cfg.pressure_model = pm
+    sess = build_session(cfg)
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(23)
+    batch = jnp.asarray(theta0[None] * (1 + 0.05 * rng.standard_normal(
+        (32, theta0.size))), jnp.float32)
+
+    outs = {}
+    for knob in (False, True):
+        monkeypatch.setattr(pj, "ILV", knob)
+        core = make_joint_core(sess, block_b=8, interpret=True)
+        outs[knob] = np.asarray(core(batch))
+    assert np.isfinite(outs[False]).any()
+    assert np.array_equal(outs[False], outs[True]), (
+        np.max(np.abs(outs[False] - outs[True])))
