@@ -115,11 +115,14 @@ class CountRateTable:
                         abs(float(want) - float(got)) > tol:
                     errs.append(f"{key}: table {got} != config {want}")
             want_ver = expect.get("model_version")
-            if want_ver is not None and meta.get("backend") != "xspec":
+            if want_ver is not None and \
+                    not str(meta.get("backend", "")).startswith("xspec"):
                 # fallback-model tables must carry the current spectral
                 # model version; a missing field means a pre-versioning
-                # (stale-physics) artifact.  XSPEC-backend tables are
-                # exact physics and exempt.
+                # (stale-physics) artifact.  XSPEC-backend tables
+                # ('xspec' = driven binary, 'xspec-cache' = imported
+                # reference countrate_cache.hdf5) are exact physics and
+                # exempt.
                 got_ver = meta.get("model_version")
                 if got_ver != want_ver:
                     errs.append(f"spectral model_version: table "

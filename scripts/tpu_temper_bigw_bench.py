@@ -53,7 +53,7 @@ K, THIN, N_Q, N_CHUNKS = 4, 25, 2000, 10
 betas = default_betas(K)
 sl = jax.jit(lambda c: c[:, :64, :D])
 
-for W in (2048, 4096):
+for W in (2048, 4096, 8192):
     x0 = jnp.asarray((theta0[None] * (1 + 0.1 * rng.standard_normal(
         (W, D)))).astype(np.float32))
     eq_t = make_tempered_step_kernel(sess, betas, n_inner=N_Q,
