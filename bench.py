@@ -171,6 +171,8 @@ def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
     sl = jax.jit(lambda c: c[:, :64, :D])
     subs, swap_acc = [], []
     steps_to_conv = None
+    rhat_at_gate = None
+    tau_at_gate = None
     rhat = float(np.inf)
     t0 = time.time()
     for i in range(MAX_CHUNKS):
@@ -190,6 +192,8 @@ def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
                     and steps >= 20.0 * tau_steps_i
                     and rhat <= 1.01):
                 steps_to_conv = steps
+                rhat_at_gate = rhat
+                tau_at_gate = tau_steps_i
     jax.block_until_ready(xk)
     wall = time.time() - t0
     sub = np.concatenate([np.asarray(c) for c in subs])
@@ -200,6 +204,18 @@ def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
         "neff_per_sec_tempered": round(neff / wall, 1),
         "tau_steps_tempered": round(tau_steps, 1),
         "steps_to_rhat_101": steps_to_conv,
+        # the values that PASSED the rule at the gate step.  They differ
+        # from the *_final fields by construction: accumulated-window tau
+        # and split-Rhat climb with window length (measured 26->54 tau,
+        # 1.003->1.016 Rhat over 4k->16k steps), so "gate passed at 4000"
+        # next to "final Rhat 1.017" is expected, not a contradiction.
+        "rhat_at_gate": None if rhat_at_gate is None
+        else round(rhat_at_gate, 4),
+        "tau_at_gate": None if tau_at_gate is None
+        else round(tau_at_gate, 1),
+        "gate_rule": "accumulated steps >= 20*tau(accumulated) and "
+                     "tau-thinned split-Rhat(accumulated) <= 1.01, "
+                     "consulted from chunk 2 (sampling/driver.py rule)",
         "rhat_tempered_final": round(rhat, 4),
         "swap_acceptance": round(srate, 3),
     }
