@@ -13,6 +13,19 @@ The framework only needs to read four FITS products at *setup* time:
 This is a from-scratch parser of the FITS 4.0 binary-table layout: 2880-byte
 blocks, 80-char ASCII cards, big-endian column data, and the ``P``-descriptor
 heap convention for variable arrays.
+
+FITS features the parser does NOT implement are rejected loudly with
+:class:`UnsupportedFITSError` instead of being silently misread (astropy,
+which the reference uses at /root/reference/joxsz_funcs.py:16-28, handles
+all of these — a new instrument's file may legitimately carry them):
+
+* scaled columns (``TSCALn``/``TZEROn`` with non-identity values, incl.
+  the unsigned-integer convention TZERO=2^15/2^31),
+* integer null sentinels (``TNULLn``) on a column being read,
+* tile-compressed HDUs (``ZIMAGE``/``ZTABLE``) and random groups,
+* column type codes with no reader (bit ``X``, complex ``C``/``M``,
+  64-bit ``Q`` heap descriptors), and malformed/unknown ``TFORMn``,
+* row layouts whose computed width disagrees with ``NAXIS1``.
 """
 
 from __future__ import annotations
@@ -22,6 +35,11 @@ import numpy as np
 
 BLOCK = 2880
 CARD = 80
+
+
+class UnsupportedFITSError(ValueError):
+    """The file uses a FITS feature this minimal parser does not
+    implement; reading on would silently corrupt the data."""
 
 _TFORM_RE = re.compile(r"^(\d*)([LXBIJKAEDCMP])(?:([A-Z])\((\d+)\))?")
 
@@ -65,23 +83,56 @@ class HDU:
             tform = str(self.header[f"TFORM{i+1}"]).strip()
             m = _TFORM_RE.match(tform)
             if not m:
-                raise ValueError(f"unsupported TFORM {tform!r}")
+                raise UnsupportedFITSError(
+                    f"column {i+1}: unsupported TFORM {tform!r} (bit/"
+                    "complex/Q-descriptor columns are not implemented)")
             rep = int(m.group(1)) if m.group(1) else 1
             code = m.group(2)
             if code == "P":  # variable-length array descriptor: 2 x int32
                 sub = m.group(3)
+                if sub not in _DTYPES:
+                    raise UnsupportedFITSError(
+                        f"column {i+1}: P-descriptor element type "
+                        f"{sub!r} not implemented (TFORM {tform!r})")
                 specs.append(("P", sub, rep))
                 width = 8  # one (count, offset) int32 pair per row
             else:
+                if code not in _DTYPES:
+                    raise UnsupportedFITSError(
+                        f"column {i+1}: column type {code!r} not "
+                        f"implemented (TFORM {tform!r})")
                 dt, size = _DTYPES[code]
                 specs.append((code, dt, rep))
                 width = size * rep
             offs.append(pos)
             pos += width
-        assert pos == int(self.header["NAXIS1"]), (pos, self.header["NAXIS1"])
+        if pos != int(self.header["NAXIS1"]):
+            raise UnsupportedFITSError(
+                f"computed row width {pos} != NAXIS1 "
+                f"{self.header['NAXIS1']} — row layout uses a convention "
+                "this parser does not implement")
         return offs, specs
 
+    def _check_column_plain(self, idx: int):
+        """Reject per-column scaling/null conventions we don't apply."""
+        if self.header.get("ZIMAGE") is True or \
+                self.header.get("ZTABLE") is True:
+            raise UnsupportedFITSError(
+                "tile-compressed HDU (ZIMAGE/ZTABLE): decompression is "
+                "not implemented — raw stored bytes are not the data")
+        for kw, ident in ((f"TSCAL{idx+1}", 1), (f"TZERO{idx+1}", 0)):
+            v = self.header.get(kw)
+            if v is not None and float(v) != ident:
+                raise UnsupportedFITSError(
+                    f"{kw}={v}: scaled columns are not implemented "
+                    "(values would be returned unscaled)")
+        if f"TNULL{idx+1}" in self.header:
+            raise UnsupportedFITSError(
+                f"TNULL{idx+1} present: integer null sentinels are not "
+                "implemented (nulls would be returned as data)")
+
     def _read_column(self, idx: int) -> np.ndarray:
+        self._check_column_plain(idx)
         nrows = int(self.header["NAXIS2"])
         rowlen = int(self.header["NAXIS1"])
         offs, specs = self._layout()
@@ -169,6 +220,11 @@ def read_fits(path: str) -> list[HDU]:
     pos = 0
     while pos < len(buf):
         header, pos = _parse_header(buf, pos)
+        if header.get("GROUPS") is True:
+            # random-groups sizing (NAXIS1=0, GCOUNT groups) would throw
+            # off every subsequent HDU offset — refuse the whole file
+            raise UnsupportedFITSError(
+                f"{path}: random-groups FITS is not implemented")
         naxis = int(header.get("NAXIS", 0))
         dsize = 0
         if naxis:
