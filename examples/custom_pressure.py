@@ -44,7 +44,19 @@ class BetaPressure:
         return jax.vmap(jax.grad(f))(jnp.atleast_1d(jnp.asarray(r_kpc)))
 
 
-def main():
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the local CPU backend (the interpreter "
+                         "boot may override JAX_PLATFORMS)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny schedule for CI (posterior meaningless)")
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     if jax.default_backend() == "cpu":
         jax.config.update("jax_enable_x64", True)
     cfg = JoXSZConfig.cl1226()
@@ -66,9 +78,13 @@ def main():
                        sz_data=sess.model.sz_data,
                        exclude_unphysical_mass=False)
 
+    sched = (dict(nwalkers=30, nburn=40, nsteps=60, nthin=2,
+                  prelim_iterations=20, max_prelim_rounds=1)
+             if args.smoke else
+             dict(nwalkers=30, nburn=300, nsteps=600, nthin=5,
+                  prelim_iterations=200, max_prelim_rounds=2))
     res = run_fit(model.log_like, pars.thawed_values(), pars.lo, pars.hi,
-                  pars.thawed, nwalkers=30, nburn=300, nsteps=600, nthin=5,
-                  seed=0, prelim_iterations=200, max_prelim_rounds=2)
+                  pars.thawed, seed=0, **sched)
     res.print_summary([pars[n].unit for n in pars.thawed])
 
 

@@ -30,6 +30,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--quick", action="store_true",
                     help="small ladder/schedule (smoke-test scale)")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny 2-family schedule for CI (numbers are "
+                         "meaningless; exercises the full code path)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", default=str(REPO / "results" /
                                          "model_evidence.json"))
@@ -52,7 +55,10 @@ def main():
         "knots_single": {"pressure_model": "knots"},
         "gnfw_double": {"density_mode": "double"},
     }
-    if args.quick:
+    if args.smoke:
+        families = {k: families[k] for k in ("gnfw_single", "gnfw_double")}
+        kw = dict(n_rungs=3, n_walkers=32, n_steps=40, n_burn=40, thin=4)
+    elif args.quick:
         kw = dict(n_rungs=8, n_walkers=64, n_steps=400, n_burn=400,
                   thin=10)
     else:

@@ -28,14 +28,22 @@ from joxsz_tpu.parallel import make_mesh, run_multi_cluster
 from joxsz_tpu.simulate import simulate_survey
 
 
-def main():
+def main(argv=None):
+    import argparse
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the local CPU backend")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny schedule for CI")
+    args = ap.parse_args(argv)
 
     # honor JAX_PLATFORMS=cpu in-process: some launchers (e.g. a
     # site-customized remote-accelerator boot) override the env var
     # after import, which would silently put the "virtual mesh" run on
     # one real device
-    if os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
+    if args.cpu or os.environ.get("JAX_PLATFORMS", "").lower() == "cpu":
         jax.config.update("jax_platforms", "cpu")
     cfg = JoXSZConfig.cl1226()
     if jax.default_backend() == "cpu":
@@ -67,8 +75,8 @@ def main():
     p0 = thetas_true[:, None, :] * (
         1 + 0.02 * rng.standard_normal((C, W, theta0.size)))
 
-    out = run_multi_cluster(batched_ll, p0, n_steps=500,
-                            key=jax.random.PRNGKey(0), mesh=mesh)
+    out = run_multi_cluster(batched_ll, p0, n_steps=50 if args.smoke
+                            else 500, key=jax.random.PRNGKey(0), mesh=mesh)
     print("acceptance per cluster:",
           out["acceptance_fraction"].mean(axis=1).round(3))
     print("best log-prob per cluster:", out["log_prob"].max(axis=1).round(1))
