@@ -45,38 +45,12 @@ def test_parameter_layout(session):
 
 
 def test_sz_loglike_vs_numpy(session, theta0):
-    """Full SZ chain: fused operators vs the explicit scipy pipeline."""
-    from joxsz_tpu.ops.szkernel import sz_map_pipeline
-    from scipy.interpolate import interp1d
+    """Full SZ chain: fused operators vs the explicit scipy pipeline
+    (the session-generic replica lives in tests/replica.py — the
+    geometry sweep reuses it at arbitrary shapes)."""
+    from replica import sz_loglike_numpy
 
-    pars = _pars_numpy(session, theta0)
-    geom = session.geometry
-    r = geom.r_press_kpc
-
-    # independent numpy forward model
-    x = r / pars["r_p"]
-    pp = pars["P_0"] / (x ** pars["c"] *
-                        (1 + x ** pars["a"]) ** ((pars["b"] - pars["c"]) / pars["a"]))
-    raw = sz_map_pipeline(pp, geom, session.beam_2d, session.filter_image)
-
-    ne = _vikh_numpy(pars, r)
-    t_prof = (pp / ne)[: geom.sep]
-    rpos = r[: geom.sep]
-    h = interp1d(np.append(-rpos, rpos), np.append(t_prof, t_prof),
-                 kind="cubic", bounds_error=False,
-                 fill_value=(t_prof[-1], t_prof[-1]))
-    t_all = np.append(h(0.0), t_prof)
-    from joxsz_tpu.io.readers import read_conversion_table
-    t_tab, v_tab = read_conversion_table(session.config.sz.conversion_file)
-    conv = interp1d(t_tab, v_tab, kind="linear",
-                    fill_value="extrapolate")(t_all)
-    prof = raw * conv * pars["calibration"]
-    g = interp1d(geom.radius_arcsec[geom.sep:], prof, kind="cubic",
-                 fill_value="extrapolate")
-    from joxsz_tpu.io.readers import read_xy
-    flux = read_xy(session.config.sz.flux_file, 3)
-    chisq = np.nansum(((flux[1] - g(flux[0])) / flux[2]) ** 2)
-    expected_ll = -chisq / 2
+    expected_ll = sz_loglike_numpy(session, theta0)
 
     from joxsz_tpu.models.sz import sz_log_like
     pars_j = session.params.unpack(theta0)
@@ -86,53 +60,19 @@ def test_sz_loglike_vs_numpy(session, theta0):
     assert np.isclose(got, expected_ll, rtol=1e-9)
 
 
-def _vikh_numpy(pars, r):
-    n0 = 10.0 ** pars["log(n_0)"]
-    rc = 10.0 ** pars["log(r_c)"]
-    rs = 10.0 ** pars["log(r_s)"]
-    ne2 = (n0**2 * (r / rc) ** (-pars[r"\alpha"])
-           / ((1 + (r / rc) ** 2) ** (3 * pars[r"\beta"] - pars[r"\alpha"] / 2)
-              * (1 + (r / rs) ** pars[r"\gamma"]) ** (pars[r"\epsilon"] / pars[r"\gamma"])))
-    return np.sqrt(ne2)
-
-
 def test_xray_pred_vs_numpy(session, theta0):
     """X-ray predicted counts: JAX path vs independent numpy folding."""
-    pars = _pars_numpy(session, theta0)
-    x = session.model.xray_data
-    mid = np.asarray(x.midpt_kpc)
-    ne = _vikh_numpy(pars, mid)
-    xx = mid / pars["r_p"]
-    press = pars["P_0"] / (xx ** pars["c"] *
-                           (1 + xx ** pars["a"]) ** ((pars["b"] - pars["c"]) / pars["a"]))
-    T = press / ne * 10.0 ** pars["log(T_X/T_{SZ})"]
-    Z = pars["Z"]
+    from replica import xray_cash_numpy, xray_pred_numpy
 
-    tab = x.table
-    Tlog = np.asarray(tab.Tlog)
-    lr0 = np.asarray(tab.lograte_Z0)
-    lr1 = np.asarray(tab.lograte_Z1)
-    # np.interp clamps at the ends — the mbproj2 runtime convention
-    r0 = np.exp(np.stack([np.interp(np.log(T), Tlog, lr0[b])
-                          for b in range(lr0.shape[0])]))
-    r1 = np.exp(np.stack([np.interp(np.log(T), Tlog, lr1[b])
-                          for b in range(lr1.shape[0])]))
-    rates = r0 * (1 - Z) + r1 * Z
-    emiss = rates * ne**2
-    proj = emiss @ np.asarray(x.vols_norm).T
-    pred = (proj * np.asarray(x.exposures) * np.asarray(x.areascales)
-            + pars["backscale"] * np.asarray(x.backrates)
-            * np.asarray(x.exposures) * np.asarray(x.areas))
-
+    pred = xray_pred_numpy(session, theta0)
     got = np.asarray(session.model.xray_profiles(theta0))
     assert np.allclose(got, pred, rtol=1e-9)
 
     # Cash likelihood agreement
-    cts = np.asarray(x.counts)
-    mask = ~np.isnan(cts)
-    expected_cash = np.sum(cts[mask] * np.log(pred[mask]) - pred[mask])
+    expected_cash = xray_cash_numpy(session, theta0)
     from joxsz_tpu.models.xray import xray_log_like
-    got_ll = float(xray_log_like(session.params.unpack(theta0), x,
+    got_ll = float(xray_log_like(session.params.unpack(theta0),
+                                 session.model.xray_data,
                                  session.model.density,
                                  session.model.temperature))
     assert np.isclose(got_ll, expected_cash, rtol=1e-9)
