@@ -105,6 +105,21 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
     )
     geom = build_map_geometry(cfg.step_arcsec, max_r, fwhm,
                               cosmo.kpc_per_arcsec, cfg.cluster_extent_kpc)
+    if geom.r_press_kpc.size < geom.sep:
+        # the SZ chain needs P (and T_SZ = P/ne) on every positive map
+        # radius: map radii in kpc are exactly the first `sep` pressure
+        # radii (both are multiples of step_kpc, reference convention).
+        # The bundled R_b = 5000 kpc always satisfies this; a compact
+        # custom extent would otherwise die in a cryptic broadcast error
+        # (found by the geometry-generalization sweep, r4).
+        need = geom.sep * cfg.step_arcsec * cosmo.kpc_per_arcsec
+        raise ValueError(
+            f"cluster_extent_kpc={cfg.cluster_extent_kpc:g} yields a "
+            f"{geom.r_press_kpc.size}-point pressure grid, shorter than "
+            f"the map half-axis (sep={geom.sep}): the SZ forward model "
+            f"needs the pressure profile on every positive map radius. "
+            f"Increase cluster_extent_kpc to >= {need:.0f} kpc (or "
+            "shrink the map via step_arcsec / the flux-profile extent).")
     wn, tf = read_transfer_function(
         cfg.sz.tf_file, approx=cfg.sz.tf_approx, loc=cfg.sz.tf_loc,
         scale=cfg.sz.tf_scale, c=cfg.sz.tf_c,

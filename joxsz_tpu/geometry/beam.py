@@ -31,10 +31,15 @@ def build_beam(
     """
     if not approx:
         r_meas, b_meas = read_beam_profile(filename)
-        # mirrored cubic spline; zero outside the measured support
+        # mirrored cubic spline; zero outside the measured support.
+        # Profiles measured from r = 0 (legitimate, though the bundled
+        # NIKA file starts at r > 0) must not duplicate the origin in
+        # the mirror — scipy rejects duplicate abscissae (found by the
+        # geometry-generalization sweep, r4)
+        pos = r_meas > 0.0
         spline = interp1d(
-            np.append(-r_meas, r_meas),
-            np.append(b_meas, b_meas),
+            np.concatenate([-r_meas[pos][::-1], r_meas]),
+            np.concatenate([b_meas[pos][::-1], b_meas]),
             kind="cubic",
             bounds_error=False,
             fill_value=(0.0, 0.0),

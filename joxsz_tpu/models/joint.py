@@ -254,11 +254,20 @@ def build_reference_params(
         ("calibration", gaussian_param(1.0, 1.0, 0.07)),
     ]))
 
-    if edges_logkpc is not None:
-        pars["log(r_c)"].maxval = float(edges_logkpc[-2])
-        pars["log(r_s)"].maxval = float(edges_logkpc[-2])
     pars.freeze(r"\gamma", 3.0)
     pars["log(r_c)"].val = 2.0
+    if edges_logkpc is not None:
+        # reference bound tightening (joxsz_main.py:160-161).  On compact
+        # instruments the tightened ceiling can fall below the generic
+        # default VALUES, which would leave the init at -inf under the
+        # box prior (found by the geometry-generalization sweep, r4) —
+        # keep defaults strictly inside the box.  Runs after the val
+        # resets above so they cannot re-escape the box.
+        ceil = float(edges_logkpc[-2])
+        for nm in ("log(r_c)", "log(r_s)"):
+            pars[nm].maxval = ceil
+            if pars[nm].val >= ceil:
+                pars[nm].val = ceil - 0.05 * (ceil - pars[nm].minval)
     pars[r"\epsilon"].maxval = 10.0
     pars.freeze(r"\alpha", 0.0)
     if "c" in pars:  # gNFW inner slope (absent for knot pressure)

@@ -31,6 +31,21 @@ def make_synthetic_config(tmp_path, rng, *, step_arcsec=4.0,
     into tmp_path (so sweeps never pollute data/tables/)."""
     tmp_path = str(tmp_path)
 
+    # the SZ chain requires the pressure grid to cover the map half-axis
+    # (build_session validates this loudly): raise the extent when the
+    # random draw is too compact for the drawn map geometry
+    from joxsz_tpu.cosmology import Cosmology
+
+    # JoXSZConfig's default cosmology parameters, not Cosmology's own
+    # (H0 70 vs 67.32 — a 4% kpc/arcsec mismatch underestimated the
+    # needed extent in the first sweep run)
+    kpc_as = Cosmology(z=redshift, H0=67.32, WM=0.3158,
+                       WV=0.6842).kpc_per_arcsec
+    max_r = ((flux_rmax_arcsec + 3.0 * fwhm_arcsec)
+             // step_arcsec * step_arcsec)
+    sep = int(max_r // step_arcsec)
+    extent_kpc = max(extent_kpc, (sep + 4) * step_arcsec * kpc_as)
+
     # --- SZ flux profile: smooth decrement + noise, honest errors --------
     r = np.linspace(step_arcsec, flux_rmax_arcsec, n_flux)
     signal = -2.0 / (1.0 + (r / (0.3 * flux_rmax_arcsec)) ** 2)
