@@ -8,6 +8,7 @@ from .kernel_sharded import (
     make_sharded_kernel_step, run_sharded_kernel_ensembles,
     make_sharded_tempered_step, run_sharded_tempered_ensembles,
     make_sharded_multicluster_step, run_coupled_sharded_ensemble,
+    run_hybrid_coupled_ensemble,
 )
 from .multihost import (
     initialize as initialize_multihost, global_mesh, replicated_to_global,
@@ -21,6 +22,7 @@ __all__ = [
     "make_sharded_kernel_step", "run_sharded_kernel_ensembles",
     "make_sharded_tempered_step", "run_sharded_tempered_ensembles",
     "make_sharded_multicluster_step", "run_coupled_sharded_ensemble",
+    "run_hybrid_coupled_ensemble",
     "initialize_multihost", "global_mesh", "replicated_to_global",
     "local_block", "run_multihost_multi_cluster",
     "make_multihost_multicluster_step",

@@ -461,6 +461,110 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
     )
 
 
+def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
+                                seed: int, mesh, thin: int = 1,
+                                a: float = 2.0, interpret: bool = False,
+                                axis: str = "walker",
+                                partner: str = "onehot",
+                                allow_small: bool = True,
+                                chain_space: str = "hbm",
+                                ) -> EnsembleResult | None:
+    """Amortized multi-chip single-ensemble sampling (VERDICT r3 task 4).
+
+    The fully coupled sampler (:func:`run_coupled_sharded_ensemble`)
+    pays two kernel launches + two all-gathers EVERY step (measured 65x
+    the fused per-step cost at W=256) because nothing amortises.  This
+    hybrid amortises: each window runs ``sync_every - 1`` steps with
+    every chip advancing its walker block as an independent chip-local
+    ensemble in ONE fused kernel launch (the
+    :func:`make_sharded_kernel_step` path — zero inter-chip traffic),
+    then ONE globally coupled Goodman-Weare step (both halves, partners
+    from the full cross-chip complementary half) re-mixes the ensemble
+    across chips.
+
+    Statistical validity: every move is a stretch move leaving the
+    posterior invariant (chip-local partner restriction changes the
+    proposal distribution, not the target), so any composition is a
+    valid sampler; the question is MIXING when walkers-per-chip is
+    below the independent-ensemble equivalence floor (~64).  Measured
+    on hardware (scripts/tpu_hybrid_mixing_bench.py, single-chip
+    group emulation of the identical move law): see
+    docs/PERFORMANCE.md "Multi-chip walker sharding".
+
+    Per-window cost on a mesh: one sharded fused dispatch (amortising
+    ``sync_every - 1`` steps) + one coupled step (2 launches + 2
+    gathers) — at sync_every=100 the coupled overhead is ~1% of the
+    pure-coupled cost.
+
+    Chain layout: thinned frames from the local windows only (the
+    single coupled step per window is recorded when ``sync_every %
+    thin == 0`` would align; for simplicity the coupled step is NOT
+    recorded — with thin >= 2 this drops <= 1/sync_every of frames).
+    Total steps = n_windows * sync_every.  Returns None outside the
+    kernel specialisation."""
+    W, D = np.asarray(p0).shape
+    n_dev = mesh.shape[axis]
+    if sync_every < 2:
+        raise ValueError("sync_every must be >= 2 (use "
+                         "run_coupled_sharded_ensemble for every-step "
+                         "coupling)")
+    if W % (2 * n_dev) or (W // n_dev) % 2:
+        raise ValueError(f"walkers ({W}) must give an even per-device "
+                         f"share over {n_dev} devices")
+    w_loc = W // n_dev
+    _guard_per_device_walkers(w_loc, D, allow_small)
+    n_win_steps = sync_every - 1
+    if n_win_steps % thin:
+        raise ValueError(f"sync_every - 1 ({n_win_steps}) must be a "
+                         f"multiple of thin ({thin})")
+    from ..ops.pallas_joint import make_joint_core
+
+    window = make_sharded_kernel_step(sess, mesh, n_inner=n_win_steps,
+                                      walkers_per_device=w_loc, thin=thin,
+                                      a=a, interpret=interpret,
+                                      chain_space=chain_space, axis=axis)
+    built = _get_coupled_driver(sess, W, 1, 1, a, interpret, axis,
+                                partner, mesh)
+    if window is None or built is None:
+        return None
+    coupled_fn, half, core = built
+    Dp = half.Dp
+    DL, DA = Dp - 2, Dp - 1
+    H = W // 2
+    f32 = jnp.float32
+
+    xsh = NamedSharding(mesh, P(axis))
+    x = jax.device_put(jnp.asarray(p0, f32), xsh)
+    lp = core(x)
+    acc = jnp.zeros(W, f32)
+    rng = np.random.default_rng(seed)
+    frames, frame_lps = [], []
+    for w in range(n_windows):
+        seeds = jnp.asarray(
+            rng.integers(0, np.iinfo(np.int32).max, size=n_dev),
+            jnp.int32)
+        x, lp, acc, chain, chain_lp = window(x, lp, acc, seeds)
+        frames.append(chain)
+        frame_lps.append(chain_lp)
+        # one globally coupled step through the packed-half driver
+        xp = jnp.zeros((W, Dp), f32).at[:, :D].set(x)
+        xp = xp.at[:, DL].set(lp.astype(f32))
+        seed_a = jnp.asarray(
+            [rng.integers(0, np.iinfo(np.int32).max)], jnp.int32)
+        xA, xB, _ = coupled_fn(seed_a, xp[:H], xp[H:], *half._consts)
+        xf = jnp.concatenate([xA, xB])
+        x = jax.device_put(xf[:, :D], xsh)
+        lp = xf[:, DL]
+        acc = acc + xf[:, DA]
+    return EnsembleResult(
+        chain=np.concatenate([np.asarray(c) for c in frames]),
+        log_prob=np.concatenate([np.asarray(c) for c in frame_lps]),
+        acceptance_fraction=np.asarray(acc)
+        / float(n_windows * sync_every),
+        final_state=(x, lp, seed),
+    )
+
+
 def make_sharded_multicluster_step(sess, sz_stack, xr_stack, mesh,
                                    n_inner: int, n_walkers: int,
                                    thin=None, a: float = 2.0,

@@ -456,3 +456,73 @@ def test_coupled_sharded_validations(ref_data):
     with pytest.raises(ValueError, match="multiple"):
         run_coupled_sharded_ensemble(sess, np.zeros((16, D)), 5, 0,
                                      mesh, thin=2, interpret=True)
+
+
+def test_hybrid_coupled_mechanics(ref_data):
+    """VERDICT r3 #4: the amortized hybrid sampler — chip-local fused
+    windows + one globally coupled step per window.  Mechanics contract:
+    runs on a multi-device mesh, chain shapes follow the window-only
+    recording rule, log-probs are finite and consistent with re-eval,
+    walkers move, and acceptance counts include the coupled steps."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.ops.pallas_joint import make_joint_core
+    from joxsz_tpu.parallel.kernel_sharded import (
+        run_hybrid_coupled_ensemble,
+    )
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    D = len(sess.params.thawed)
+
+    W, n_windows, sync_every, thin = 32, 3, 5, 2
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(33)
+    x0 = theta0[None] * (1 + 0.02 * rng.standard_normal((W, D)))
+
+    mesh = make_mesh(4, axis_names=("walker",))
+    res = run_hybrid_coupled_ensemble(
+        sess, x0.astype(np.float32), n_windows, sync_every, 7, mesh,
+        thin=thin, interpret=True, allow_small=True)
+    assert res is not None
+    n_keep = n_windows * (sync_every - 1) // thin
+    assert res.chain.shape == (n_keep, W, D)
+    assert res.log_prob.shape == (n_keep, W)
+    assert np.all(np.isfinite(res.log_prob))
+    # recorded lp matches a re-evaluation of the recorded positions
+    core = make_joint_core(sess, block_b=8, interpret=True)
+    lp_re = np.asarray(core(jnp.asarray(res.chain[-1], jnp.float32)))
+    np.testing.assert_allclose(res.log_prob[-1], lp_re, rtol=2e-5,
+                               atol=1e-3)
+    # the ensemble actually moved and accepted swaps
+    assert np.any(res.chain[0] != res.chain[-1])
+    assert res.acceptance_fraction.mean() > 0.05
+    # final state is consistent
+    xf, lpf, _ = res.final_state
+    lp_fin = np.asarray(core(jnp.asarray(np.asarray(xf), jnp.float32)))
+    np.testing.assert_allclose(np.asarray(lpf), lp_fin, rtol=2e-5,
+                               atol=1e-3)
+
+
+def test_hybrid_coupled_validations(ref_data):
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.parallel.kernel_sharded import (
+        run_hybrid_coupled_ensemble,
+    )
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    D = len(sess.params.thawed)
+    mesh = make_mesh(4, axis_names=("walker",))
+    with pytest.raises(ValueError, match="sync_every"):
+        run_hybrid_coupled_ensemble(sess, np.zeros((32, D)), 2, 1, 0,
+                                    mesh, interpret=True)
+    with pytest.raises(ValueError, match="even per-device"):
+        run_hybrid_coupled_ensemble(sess, np.zeros((20, D)), 2, 5, 0,
+                                    mesh, interpret=True)
+    with pytest.raises(ValueError, match="multiple"):
+        run_hybrid_coupled_ensemble(sess, np.zeros((32, D)), 2, 6, 0,
+                                    mesh, thin=2, interpret=True)
