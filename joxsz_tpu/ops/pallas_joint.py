@@ -1123,10 +1123,14 @@ def _make_random_bits(interpret, seed_ref, default_shape, extra=None):
     ``extra`` folds one more stream id into the hash (e.g. the cluster
     grid index); the hardware path instead folds it into prng_seed."""
 
-    def random_bits(i, which, shape=default_shape):
+    def random_bits(i, which, shape=default_shape, row0=0):
+        """``row0`` offsets the interpret-mode hash rows so a row-tiled
+        caller reproduces the untiled stream bit-for-bit (hardware draws
+        from the sequential PRNG stream and ignores it)."""
         if not interpret:
             return pltpu.prng_random_bits(shape)
-        idx = (jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * shape[1]
+        idx = ((jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+                + jnp.uint32(row0)) * shape[1]
                + jax.lax.broadcasted_iota(jnp.uint32, shape, 1))
         v = (idx + jnp.uint32(seed_ref[0]) * jnp.uint32(2654435761)
              + jnp.uint32(i) * jnp.uint32(40503)
@@ -1193,7 +1197,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                      thin: int | None = None, ablate: str = "",
                      unroll: int = 1, chain_space: str = "hbm",
                      partner: str = "auto", ll_tile: int = 256,
-                     packed_state: bool = True):
+                     packed_state: bool = True,
+                     half_tile: int | None = None):
     """Fused stretch-move sampler: ``n_inner`` FULL ensemble steps inside
     ONE pallas_call, with the joint likelihood, hardware PRNG, one-hot
     partner selection and acceptance all VMEM-resident.
@@ -1250,6 +1255,24 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     likelihood sees the proposal block, so ``ll_body`` input is
     bit-identical to the unpacked layout; ``packed_state=False`` keeps
     the original layout for A/B testing.
+
+    ``half_tile`` tiles the ENTIRE half-substep (partner gather,
+    stretch blend, likelihood, accept, write-back) over row blocks of
+    the moving half — the W=65536 Mosaic wall was never the state
+    buffers (packed + aliased they are one 33.6 MB buffer) but the
+    full-width (H, Dp) PROPOSAL intermediates: at H=32768 each of
+    xp/y/accept-select is 16.8 MB and several are live at once on top
+    of the (H, Dp)+(H, 1) likelihood scratches.  Tiling bounds all of
+    them at (half_tile, Dp); only the rolled complementary half
+    (one (H, Dp) scratch, partner="roll") stays full-width.  Rows of
+    the moving half are independent, so tiling preserves the move law
+    exactly; in interpret mode the stream is bit-identical to the
+    untiled kernel (the hash PRNG takes a row offset).  On hardware
+    ``pltpu.prng_random_bits`` is drawn per tile instead of per half —
+    a different (equally valid) stream, posterior-band validated by
+    ``scripts/tpu_half_tile_validate.py``.  Default None = untiled up
+    to W=32768 (the proven peak), auto half_tile=4096 above it (where
+    the untiled kernel fails Mosaic VMEM compilation).
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
@@ -1292,18 +1315,34 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     # 128-padded width and D <= 16 for every family)
     packed = packed_state and D + 2 <= Dp
     DL, DA = Dp - 2, Dp - 1
+    if half_tile is None and W > 32768 and (W // 2) % 4096 == 0:
+        half_tile = 4096
+    if half_tile is not None:
+        if H % half_tile or half_tile % ll_tile:
+            raise ValueError(
+                f"half_tile ({half_tile}) must divide H ({H}) and be a "
+                f"multiple of ll_tile ({ll_tile})")
+        if half_tile >= H:
+            half_tile = None
     # likelihood evaluated in (ll_tile, .) row blocks so the (tile, 384)
     # intermediates bound VMEM instead of (H, 384); when H divides into
     # tiles the evaluation runs as a fori_loop over a VMEM scratch —
     # inlining H/ll_tile copies of the likelihood body made Mosaic
-    # compile time explode with W (99s at W=2048 -> 672s at W=4096)
-    use_ll_loop = H > ll_tile and H % ll_tile == 0
+    # compile time explode with W (99s at W=2048 -> 672s at W=4096).
+    # Under half_tile the ll loop runs inside each walker tile instead.
+    use_ll_loop = (half_tile is None and H > ll_tile
+                   and H % ll_tile == 0)
 
     def kernel(seed_ref, *refs):
         refs = list(refs)
-        sem = ysc_ref = lsc_ref = None
+        sem = ysc_ref = lsc_ref = xroll_ref = None
         clp_ref = lpo_ref = acco_ref = None
-        if use_ll_loop:
+        if half_tile is not None:
+            if partner == "roll":
+                xroll_ref = refs.pop()
+            lsc_ref = refs.pop()
+            ysc_ref = refs.pop()
+        elif use_ll_loop:
             lsc_ref = refs.pop()
             ysc_ref = refs.pop()
         if n_keep and chain_hbm:
@@ -1332,12 +1371,13 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             lpo_ref[:] = lp0_ref[:]
             acco_ref[:] = acc0_ref[:]
 
+        TR = half_tile if half_tile is not None else H  # rows per update
         if partner != "roll":
-            row = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)  # partners
+            row = jax.lax.broadcasted_iota(jnp.int32, (TR, H), 1)  # partners
         if packed:
-            lane = jax.lax.broadcasted_iota(jnp.int32, (H, Dp), 1)
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TR, Dp), 1)
             is_pack = (lane == DL) | (lane == DA)
-        random_bits = _make_random_bits(interpret, seed_ref, (H, 4))
+        random_bits = _make_random_bits(interpret, seed_ref, (TR, 4))
 
         const_vals_in = [r[:] for r in const_refs]   # loaded ONCE
 
@@ -1385,16 +1425,74 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
                 acco_ref[base:base + H, :] = (acco_ref[base:base + H, :]
                                               + accept.astype(f32))
 
+        def half_tiled(i, base, fixed_base, which):
+            # walker-tiled half-substep: same move law (moving rows are
+            # mutually independent), all proposal intermediates bounded
+            # at (TR, Dp).  The rolled complementary half is staged once
+            # per substep in a full-width scratch so each tile slices it
+            # statically (a per-tile modular gather would need dynamic
+            # sizes Mosaic doesn't have).
+            if partner == "roll":
+                shift = jnp.remainder(
+                    (jnp.int32(seed_ref[0]) * jnp.int32(1103515245)
+                     + i * jnp.int32(40503)
+                     + jnp.int32(which) * jnp.int32(10007)) >> 7,
+                    jnp.int32(H))
+                xf = xo_ref[fixed_base:fixed_base + H, :]
+                if interpret:
+                    xroll_ref[:] = jnp.roll(xf, shift, axis=0)
+                else:
+                    xroll_ref[:] = pltpu.roll(xf, shift, 0)
+
+            def tbody(t, c):
+                r0 = t * TR
+                xm = xo_ref[pl.ds(base + r0, TR), :]
+                lm = (xm[:, DL:DL + 1] if packed
+                      else lpo_ref[pl.ds(base + r0, TR), :])
+                u = _uniforms(random_bits(i, which, (TR, 4), row0=r0),
+                              inv24)
+                z = _stretch_z(u[:, 0:1], sa)
+                if partner == "roll":
+                    xp = xroll_ref[pl.ds(r0, TR), :]
+                else:
+                    pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32),
+                                       H - 1)
+                    onehot = (row == pidx).astype(f32)   # (TR, H)
+                    xp = jnp.dot(onehot,
+                                 xo_ref[fixed_base:fixed_base + H, :],
+                                 preferred_element_type=f32)
+                y = xp + z * (xm - xp)
+                if packed:
+                    y = jnp.where(is_pack, 0.0, y)
+                lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, TR,
+                                      ll_tile, TR > ll_tile, ysc_ref,
+                                      lsc_ref)
+                accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D)
+                if packed:
+                    y = jnp.where(lane == DL, lp_y, y)
+                    y = jnp.where(lane == DA, xm[:, DA:DA + 1] + 1.0, y)
+                xo_ref[pl.ds(base + r0, TR), :] = jnp.where(accept, y, xm)
+                if not packed:
+                    lpo_ref[pl.ds(base + r0, TR), :] = jnp.where(
+                        accept, lp_y, lm)
+                    acco_ref[pl.ds(base + r0, TR), :] = (
+                        acco_ref[pl.ds(base + r0, TR), :]
+                        + accept.astype(f32))
+                return c
+
+            jax.lax.fori_loop(0, H // TR, tbody, 0)
+
         def body(i, carry):
             # `unroll` runs several full MCMC steps per loop trip.
             # Measured NEGATIVE result on v5e: unroll 1/2/4 are identical
             # (the ~29 us/step no-likelihood floor is the step's serial
             # data dependencies, not loop bookkeeping) — kept because the
             # serial floor may differ on other TPU generations.
+            hfn = half_tiled if half_tile is not None else half
             for u in range(unroll):
                 it = i * unroll + u
-                half(it, 0, H, 0)
-                half(it, H, 0, 1)
+                hfn(it, 0, H, 0)
+                hfn(it, H, 0, 1)
                 if n_keep:
                     # record the ensemble every `thin` steps
                     @pl.when((it + 1) % thin == 0)
@@ -1479,7 +1577,12 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             else:
                 out_shape += [jax.ShapeDtypeStruct((n_keep, W, 1), f32)]
                 out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        if use_ll_loop:
+        if half_tile is not None:
+            scratch += [pltpu.VMEM((half_tile, Dp), f32),
+                        pltpu.VMEM((half_tile, 1), f32)]
+            if partner == "roll":
+                scratch += [pltpu.VMEM((H, Dp), f32)]
+        elif use_ll_loop:
             scratch += [pltpu.VMEM((H, Dp), f32), pltpu.VMEM((H, 1), f32)]
         if scratch:
             kwargs["scratch_shapes"] = scratch

@@ -237,6 +237,36 @@ def test_step_kernel_packed_state_matches_unpacked(sess32):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_step_kernel_half_tile_matches_untiled(sess32):
+    """half_tile (walker-tiled half-substep, the W=65536 VMEM fix) must
+    be bit-identical to the untiled kernel in interpret mode: moving
+    rows are independent, and the interpret hash PRNG takes a global
+    row offset so the tiled stream reproduces the untiled one exactly.
+    Covers both partner laws, packed/unpacked, chain recording, and
+    both the TR==ll_tile (direct) and TR>ll_tile (nested loop) paths."""
+    W = 16
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(9)
+    x0 = jnp.asarray(theta0[None] * (1 + 0.02 * rng.standard_normal(
+        (W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = core(x0)
+
+    for kw in ({"partner": "roll", "thin": 2, "packed_state": True,
+                "ll_tile": 4},                    # TR == ll_tile
+               {"partner": "roll", "thin": None, "packed_state": False,
+                "ll_tile": 2},                    # TR > ll_tile (nested)
+               {"partner": "onehot", "thin": 2, "packed_state": True,
+                "ll_tile": 2}):
+        outs = {}
+        for ht in (None, 4):
+            step = make_step_kernel(sess32, n_inner=6, n_walkers=W,
+                                    interpret=True, half_tile=ht, **kw)
+            outs[ht] = step(x0, lp0, jnp.zeros(W), 17)
+        for a, b in zip(outs[None], outs[4]):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_joint_kernel_declines_other_configs(ref_data):
     cfg = JoXSZConfig.cl1226(str(ref_data))
     cfg.dtype = "float32"
