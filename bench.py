@@ -245,12 +245,13 @@ def main():
     # likelihood + accept, hardware PRNG) VMEM-resident, 500 steps per
     # invocation.  XLA scan sampler as the fallback / CPU path.
     step = None
-    # W=32768 is the measured throughput peak (docs/PERFORMANCE.md):
+    # W=65536 is the measured throughput peak (docs/PERFORMANCE.md A.10):
     # partner="auto" swaps the quadratic one-hot gather for the O(W)
-    # rotation above 4096 walkers, and the packed-state kernel layout
-    # (lp/acc in padding lanes, input_output-aliased state) lifted the
-    # old W>=32768 VMEM compile failure — the wall is now W=65536
-    W = 32768 if on_tpu else 1024
+    # rotation above 4096 walkers, packed-state lifted the old W>=32768
+    # VMEM failure, and half_tile (auto-on above 32768) tiles the
+    # half-substep to bound proposal intermediates — same-claim +2.1%
+    # over untiled W=32768.  The remaining wall is W=131072.
+    W = 65536 if on_tpu else 1024
     n_steps = 2000 if on_tpu else 200
     rng = np.random.default_rng(0)
     p0 = jnp.asarray(theta0[None] * (
