@@ -79,6 +79,16 @@ def _guard_per_device_walkers(w_loc: int, ndim: int,
             stacklevel=3)
 
 
+# built window drivers are cached in the _COUPLED_CACHE style (see its
+# comment below): every call would otherwise rebuild the Pallas kernel
+# and a fresh jax.jit wrapper, and even a persistent-cache hit reloads
+# the whole program (seconds through the remote tunnel).  Measured
+# before the cache: run_hybrid_coupled_ensemble's per-call rebuild
+# dominated its wall (results/tpu_hybrid_cost.json).
+_WINDOW_CACHE: "OrderedDict" = OrderedDict()
+_WINDOW_CACHE_MAX = 8
+
+
 def make_sharded_kernel_step(sess, mesh, n_inner: int,
                              walkers_per_device: int, thin=None,
                              a: float = 2.0, interpret: bool = False,
@@ -91,8 +101,15 @@ def make_sharded_kernel_step(sess, mesh, n_inner: int,
     ``W = n_dev * walkers_per_device`` sharded over ``axis``, or None
     when the session doesn't match the kernel specialisation.  Each
     device advances its walker block as an independent ensemble seeded
-    by its entry of ``seeds``.
+    by its entry of ``seeds``.  Drivers are cached per (session, mesh,
+    schedule) so repeat calls skip the rebuild.
     """
+    key = (id(sess), n_inner, walkers_per_device, thin, a, interpret,
+           chain_space, axis, tuple(d.id for d in mesh.devices.flat))
+    hit = _WINDOW_CACHE.get(key)
+    if hit is not None and hit[0] is sess:
+        _WINDOW_CACHE.move_to_end(key)
+        return hit[1]
     step = make_step_kernel(sess, n_inner=n_inner,
                             n_walkers=walkers_per_device, a=a,
                             interpret=interpret, thin=thin,
@@ -111,7 +128,11 @@ def make_sharded_kernel_step(sess, mesh, n_inner: int,
                      P(None, axis), P(None, axis))
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-    return jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
+    wrapped = jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
+    _WINDOW_CACHE[key] = (sess, wrapped)
+    if len(_WINDOW_CACHE) > _WINDOW_CACHE_MAX:
+        _WINDOW_CACHE.popitem(last=False)
+    return wrapped
 
 
 def make_sharded_tempered_step(sess, betas, mesh, n_inner: int,
@@ -128,9 +149,17 @@ def make_sharded_tempered_step(sess, betas, mesh, n_inner: int,
     cold chain_lp (n_keep, W)])`` with ``W = n_dev *
     walkers_per_device`` sharded over ``axis`` (swap counts come back
     per device; sum them for the global rate), or None when the
-    configuration doesn't match."""
+    configuration doesn't match.  Drivers are cached like
+    :func:`make_sharded_kernel_step`'s."""
     from ..ops.pallas_joint import make_tempered_step_kernel
 
+    key = ("temper", id(sess), tuple(float(b) for b in betas), n_inner,
+           walkers_per_device, thin, a, interpret, chain_space, axis,
+           tuple(d.id for d in mesh.devices.flat))
+    hit = _WINDOW_CACHE.get(key)
+    if hit is not None and hit[0] is sess:
+        _WINDOW_CACHE.move_to_end(key)
+        return hit[1]
     step = make_tempered_step_kernel(
         sess, betas, n_inner=n_inner, n_walkers=walkers_per_device, a=a,
         interpret=interpret, thin=thin, chain_space=chain_space)
@@ -150,7 +179,11 @@ def make_sharded_tempered_step(sess, betas, mesh, n_inner: int,
         out_specs = out_specs + (P(None, axis), P(None, axis))
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
-    return jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
+    wrapped = jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
+    _WINDOW_CACHE[key] = (sess, wrapped)
+    if len(_WINDOW_CACHE) > _WINDOW_CACHE_MAX:
+        _WINDOW_CACHE.popitem(last=False)
+    return wrapped
 
 
 def run_sharded_kernel_ensembles(sess, p0, n_steps: int, key, mesh,
