@@ -268,6 +268,19 @@ def build_reference_params(
             pars[nm].maxval = ceil
             if pars[nm].val >= ceil:
                 pars[nm].val = ceil - 0.05 * (ceil - pars[nm].minval)
+        # The Vikhlinin shape prior requires r_c <= r_s
+        # (models/density.py log_prior); the independent in-box nudges
+        # above can INVERT the pair when the ceiling lands between the
+        # two defaults (e.g. ceil in (2.0, 2.105]: r_c keeps 2.0, r_s
+        # drops below it) — leaving every walker at -inf.  Restore the
+        # ordering inside both boxes: pull r_c below r_s, and if r_s
+        # was pushed below r_c's floor, lift r_s back above r_c (r_c's
+        # value is strictly < ceil here, so the midpoint is in-box).
+        rc, rs = pars["log(r_c)"], pars["log(r_s)"]
+        if rc.val > rs.val:
+            rc.val = max(rc.minval, rs.val - 0.05 * (ceil - rc.minval))
+            if rc.val >= rs.val:
+                rs.val = rc.val + 0.5 * (ceil - rc.val)
     pars[r"\epsilon"].maxval = 10.0
     pars.freeze(r"\alpha", 0.0)
     if "c" in pars:  # gNFW inner slope (absent for knot pressure)

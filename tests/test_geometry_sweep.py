@@ -142,6 +142,35 @@ def test_sweep_sz_only(tmp_path):
                   extent_kpc=3000.0, redshift=0.45, replica=False)
 
 
+@pytest.mark.parametrize("ceil", [2.05, 2.104, 1.5, 0.8, 2.2, 2.8])
+def test_reference_params_compact_ceiling_keeps_rc_le_rs(ceil):
+    """Regression (r4 self-review #1): the compact-instrument bound
+    tightening (edges_logkpc[-2] as the r_c/r_s ceiling) nudged the two
+    defaults into the box INDEPENDENTLY, which inverted the pair for
+    ceil in (2.0, 2.105] (r_c kept its 2.0 default, r_s dropped to
+    0.95*ceil < 2.0) — the Vikhlinin shape prior r_c <= r_s
+    (models/density.py::log_prior) then vetoed the init to -inf and the
+    fit could never start.  The ordering must survive any ceiling."""
+    from joxsz_tpu.models.density import VikhlininDensity
+    from joxsz_tpu.models.joint import build_reference_params
+    from joxsz_tpu.models.pressure import GNFWPressure
+    from joxsz_tpu.models.temperature import UPPTemperature
+
+    edges = np.array([0.5, ceil, ceil + 0.2])
+    pressure, density = GNFWPressure(), VikhlininDensity()
+    pars = build_reference_params(
+        pressure, density, UPPTemperature(pressure, density),
+        edges_logkpc=edges)
+    rc, rs = pars["log(r_c)"], pars["log(r_s)"]
+    assert rc.val <= rs.val, (rc.val, rs.val)
+    for p in (rc, rs):
+        assert p.minval <= p.val < p.maxval, (p.val, p.minval, p.maxval)
+    # the init must be finite under the full prior (box + shape veto)
+    theta = jnp.asarray(np.asarray(pars.thawed_values()))
+    assert np.isfinite(float(pars.log_prior(theta)))
+    assert np.isfinite(float(VikhlininDensity().log_prior(pars.unpack(theta))))
+
+
 def test_extent_too_small_fails_loudly(tmp_path):
     """cluster_extent_kpc below the map half-axis must raise the clear
     config error, not a broadcast failure deep in the SZ chain."""
