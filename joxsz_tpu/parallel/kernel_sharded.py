@@ -89,6 +89,28 @@ _WINDOW_CACHE: "OrderedDict" = OrderedDict()
 _WINDOW_CACHE_MAX = 8
 
 
+def _cache_get(cache: OrderedDict, key, sess):
+    """Driver-cache lookup.  Keys carry id(sess) (FitSession is an
+    eq-dataclass, unhashable); a dead session's id can be REUSED, so a
+    hit is honoured only when the stored strong reference IS the caller's
+    session — the identity guard every driver cache in this module must
+    share."""
+    hit = cache.get(key)
+    if hit is not None and hit[0] is sess:
+        cache.move_to_end(key)
+        return hit[1:]
+    return None
+
+
+def _cache_put(cache: OrderedDict, max_size: int, key, sess, *value):
+    """Store (sess, *value) and evict the LRU entry past ``max_size``.
+    The strong session ref in the value keeps cached ids live for
+    :func:`_cache_get`'s identity check."""
+    cache[key] = (sess,) + value
+    if len(cache) > max_size:
+        cache.popitem(last=False)
+
+
 def make_sharded_kernel_step(sess, mesh, n_inner: int,
                              walkers_per_device: int, thin=None,
                              a: float = 2.0, interpret: bool = False,
@@ -106,10 +128,9 @@ def make_sharded_kernel_step(sess, mesh, n_inner: int,
     """
     key = (id(sess), n_inner, walkers_per_device, thin, a, interpret,
            chain_space, axis, tuple(d.id for d in mesh.devices.flat))
-    hit = _WINDOW_CACHE.get(key)
-    if hit is not None and hit[0] is sess:
-        _WINDOW_CACHE.move_to_end(key)
-        return hit[1]
+    hit = _cache_get(_WINDOW_CACHE, key, sess)
+    if hit is not None:
+        return hit[0]
     step = make_step_kernel(sess, n_inner=n_inner,
                             n_walkers=walkers_per_device, a=a,
                             interpret=interpret, thin=thin,
@@ -129,9 +150,7 @@ def make_sharded_kernel_step(sess, mesh, n_inner: int,
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     wrapped = jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
-    _WINDOW_CACHE[key] = (sess, wrapped)
-    if len(_WINDOW_CACHE) > _WINDOW_CACHE_MAX:
-        _WINDOW_CACHE.popitem(last=False)
+    _cache_put(_WINDOW_CACHE, _WINDOW_CACHE_MAX, key, sess, wrapped)
     return wrapped
 
 
@@ -156,10 +175,9 @@ def make_sharded_tempered_step(sess, betas, mesh, n_inner: int,
     key = ("temper", id(sess), tuple(float(b) for b in betas), n_inner,
            walkers_per_device, thin, a, interpret, chain_space, axis,
            tuple(d.id for d in mesh.devices.flat))
-    hit = _WINDOW_CACHE.get(key)
-    if hit is not None and hit[0] is sess:
-        _WINDOW_CACHE.move_to_end(key)
-        return hit[1]
+    hit = _cache_get(_WINDOW_CACHE, key, sess)
+    if hit is not None:
+        return hit[0]
     step = make_tempered_step_kernel(
         sess, betas, n_inner=n_inner, n_walkers=walkers_per_device, a=a,
         interpret=interpret, thin=thin, chain_space=chain_space)
@@ -180,9 +198,7 @@ def make_sharded_tempered_step(sess, betas, mesh, n_inner: int,
     fn = jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                        out_specs=out_specs, check_vma=False)
     wrapped = jax.jit(lambda x, lp, acc, seeds: fn(seeds, x, lp, acc))
-    _WINDOW_CACHE[key] = (sess, wrapped)
-    if len(_WINDOW_CACHE) > _WINDOW_CACHE_MAX:
-        _WINDOW_CACHE.popitem(last=False)
+    _cache_put(_WINDOW_CACHE, _WINDOW_CACHE_MAX, key, sess, wrapped)
     return wrapped
 
 
@@ -349,11 +365,8 @@ def run_sharded_tempered_ensembles(sess, p0, betas, n_steps: int, key,
 # compiled coupled drivers are cached: every run_coupled_sharded_ensemble
 # call would otherwise rebuild a fresh jax.jit wrapper, and on this host
 # even a persistent-cache hit reloads the whole scan program (seconds
-# through the remote tunnel), dwarfing short runs.  FitSession is an
-# eq-dataclass (unhashable), so the key carries id(sess) and the hit is
-# guarded by an IDENTITY check on the stored session (a dead session's
-# id could be reused; the strong ref in the value keeps ids of cached
-# entries live, the `is` check rejects any impostor).
+# through the remote tunnel), dwarfing short runs.  Identity-guard
+# semantics live in _cache_get/_cache_put.
 _COUPLED_CACHE: OrderedDict = OrderedDict()
 _COUPLED_CACHE_MAX = 8
 
@@ -365,10 +378,9 @@ def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
     n_dev = mesh.shape[axis]
     key = (id(sess), W, n_dev, n_steps, thin, a, interpret, axis,
            partner, tuple(d.id for d in mesh.devices.flat))
-    hit = _COUPLED_CACHE.get(key)
-    if hit is not None and hit[0] is sess:
-        _COUPLED_CACHE.move_to_end(key)
-        return hit[1], hit[2], hit[3]
+    hit = _cache_get(_COUPLED_CACHE, key, sess)
+    if hit is not None:
+        return hit
     half = make_coupled_half_kernel(sess, W, n_dev, a=a,
                                     interpret=interpret, partner=partner)
     if half is None:
@@ -414,9 +426,8 @@ def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
     out_specs = (P(axis), P(axis), P(None, None, axis))
     fn = jax.jit(jax.shard_map(local, mesh=mesh, in_specs=in_specs,
                                out_specs=out_specs, check_vma=False))
-    _COUPLED_CACHE[key] = (sess, fn, half, core)
-    if len(_COUPLED_CACHE) > _COUPLED_CACHE_MAX:
-        _COUPLED_CACHE.popitem(last=False)
+    _cache_put(_COUPLED_CACHE, _COUPLED_CACHE_MAX, key, sess, fn, half,
+               core)
     return fn, half, core
 
 
@@ -499,7 +510,7 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
                                 a: float = 2.0, interpret: bool = False,
                                 axis: str = "walker",
                                 partner: str = "onehot",
-                                allow_small: bool = True,
+                                allow_small: bool = False,
                                 chain_space: str = "hbm",
                                 ) -> EnsembleResult | None:
     """Amortized multi-chip single-ensemble sampling (VERDICT r3 task 4).
@@ -534,7 +545,15 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
     thin == 0`` would align; for simplicity the coupled step is NOT
     recorded — with thin >= 2 this drops <= 1/sync_every of frames).
     Total steps = n_windows * sync_every.  Returns None outside the
-    kernel specialisation."""
+    kernel specialisation.
+
+    The per-device walker guard applies exactly as in the other sharded
+    runners (hard error below 2*ndim+2, warning below 64; pass
+    ``allow_small=True`` only for plumbing tests).  Hybrid mixing at 32
+    walkers/chip is hardware-validated (docs/PERFORMANCE.md A.11), so
+    the sub-64 warning is advisory in this sampler's intended regime —
+    but the 2*ndim+2 floor is where the stretch move itself degenerates
+    and stays a hard error."""
     W, D = np.asarray(p0).shape
     n_dev = mesh.shape[axis]
     if sync_every < 2:
@@ -550,8 +569,6 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
     if n_win_steps % thin:
         raise ValueError(f"sync_every - 1 ({n_win_steps}) must be a "
                          f"multiple of thin ({thin})")
-    from ..ops.pallas_joint import make_joint_core
-
     window = make_sharded_kernel_step(sess, mesh, n_inner=n_win_steps,
                                       walkers_per_device=w_loc, thin=thin,
                                       a=a, interpret=interpret,
@@ -577,6 +594,11 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
             rng.integers(0, np.iinfo(np.int32).max, size=n_dev),
             jnp.int32)
         x, lp, acc, chain, chain_lp = window(x, lp, acc, seeds)
+        # start the device->host transfer now: the ~20 MB/s tunnel
+        # overlaps with the next window's compute instead of
+        # serialising all frames behind the sampling loop at return
+        chain.copy_to_host_async()
+        chain_lp.copy_to_host_async()
         frames.append(chain)
         frame_lps.append(chain_lp)
         # one globally coupled step through the packed-half driver

@@ -106,6 +106,25 @@ def read_cache(path: str) -> list[CacheEntry]:
     return entries
 
 
+def _resp_blob_matches(blob: str, rmf_b: str, arf_b: str) -> bool:
+    """Exact-basename response match against ``rmf + '_' + arf`` (with
+    '/' -> '@').  The rmf/arf boundary inside the blob is not recorded
+    (either path may itself contain '_'), so try every underscore as
+    the join point and require the '@'-path basenames on both sides to
+    EQUAL the wanted basenames.  A bare substring test would let e.g.
+    --rmf source.rmf silently match a cache built with xmm_source.rmf —
+    the exact silent-substitution this module promises never to do
+    (r4 self-review #3)."""
+    for i, ch in enumerate(blob):
+        if ch != "_":
+            continue
+        rmf_part, arf_part = blob[:i], blob[i + 1:]
+        if (rmf_part.rsplit("@", 1)[-1] == rmf_b
+                and arf_part.rsplit("@", 1)[-1] == arf_b):
+            return True
+    return False
+
+
 def _match_band(entries: list[CacheEntry], lo_eV: float, hi_eV: float,
                 z: float, NH_1022: float, rmf: str, arf: str,
                 rtol: float = 1e-4) -> CacheEntry:
@@ -118,7 +137,7 @@ def _match_band(entries: list[CacheEntry], lo_eV: float, hi_eV: float,
         return bool(np.allclose(got, want, rtol=rtol, atol=1e-9))
 
     hits = [e for e in entries if close(e)
-            and rmf_b in e.resp_blob and arf_b in e.resp_blob]
+            and _resp_blob_matches(e.resp_blob, rmf_b, arf_b)]
     if len(hits) == 1:
         return hits[0]
     if not hits:

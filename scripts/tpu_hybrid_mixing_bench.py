@@ -138,13 +138,21 @@ def measure(name, n_local, thin, couple):
         if phase == "meas":
             wall = time.time() - t1
     sub = np.concatenate(frames)
-    tau = chain_tau_steps(sub, thin)
+    # effective frame spacing in RAW steps: hybrid windows record
+    # n_local/thin frames but advance n_local+1 steps (the coupled step
+    # is unrecorded), so the spacing is per_window/frames-per-window,
+    # not `thin` — assuming uniform `thin` spacing underestimated
+    # hybrid10's tau by ~11% (r4 self-review #4)
+    n_rec = 500 if n_local is None else n_local
+    eff_spacing = per_window / (n_rec / thin)
+    tau = chain_tau_steps(sub, eff_spacing)
     med = np.median(sub.reshape(-1, D), axis=0)
     r = {"tau_max": round(float(tau.max()), 1),
          "tau_mean": round(float(tau.mean()), 1),
          "median_Z": round(float(med[iz]), 4),
          "median_eps": round(float(med[ie]), 4),
-         "thin": thin, "wall_s": round(wall, 2)}
+         "thin": thin, "frame_spacing_steps": round(eff_spacing, 3),
+         "wall_s": round(wall, 2)}
     out["variants"][name] = r
     log(f"{name:12s}: tau_max {r['tau_max']:7.1f} tau_mean "
         f"{r['tau_mean']:6.1f} Z~{r['median_Z']} eps~{r['median_eps']} "

@@ -525,4 +525,11 @@ def test_hybrid_coupled_validations(ref_data):
                                     mesh, interpret=True)
     with pytest.raises(ValueError, match="multiple"):
         run_hybrid_coupled_ensemble(sess, np.zeros((32, D)), 2, 6, 0,
-                                    mesh, thin=2, interpret=True)
+                                    mesh, thin=2, interpret=True,
+                                    allow_small=True)
+    # the per-device walker floor guards this runner like every other
+    # sharded runner (r4 self-review #2): 8 walkers/chip at ndim=13 is
+    # below 2*ndim+2 and must hard-error unless explicitly allowed
+    with pytest.raises(ValueError, match="walkers per device"):
+        run_hybrid_coupled_ensemble(sess, np.zeros((32, D)), 2, 5, 0,
+                                    mesh, interpret=True)

@@ -140,6 +140,36 @@ def test_wrong_response_fails_loudly(cache_file):
         import_cache(str(path), spec)
 
 
+def test_basename_suffix_does_not_match(cache_file):
+    """Regression (r4 self-review #3): the cache holds source_v2.rmf;
+    asking for the SUFFIX v2.rmf (a different file) must NOT silently
+    match — response matching is exact-basename, not substring."""
+    path, _ = cache_file
+    spec = TableSpec(rmf="v2.rmf", arf="v2.arf", bands_eV=BANDS,
+                     z=Z, NH_1022pcm2=NH)
+    with pytest.raises(CacheKeyError, match="different responses"):
+        import_cache(str(path), spec)
+
+
+def test_underscored_basenames_match(tmp_path):
+    """Basenames containing '_' (and '@'-mapped directories) still match
+    exactly through the unknown rmf/arf join boundary."""
+    import h5py
+
+    path = tmp_path / "cache.hdf5"
+    with h5py.File(path, "w") as f:
+        f[_reference_textkey(0.7, 1.0, Z, NH, "/d_a/xmm_source.rmf",
+                             "/d_a/xmm_source.arf")] = _synthetic_rates(0)
+    ok = TableSpec(rmf="xmm_source.rmf", arf="xmm_source.arf",
+                   bands_eV=((700, 1000),), z=Z, NH_1022pcm2=NH)
+    table = import_cache(str(path), ok)
+    assert table["lograte_Z0"].shape[0] == 1
+    bad = TableSpec(rmf="source.rmf", arf="source.arf",
+                    bands_eV=((700, 1000),), z=Z, NH_1022pcm2=NH)
+    with pytest.raises(CacheKeyError, match="different responses"):
+        import_cache(str(path), bad)
+
+
 def test_inconsistent_nT_fails(tmp_path):
     import h5py
 
