@@ -533,3 +533,29 @@ def test_hybrid_coupled_validations(ref_data):
     with pytest.raises(ValueError, match="walkers per device"):
         run_hybrid_coupled_ensemble(sess, np.zeros((32, D)), 2, 5, 0,
                                     mesh, interpret=True)
+
+
+def test_driver_cache_identity_guard():
+    """The driver caches key on id(sess); a dead session's id can be
+    REUSED by a new object, so a hit must be honoured only when the
+    stored session IS the caller's (kernel_sharded._cache_get).  Also
+    pins LRU move-to-front and max-size eviction."""
+    from collections import OrderedDict
+
+    from joxsz_tpu.parallel.kernel_sharded import _cache_get, _cache_put
+
+    cache = OrderedDict()
+    s1, s2 = object(), object()
+    _cache_put(cache, 2, "k1", s1, "drv1")
+    assert _cache_get(cache, "k1", s1) == ("drv1",)
+    # same key, DIFFERENT session object (id-reuse impostor): miss
+    assert _cache_get(cache, "k1", s2) is None
+    # multi-value entries come back as the stored tuple tail
+    _cache_put(cache, 2, "k2", s2, "a", "b", "c")
+    assert _cache_get(cache, "k2", s2) == ("a", "b", "c")
+    # k1 was touched most recently via the hit above -> k2 is older?
+    # no: the k2 put moved it to the end; a k1 hit refreshes k1, so a
+    # third insert evicts k2
+    assert _cache_get(cache, "k1", s1) == ("drv1",)
+    _cache_put(cache, 2, "k3", s1, "drv3")
+    assert "k2" not in cache and "k1" in cache and "k3" in cache
