@@ -105,8 +105,12 @@ def _cache_get(cache: OrderedDict, key, sess):
 def _cache_put(cache: OrderedDict, max_size: int, key, sess, *value):
     """Store (sess, *value) and evict the LRU entry past ``max_size``.
     The strong session ref in the value keeps cached ids live for
-    :func:`_cache_get`'s identity check."""
+    :func:`_cache_get`'s identity check.  Overwriting an existing key
+    (the id-reuse miss path) must also move it to the fresh end —
+    OrderedDict assignment alone leaves it at the stale entry's LRU
+    position, where the next insert would evict the just-built driver."""
     cache[key] = (sess,) + value
+    cache.move_to_end(key)
     if len(cache) > max_size:
         cache.popitem(last=False)
 
@@ -127,7 +131,8 @@ def make_sharded_kernel_step(sess, mesh, n_inner: int,
     schedule) so repeat calls skip the rebuild.
     """
     key = (id(sess), n_inner, walkers_per_device, thin, a, interpret,
-           chain_space, axis, tuple(d.id for d in mesh.devices.flat))
+           chain_space, axis, tuple(mesh.shape.items()),
+           tuple(d.id for d in mesh.devices.flat))
     hit = _cache_get(_WINDOW_CACHE, key, sess)
     if hit is not None:
         return hit[0]
@@ -174,6 +179,7 @@ def make_sharded_tempered_step(sess, betas, mesh, n_inner: int,
 
     key = ("temper", id(sess), tuple(float(b) for b in betas), n_inner,
            walkers_per_device, thin, a, interpret, chain_space, axis,
+           tuple(mesh.shape.items()),
            tuple(d.id for d in mesh.devices.flat))
     hit = _cache_get(_WINDOW_CACHE, key, sess)
     if hit is not None:
@@ -377,7 +383,8 @@ def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
 
     n_dev = mesh.shape[axis]
     key = (id(sess), W, n_dev, n_steps, thin, a, interpret, axis,
-           partner, tuple(d.id for d in mesh.devices.flat))
+           partner, tuple(mesh.shape.items()),
+           tuple(d.id for d in mesh.devices.flat))
     hit = _cache_get(_COUPLED_CACHE, key, sess)
     if hit is not None:
         return hit
@@ -516,8 +523,9 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
     """Amortized multi-chip single-ensemble sampling (VERDICT r3 task 4).
 
     The fully coupled sampler (:func:`run_coupled_sharded_ensemble`)
-    pays two kernel launches + two all-gathers EVERY step (measured 65x
-    the fused per-step cost at W=256) because nothing amortises.  This
+    pays two kernel launches + two all-gathers EVERY step (measured ~4x
+    the fused per-step cost at W=256, warm) because nothing amortises.
+    This
     hybrid amortises: each window runs ``sync_every - 1`` steps with
     every chip advancing its walker block as an independent chip-local
     ensemble in ONE fused kernel launch (the
@@ -556,6 +564,8 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
     and stays a hard error."""
     W, D = np.asarray(p0).shape
     n_dev = mesh.shape[axis]
+    if n_windows < 1:
+        raise ValueError(f"n_windows ({n_windows}) must be >= 1")
     if sync_every < 2:
         raise ValueError("sync_every must be >= 2 (use "
                          "run_coupled_sharded_ensemble for every-step "
@@ -584,6 +594,30 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
     f32 = jnp.float32
 
     xsh = NamedSharding(mesh, P(axis))
+
+    # the per-window coupled step + its pack/unpack glue run as ONE
+    # jitted program: issued as separate ops the epilogue cost ~5-10
+    # dispatches/window over the ~10 ms-latency tunnel — the dominant
+    # steady cost of the sampler it was built to amortize (r4
+    # self-review #2).  Cached like the drivers it composes.
+    ekey = ("hybrid_epi", id(sess), W, n_dev, a, interpret, axis,
+            partner, tuple(mesh.shape.items()),
+            tuple(d.id for d in mesh.devices.flat))
+    hit = _cache_get(_WINDOW_CACHE, ekey, sess)
+    if hit is not None:
+        epilogue = hit[0]
+    else:
+        def _epilogue(seed_a, x, lp, acc, *consts):
+            xp = jnp.zeros((W, Dp), f32).at[:, :D].set(x)
+            xp = xp.at[:, DL].set(lp.astype(f32))
+            xA, xB, _ = coupled_fn(seed_a, xp[:H], xp[H:], *consts)
+            xf = jnp.concatenate([xA, xB])
+            xo = jax.lax.with_sharding_constraint(xf[:, :D], xsh)
+            return xo, xf[:, DL], acc + xf[:, DA]
+
+        epilogue = jax.jit(_epilogue)
+        _cache_put(_WINDOW_CACHE, _WINDOW_CACHE_MAX, ekey, sess, epilogue)
+
     x = jax.device_put(jnp.asarray(p0, f32), xsh)
     lp = core(x)
     acc = jnp.zeros(W, f32)
@@ -601,16 +635,11 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
         chain_lp.copy_to_host_async()
         frames.append(chain)
         frame_lps.append(chain_lp)
-        # one globally coupled step through the packed-half driver
-        xp = jnp.zeros((W, Dp), f32).at[:, :D].set(x)
-        xp = xp.at[:, DL].set(lp.astype(f32))
+        # one globally coupled step (pack -> both halves -> unpack, one
+        # dispatch)
         seed_a = jnp.asarray(
             [rng.integers(0, np.iinfo(np.int32).max)], jnp.int32)
-        xA, xB, _ = coupled_fn(seed_a, xp[:H], xp[H:], *half._consts)
-        xf = jnp.concatenate([xA, xB])
-        x = jax.device_put(xf[:, :D], xsh)
-        lp = xf[:, DL]
-        acc = acc + xf[:, DA]
+        x, lp, acc = epilogue(seed_a, x, lp, acc, *half._consts)
     return EnsembleResult(
         chain=np.concatenate([np.asarray(c) for c in frames]),
         log_prob=np.concatenate([np.asarray(c) for c in frame_lps]),

@@ -136,6 +136,20 @@ for i in range(10):
 out["coupled_glue_steady_ms"] = [round(w * 1e3, 2) for w in walls]
 log(f"coupled+glue steady (ms): {out['coupled_glue_steady_ms']}")
 
+# ---- 3b: pure-coupled wrapper, WARM A/B -----------------------------------
+# the mixing bench's original 7647 us/step pure-coupled reading warmed
+# with n_steps=100 but timed n_steps=500 — a DIFFERENT coupled-driver
+# cache key, so the timed wall included the one-time driver build
+# (r4 self-review).  Identical-call A/B gives the true steady cost.
+from joxsz_tpu.parallel.kernel_sharded import run_coupled_sharded_ensemble
+
+run_coupled_sharded_ensemble(sess, np.asarray(x0), 500, 3, mesh1, thin=10)
+t1 = time.time()
+run_coupled_sharded_ensemble(sess, np.asarray(x0), 500, 3, mesh1, thin=10)
+pure_us = (time.time() - t1) / 500 * 1e6
+out["pure_coupled_warm_us_per_step"] = round(pure_us, 1)
+log(f"pure-coupled WARM steady: {pure_us:.0f} us/step")
+
 # ---- 4: run_hybrid end-to-end, twice --------------------------------------
 for tag in ("A", "B"):
     t1 = time.time()

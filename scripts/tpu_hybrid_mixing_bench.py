@@ -178,7 +178,11 @@ for i in range(4):
 jax.block_until_ready(x)
 fused_us = (time.time() - t1) / 2000 * 1e6
 
-run_coupled_sharded_ensemble(sess, np.asarray(xc), 100, 3, mesh1, thin=10)
+# warm with the IDENTICAL call: the coupled-driver cache keys on
+# n_steps, so a 100-step warm-up does NOT warm a 500-step timed call —
+# the original 7647 us/step reading included the one-time driver build
+# (r4 self-review; treat it as an upper bound)
+run_coupled_sharded_ensemble(sess, np.asarray(xc), 500, 3, mesh1, thin=10)
 t1 = time.time()
 run_coupled_sharded_ensemble(sess, np.asarray(xc), 500, 3, mesh1, thin=10)
 coupled_us = (time.time() - t1) / 500 * 1e6

@@ -73,13 +73,18 @@ def measure_tempered(W, seed):
     lpk = jnp.stack([core(xk[k]) for k in range(K)])
     acck = jnp.zeros((K, W), jnp.float32)
     for i in range(2):
-        xk, lpk, acck = step_t(xk, lpk, acck, 40 + seed + i)[:3]
+        xk, lpk, acck = step_t(xk, lpk, acck, 40 + 100 * seed + i)[:3]
     jax.block_until_ready(xk)
     acck = jnp.zeros((K, W), jnp.float32)
     subs, sacc = [], np.zeros(K - 1)
     t1 = time.time()
     for i in range(N_CHUNKS):
-        xk, lpk, acck, sa, ch, _ = step_t(xk, lpk, acck, 900 + seed + i)
+        # 100*seed keeps chunk-seed ranges DISJOINT across runs: with
+        # `900 + seed + i` the two W=1024 scatter runs (seed 3 vs 11)
+        # shared 2 of 10 PRNG streams (r4 self-review) — correlated
+        # trajectories narrow the very scatter being measured
+        xk, lpk, acck, sa, ch, _ = step_t(xk, lpk, acck,
+                                          900 + 100 * seed + i)
         sacc += np.asarray(sa)
         subs.append(sl(ch))
     jax.block_until_ready(xk)

@@ -25,11 +25,6 @@ def theta0(session):
     return jnp.asarray(session.params.thawed_values())
 
 
-def _pars_numpy(session, theta):
-    return {n: float(v) for n, v in
-            session.params.unpack(jnp.asarray(theta)).items()}
-
-
 def test_parameter_layout(session):
     assert session.params.ndim == 13
     # SURVEY.md §2.4 free parameters all present

@@ -559,3 +559,9 @@ def test_driver_cache_identity_guard():
     assert _cache_get(cache, "k1", s1) == ("drv1",)
     _cache_put(cache, 2, "k3", s1, "drv3")
     assert "k2" not in cache and "k1" in cache and "k3" in cache
+    # overwriting an existing key (id-reuse rebuild) refreshes its LRU
+    # position: k1 is oldest; rewriting it must make k3 the eviction
+    # candidate instead of the just-rebuilt k1
+    _cache_put(cache, 2, "k1", s2, "drv1b")
+    _cache_put(cache, 2, "k4", s1, "drv4")
+    assert "k3" not in cache and _cache_get(cache, "k1", s2) == ("drv1b",)
