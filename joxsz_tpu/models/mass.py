@@ -38,7 +38,15 @@ class HSEMass:
 
 
 def mass_overdensity(r_kpc, cosmo: Cosmology, delta: float = 500.0):
-    """M_Delta(r) = (4/3) pi rho_c(z) Delta r^3 in solar masses."""
+    """M_Delta(r) = (4/3) pi rho_c(z) Delta r^3 in solar masses.
+
+    The whole prefactor folds to ONE host-side scalar (float: numpy
+    math, never traced): cubing r in cm inside the trace (~1e73) would
+    overflow float32 on the default TPU run and silently collapse the
+    r_500 bisection in compute_mass_profiles (the f32 discipline all
+    mass constants follow — see HSEMass._C)."""
     rho_c = cosmo.critical_density_cgs()
-    r_cm = jnp.asarray(r_kpc) * K.kpc_cm
-    return 4.0 / 3.0 * jnp.pi * rho_c * delta * r_cm**3 / K.solar_mass_g
+    C = float(4.0 / 3.0 * jnp.pi * rho_c * delta
+              * K.kpc_cm**3 / K.solar_mass_g)   # O(1e5): Msun per kpc^3
+    r = jnp.asarray(r_kpc)
+    return C * r * r * r

@@ -140,6 +140,17 @@ class CountRateTable:
                     f"different setup: {'; '.join(errs)}. Regenerate with "
                     "python -m joxsz_tpu.tablegen.generate or point "
                     "xray.table_path at the right artifact.")
+        # the hat-basis matmul interpolation (rates/flux) positions every
+        # hat from dt = Tlog[1] - Tlog[0]; a non-uniform grid would
+        # silently interpolate at wrong temperatures (r4 review #4)
+        tl = np.asarray(d["Tlog"], dtype=float)
+        if tl.size >= 2 and not np.allclose(np.diff(tl), tl[1] - tl[0],
+                                            rtol=1e-6, atol=1e-12):
+            raise ValueError(
+                f"count-rate table {path} has a NON-UNIFORM Tlog grid; "
+                "the runtime interpolation assumes uniform log-T "
+                "spacing. Regenerate the table on a uniform grid "
+                "(tablegen and import_xspec_cache always produce one).")
         asx = lambda a: jnp.asarray(a, dtype=dtype)
         return cls(
             Tlog=asx(d["Tlog"]),

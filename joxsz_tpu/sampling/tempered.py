@@ -21,6 +21,7 @@ to ferry walkers between modes.
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 
 import numpy as np
 import jax
@@ -59,9 +60,27 @@ def run_tempered_ensemble(
     from .stretch import validate_schedule
 
     validate_schedule(n_steps, thin, W)
-    H = W // 2
     dtype = p0.dtype
-    betas = betas.astype(dtype)
+    drive, lp_all = _get_tempered_drive(
+        log_prob_batch, tuple(float(b) for b in np.asarray(betas)),
+        n_steps, thin, a, K, W, D, dtype)
+
+    lp0 = lp_all(p0)
+    acc0 = jnp.zeros((K, W), dtype=dtype)
+    sacc0 = jnp.zeros((K - 1,), dtype=dtype)
+    (x, lp, acc, sacc), (chain, logp) = drive(p0, lp0, acc0, sacc0, key)
+    return TemperedResult(
+        chain=np.asarray(chain),
+        log_prob=np.asarray(logp),
+        acceptance_fraction=np.asarray(acc) / float(n_steps),
+        swap_acceptance=np.asarray(sacc) / float(n_steps),
+        final_state=(x, lp),
+    )
+
+
+def _build_tempered_drive(log_prob_batch, betas, n_steps, thin, a, K,
+                          W, D, dtype):
+    H = W // 2
 
     def lp_all(x):  # (K, W, D) -> (K, W) untempered log-probs
         return log_prob_batch(x.reshape(K * x.shape[1], D)).reshape(
@@ -139,14 +158,31 @@ def run_tempered_ensemble(
         state, saved = jax.lax.scan(outer, (x, lp, acc, sacc), keys)
         return state, saved
 
-    lp0 = lp_all(p0)
-    acc0 = jnp.zeros((K, W), dtype=dtype)
-    sacc0 = jnp.zeros((K - 1,), dtype=dtype)
-    (x, lp, acc, sacc), (chain, logp) = drive(p0, lp0, acc0, sacc0, key)
-    return TemperedResult(
-        chain=np.asarray(chain),
-        log_prob=np.asarray(logp),
-        acceptance_fraction=np.asarray(acc) / float(n_steps),
-        swap_acceptance=np.asarray(sacc) / float(n_steps),
-        final_state=(x, lp),
-    )
+    return drive, lp_all
+
+
+# cached K-rung scan drivers, mirroring stretch._DRIVE_CACHE: without
+# this every run_tempered_ensemble call (each --temper auto-extend
+# round on the XLA path) re-jits and re-loads the whole program (r4
+# full-package review #3).  Keyed by the log-prob function OBJECT (not
+# id()) plus the full schedule/shape signature.
+_TEMPER_DRIVE_CACHE: OrderedDict = OrderedDict()
+_TEMPER_DRIVE_CACHE_MAX = 16
+
+
+def _get_tempered_drive(log_prob_batch, betas_key: tuple, n_steps: int,
+                        thin: int, a: float, K: int, W: int, D: int,
+                        dtype):
+    key = (log_prob_batch, betas_key, n_steps, thin, a, K, W, D,
+           str(dtype))
+    hit = _TEMPER_DRIVE_CACHE.get(key)
+    if hit is not None:
+        _TEMPER_DRIVE_CACHE.move_to_end(key)
+        return hit
+    betas = jnp.asarray(np.asarray(betas_key), dtype=dtype)
+    built = _build_tempered_drive(log_prob_batch, betas, n_steps, thin,
+                                  a, K, W, D, dtype)
+    _TEMPER_DRIVE_CACHE[key] = built
+    if len(_TEMPER_DRIVE_CACHE) > _TEMPER_DRIVE_CACHE_MAX:
+        _TEMPER_DRIVE_CACHE.popitem(last=False)
+    return built

@@ -903,7 +903,11 @@ def main(argv=None):
 
         pspec = args.population.split(":")
         family = pspec[1] if len(pspec) > 1 else "lognormal"
-        pres = population_from_survey(res, sess.params, pspec[0],
+        # the shared ParamSet comes from the first group's session: on
+        # the --spec path no loop-free `sess` exists (that name is only
+        # bound in the --mock branch; using it here crashed --spec
+        # --population runs AFTER the whole fit — r4 review)
+        pres = population_from_survey(res, groups[0][0].params, pspec[0],
                                       family=family, seed=args.seed)
         mu_label = ("ln " if family == "lognormal" else "") + pspec[0]
         print(f"population ({family}): <{mu_label}> = "

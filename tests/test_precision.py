@@ -174,3 +174,24 @@ def test_kernel_gnfw_softplus_no_overflow_veto(ref_data):
     assert np.all(np.isfinite(lk)), (
         "kernel falsely vetoed past the exp overflow edge", lk)
     assert np.max(np.abs(lx - lk)) < 0.1, (lx, lk)
+
+
+def test_f32_mass_overdensity_finite_and_exact():
+    """Regression (r4 full-package review #1): mass_overdensity cubed r
+    in cm (~1e73) INSIDE the traced computation, overflowing float32 to
+    inf on the default TPU run — M_delta = inf made the r_500 bisection
+    in compute_mass_profiles collapse to the first grid radius, so the
+    mass_hse figure's M500/r500 were silently garbage.  The prefactor
+    must fold to one host scalar; the f32 result must be finite and
+    match f64 to f32 precision across the physical radius range."""
+    from joxsz_tpu.cosmology import Cosmology
+    from joxsz_tpu.models.mass import mass_overdensity
+
+    cosmo = Cosmology(z=0.888)
+    r = np.array([10.0, 150.0, 1000.0, 5000.0])
+    got32 = np.asarray(mass_overdensity(jnp.asarray(r, jnp.float32), cosmo))
+    want64 = np.asarray(mass_overdensity(jnp.asarray(r, jnp.float64), cosmo))
+    assert np.all(np.isfinite(got32)), got32
+    np.testing.assert_allclose(got32, want64, rtol=1e-5)
+    # M500(1000 kpc) at z=0.888 is O(1e14) Msun — sanity anchor
+    assert 1e13 < want64[2] < 1e15

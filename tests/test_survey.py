@@ -201,6 +201,23 @@ def test_survey_cli_heterogeneous_merged_summary(ref_data, tmp_path):
         assert 0.0 <= c["acceptance"] <= 1.0
 
 
+def test_survey_cli_spec_population_stage_runs(ref_data, tmp_path):
+    """Regression (r4 full-package review #2): --spec --population
+    crashed with UnboundLocalError('sess') AFTER the whole survey fit —
+    the population stage referenced a name bound only on the --mock
+    branch.  The stage must complete and write its summary block."""
+    from joxsz_tpu.survey import main
+
+    spec = _write_hetero_spec(tmp_path, ref_data)
+    out = tmp_path / "pop_summary.json"
+    main(["--spec", str(spec), "--cpu", "--walkers", "16",
+          "--burn", "20", "--steps", "20", "--thin", "5",
+          "--seed", "4", "--population", "P_0", "--out", str(out)])
+    summary = json.loads(out.read_text())
+    assert "population" in summary
+    assert np.isfinite(summary["population"]["mu"])
+
+
 def test_merge_survey_results_restores_spec_order():
     from joxsz_tpu.survey import _merge_survey_results
 

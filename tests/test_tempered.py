@@ -81,3 +81,30 @@ def test_tempering_mixes_modes_where_stretch_cannot():
     assert right_frac_plain < 0.02, right_frac_plain
     # symmetric target: the tempered cold chain should populate both modes
     assert 0.2 < right_frac_temp < 0.8, right_frac_temp
+
+
+def test_tempered_drive_cached_across_calls():
+    """Repeated identical-schedule calls must reuse ONE compiled driver
+    (r4 review: every --temper auto-extend round on the XLA path paid a
+    full re-trace before _TEMPER_DRIVE_CACHE)."""
+    import jax
+
+    from joxsz_tpu.sampling.tempered import (_TEMPER_DRIVE_CACHE,
+                                             run_tempered_ensemble)
+
+    def lp(x):
+        return -0.5 * jnp.sum(x * x, axis=-1)
+
+    lp_b = jax.jit(lp)
+    p0 = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 3))
+    run_tempered_ensemble(lp_b, p0, [1.0, 0.6], 4, jax.random.PRNGKey(1),
+                          thin=2)
+    n = len(_TEMPER_DRIVE_CACHE)
+    res2 = run_tempered_ensemble(lp_b, p0, [1.0, 0.6], 4,
+                                 jax.random.PRNGKey(2), thin=2)
+    assert len(_TEMPER_DRIVE_CACHE) == n     # hit, not a new entry
+    # different schedule -> new entry
+    run_tempered_ensemble(lp_b, p0, [1.0, 0.6], 8, jax.random.PRNGKey(3),
+                          thin=2)
+    assert len(_TEMPER_DRIVE_CACHE) == n + 1
+    assert np.all(np.isfinite(res2.log_prob))

@@ -46,6 +46,30 @@ def test_table_mismatch_raises(ref_data):
                                                    "NH_1022pcm2": 0.0183})
 
 
+def test_table_nonuniform_grid_rejected(tmp_path):
+    """Regression (r4 review #4): the hat-basis interpolation assumes a
+    uniform log-T grid (dt = Tlog[1]-Tlog[0]); a hand-built table with a
+    non-uniform Tlog must fail loudly at load, not skew every predicted
+    count silently."""
+    import numpy as np
+
+    from joxsz_tpu.models.xray import CountRateTable
+
+    nT = 16
+    good = np.linspace(np.log(0.1), np.log(20.0), nT)
+    bad = np.sort(np.concatenate([good[:8], good[8:] * 1.1]))
+    path = tmp_path / "bad.npz"
+    np.savez(path, Tlog=bad,
+             lograte_Z0=np.zeros((2, nT)), lograte_Z1=np.zeros((2, nT)),
+             logflux_Z0=np.zeros(nT), logflux_Z1=np.zeros(nT))
+    with pytest.raises(ValueError, match="NON-UNIFORM"):
+        CountRateTable.from_npz(str(path))
+    np.savez(path, Tlog=good,
+             lograte_Z0=np.zeros((2, nT)), lograte_Z1=np.zeros((2, nT)),
+             logflux_Z0=np.zeros(nT), logflux_Z1=np.zeros(nT))
+    CountRateTable.from_npz(str(path))     # uniform grid loads fine
+
+
 def test_table_model_version_guard(ref_data, tmp_path):
     """A pre-versioning (stale-physics) fallback table must be rejected;
     XSPEC-backend tables are exact physics and exempt from the check."""
