@@ -195,3 +195,36 @@ def test_f32_mass_overdensity_finite_and_exact():
     np.testing.assert_allclose(got32, want64, rtol=1e-5)
     # M500(1000 kpc) at z=0.888 is O(1e14) Msun — sanity anchor
     assert 1e13 < want64[2] < 1e15
+
+
+def test_f32_mass_bisection_does_not_collapse(ref_data):
+    """The TPU-path (float32) r_500 bisection end-to-end: before the
+    mass_overdensity fold, M_delta = inf collapsed r_delta onto the
+    first grid radius for every sample.  In f32 the bracket must close
+    on a physical radius with a finite plausible M500."""
+    from joxsz_tpu.postproc import compute_mass_profiles
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    centre = {
+        "log(n_0)": -1.39, r"\beta": 0.64, "log(r_c)": 2.0,
+        "log(r_s)": 3.0, r"\epsilon": 0.5, "log(T_X/T_{SZ})": 0.09,
+        "Z": 0.1, "P_0": 0.18, "a": 5.0, "b": 2.2, "r_p": 149.0,
+        "backscale": 0.96, "calibration": 1.0,
+    }
+    theta0 = np.array([centre[n] for n in sess.params.thawed],
+                      dtype=np.float32)
+    rng = np.random.default_rng(3)
+    flat = (theta0[None] * (1 + 0.01 * rng.standard_normal(
+        (16, theta0.size)))).astype(np.float32)
+    # the geometry grid is float64 numpy even in an f32 session, and
+    # the bisection inherits its dtype — cast to f32 so the test runs
+    # the arithmetic the TPU backend actually runs
+    r_pp = np.asarray(sess.geometry.r_press_kpc, dtype=np.float32)
+    _, r_delta, m_delta = compute_mass_profiles(
+        sess.model, sess.cosmology, r_pp, flat, delta=500.0)
+    assert r_delta[1, 0] > 5 * float(r_pp[0]), r_delta[1, 0]
+    assert 200 < r_delta[1, 0] < 2500
+    assert np.isfinite(m_delta).all()
+    assert 1e13 < m_delta[1, 0] < 5e15
