@@ -100,7 +100,7 @@ def _attribution_phase(sess, make_step_kernel, core, theta0, rng, jnp, jax):
 
 def _tempered_quality_phase(sess, core, theta0, rng, jnp, jax):
     """Production-sampler quality: tempered K=4 x W=1024 from a fresh
-    10%-spread cloud (the production init), burn 4000 steps, then
+    10%-spread cloud (the production init), burn 8000 steps, then
     accumulate the cold chain in 2000-step chunks applying the driver's
     stopping rule (steps >= 20*tau AND tau-thinned split-Rhat <= 1.01,
     sampling/driver.py) after each chunk.  Reports wall N_eff/s of the
@@ -265,7 +265,14 @@ def main():
 
             core = make_joint_core(sess, block_b=256)
             step = make_step_kernel(sess, n_inner=500, n_walkers=W)
-        except Exception:
+        except Exception as e:
+            # never silently downgrade the headline to the XLA fallback:
+            # a kernel-path regression would otherwise read as claim
+            # variance (r4 review)
+            import traceback
+            print(f"WARNING: fused step kernel unavailable, falling "
+                  f"back to the XLA sampler: {e!r}", file=sys.stderr)
+            traceback.print_exc(file=sys.stderr)
             step = None
 
     neff_metrics = None

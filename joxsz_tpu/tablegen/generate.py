@@ -70,17 +70,24 @@ def _load_native():
 
 
 def build_native(force: bool = False) -> bool:
-    """Compile the C++ core if a toolchain is available."""
-    if _NATIVE_LIB.exists() and not force:
-        return True
+    """Compile the C++ core if a toolchain is available.
+
+    Always invokes make when a toolchain exists — make's own mtime check
+    decides whether to rebuild, so an edited ``tablegen.cpp`` can never
+    be shadowed by a stale committed ``.so`` (r4 review; the old
+    existence short-circuit did exactly that).  Without a toolchain the
+    committed binary is used as-is."""
     if shutil.which("make") is None or shutil.which("g++") is None:
-        return False
+        return _NATIVE_LIB.exists() and not force
     try:
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True,
-                       capture_output=True)
+        cmd = ["make", "-C", str(_NATIVE_DIR)]
+        if force:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR), "clean"],
+                           check=True, capture_output=True)
+        subprocess.run(cmd, check=True, capture_output=True)
         return _NATIVE_LIB.exists()
     except subprocess.CalledProcessError:
-        return False
+        return _NATIVE_LIB.exists() and not force
 
 
 def _rates_numpy(resp: Response, band_masks: np.ndarray, T_grid, Z_grid,

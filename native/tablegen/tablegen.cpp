@@ -164,11 +164,21 @@ void jx_count_rate_table(const double* resp, const double* e_mid,
                          double NH_1022, double* out) {
   std::vector<double> spec(nE);
   std::vector<double> chan(nC);
+  // phabs transmission depends only on (E, NH): hoist it out of the
+  // (Z, T) loops instead of re-evaluating it nZ*nT times (r4 review).
+  // The combined expression below keeps the exact multiply order of
+  // jx_observed_spectrum + the e_wid pass, so results are bit-identical.
+  const double zf = 1.0 + z;
+  std::vector<double> trans(nE);
+  for (int64_t e = 0; e < nE; ++e)
+    trans[e] = phabs_transmission(e_mid[e], NH_1022);
   for (int64_t iz = 0; iz < nZ; ++iz) {
     for (int64_t it = 0; it < nT; ++it) {
-      jx_observed_spectrum(e_mid, nE, T_grid[it], Z_grid[iz], z, NH_1022,
-                           spec.data());
-      for (int64_t e = 0; e < nE; ++e) spec[e] *= e_wid[e];
+      for (int64_t e = 0; e < nE; ++e) {
+        const double lam =
+            photon_emissivity(e_mid[e] * zf, T_grid[it], Z_grid[iz]);
+        spec[e] = 1e14 * lam / zf * trans[e] * e_wid[e];
+      }
       // channel counts = spec^T . resp
       std::memset(chan.data(), 0, nC * sizeof(double));
       for (int64_t e = 0; e < nE; ++e) {

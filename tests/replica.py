@@ -89,7 +89,10 @@ def xray_pred_numpy(session, theta):
                           for b in range(lr0.shape[0])]))
     r1 = np.exp(np.stack([np.interp(np.log(T), Tlog, lr1[b])
                           for b in range(lr1.shape[0])]))
-    rates = r0 * (1 - Z) + r1 * Z
+    # line_scale nuisance folds into Z exactly as the runtime does
+    # (models/xray.py: Z_eff = Z * line_scale; tables linear in Z)
+    Z_eff = Z * pars.get("line_scale", 1.0)
+    rates = r0 * (1 - Z_eff) + r1 * Z_eff
     emiss = rates * ne**2
     proj = emiss @ np.asarray(x.vols_norm).T
     return (proj * np.asarray(x.exposures) * np.asarray(x.areascales)

@@ -38,13 +38,19 @@ def make_synthetic_config(tmp_path, rng, *, step_arcsec=4.0,
 
     # JoXSZConfig's default cosmology parameters, not Cosmology's own
     # (H0 70 vs 67.32 — a 4% kpc/arcsec mismatch underestimated the
-    # needed extent in the first sweep run)
-    kpc_as = Cosmology(z=redshift, H0=67.32, WM=0.3158,
-                       WV=0.6842).kpc_per_arcsec
+    # needed extent in the first sweep run); honour cosmology overrides
+    # the caller passes through cfg_overrides, and keep a margin of a
+    # few grid steps over build_map_geometry's exact requirement (the
+    # session measures the beam FWHM from the written file, which can
+    # drift a hair from the nominal value) — r4 review
+    kpc_as = Cosmology(z=redshift,
+                       H0=cfg_overrides.get("H0", 67.32),
+                       WM=cfg_overrides.get("WM", 0.3158),
+                       WV=cfg_overrides.get("WV", 0.6842)).kpc_per_arcsec
     max_r = ((flux_rmax_arcsec + 3.0 * fwhm_arcsec)
              // step_arcsec * step_arcsec)
     sep = int(max_r // step_arcsec)
-    extent_kpc = max(extent_kpc, (sep + 4) * step_arcsec * kpc_as)
+    extent_kpc = max(extent_kpc, (sep + 6) * step_arcsec * kpc_as)
 
     # --- SZ flux profile: smooth decrement + noise, honest errors --------
     r = np.linspace(step_arcsec, flux_rmax_arcsec, n_flux)
@@ -81,12 +87,11 @@ def make_synthetic_config(tmp_path, rng, *, step_arcsec=4.0,
     xray = None
     if not sz_only:
         # --- bands: contiguous random edges inside the response range ----
-        edges_eV = np.unique(rng.choice(
+        # replace=False cannot duplicate, and np.sort orders the edges;
+        # a request for more bands than grid values fails loudly inside
+        # rng.choice itself
+        edges_eV = np.sort(rng.choice(
             np.arange(700, 7001, 100), size=n_bands + 1, replace=False))
-        while edges_eV.size < n_bands + 1:     # (choice dedup shortfall)
-            edges_eV = np.unique(np.concatenate(
-                [edges_eV, rng.choice(np.arange(700, 7001, 100), size=2)]))
-        edges_eV = np.sort(edges_eV)[: n_bands + 1]
         bands = tuple((int(a), int(b))
                       for a, b in zip(edges_eV[:-1], edges_eV[1:]))
 
