@@ -33,22 +33,63 @@ def integrated_autocorr_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
 
     chain: (n_steps, n_walkers, ndim).  Walker-averaged ACF with Sokal's
     automatic windowing (the emcee v3 estimator): tau = 1 + 2 sum rho(t),
-    truncated at the smallest M with M >= c * tau(M)."""
+    truncated at the smallest M with M >= c * tau(M).
+
+    The per-walker ACFs are computed in row-chunked FFT batches
+    (pocketfft applies the identical 1-D transform per row): the old
+    W x D python loop of individual float64 FFTs cost ~1-1.6 s per
+    stopping-rule round at the production W=1024 chain on this 1-core
+    host — several seconds of every flagless fit's sample phase went to
+    the diagnostic, not the sampler (``run_fit`` auto_extend calls this
+    once per round, plus the head-promotion tail passes).  Float32
+    chains (everything fetched from the device) run the FFTs in
+    float32 — ~3-5x faster end-to-end here and a ~1e-8 relative tau
+    perturbation, nothing against the ~2x single-seed tau scatter
+    (docs/PERFORMANCE.md); float64 input keeps float64 FFTs and
+    matches the old per-series loop to FFT round-off."""
     chain = np.asarray(chain)
     n_steps, n_walkers, ndim = chain.shape
+    m = 1 << (2 * n_steps - 1).bit_length()
+    fdtype = (np.float32 if chain.dtype == np.float32 else np.float64)
+
+    # (ndim * n_walkers, n_steps) series matrix, parameter-major
+    x64 = np.ascontiguousarray(
+        chain.transpose(2, 1, 0)).reshape(-1, n_steps).astype(np.float64)
+    # exact constant-series detection BEFORE mean subtraction: the
+    # scalar guard (acf[0] == 0) is rounding-luck-dependent — a batched
+    # mean can leave an O(eps) residual on a constant series whose ACF
+    # then normalises to rho = 1 everywhere
+    const = (x64 == x64[:, :1]).all(axis=1, keepdims=True)
+    # mean subtraction stays float64: a float32 subtract of a large
+    # common offset would eat the fluctuation's mantissa
+    x = (x64 - x64.mean(axis=1, keepdims=True)).astype(fdtype)
+
+    # row-chunked FFT batches: one giant batch falls out of cache
+    # (measured ~1.5-4x slower than a few-hundred-row chunk on this
+    # host, both dtypes; 128-512 rows within noise of each other)
+    rows = x.shape[0]
+    chunk = 256
+    acf_rows = np.empty((rows, n_steps), dtype=fdtype)
+    for i in range(0, rows, chunk):
+        f = np.fft.rfft(x[i:i + chunk], m, axis=1)
+        acf_rows[i:i + chunk] = np.fft.irfft(
+            f.real**2 + f.imag**2, m, axis=1)[:, :n_steps]
+
+    a0 = acf_rows[:, :1]
+    dead = const | (a0 == 0)
+    acf = np.where(dead, 0.0, acf_rows / np.where(dead, 1.0, a0)).reshape(
+        ndim, n_walkers, n_steps).mean(axis=1, dtype=np.float64)
+
     taus = np.empty(ndim)
+    steps = np.arange(n_steps)
     for d in range(ndim):
-        acf = np.zeros(n_steps)
-        for w in range(n_walkers):
-            acf += autocorr_function(chain[:, w, d])
-        acf /= n_walkers
-        tau_run = 2.0 * np.cumsum(acf) - 1.0
-        window = np.arange(n_steps) < c * tau_run
+        tau_run = 2.0 * np.cumsum(acf[d]) - 1.0
+        window = steps < c * tau_run
         if window.all():
-            m = n_steps - 1
+            mi = n_steps - 1
         else:
-            m = int(np.argmin(window))
-        taus[d] = tau_run[max(m, 1)]
+            mi = int(np.argmin(window))
+        taus[d] = tau_run[max(mi, 1)]
     return taus
 
 

@@ -397,24 +397,30 @@ def run_fit(
     #                       the warmup-aware fallback below
     conv_cache = None     # (worst tau in raw steps, split-Rhat) — reused
     #                       by the post-fit warnings below
+    diag_s = 0.0          # host time inside tau/split-Rhat passes — the
+    #                       stopping-rule diagnostics are host FFT work on
+    #                       this 1-core machine, and without attribution
+    #                       they read as sampler cost in sample_s
     if auto_extend > 0:
         from ..postproc.summary import integrated_autocorr_time, \
             convergence_rhat
 
         while ext_rounds < auto_extend:
             chain_steps = res.chain.shape[0] * nthin
+            td = time.time()
             if res.chain.shape[0] < 8:
                 # too few saved draws for any tau/Rhat estimate — by
                 # definition under-converged, keep extending
                 tau_w, rh = np.inf, np.inf
             else:
-                # ONE full-chain ACF pass per round (it is a python loop
-                # of W*D FFTs — expensive on this 1-core host); Rhat
-                # reuses the tau it produced
+                # ONE full-chain ACF pass per round (batched host FFTs —
+                # still the priciest host work in the loop); Rhat reuses
+                # the tau it produced
                 tau_saved = float(np.max(np.maximum(
                     integrated_autocorr_time(res.chain), 1.0)))
                 tau_w = tau_saved * nthin
                 rh = convergence_rhat(res.chain, tau_saved=tau_saved)
+            diag_s += time.time() - td
             conv_cache = (tau_w, rh)
             if chain_steps >= 20 * tau_w and rh <= target_rhat:
                 break
@@ -430,10 +436,12 @@ def run_fit(
             n0 = res.chain.shape[0] // 2
             if (n0 >= 8 and chain_steps >= 20 * tau_w
                     and rh > target_rhat):
+                td = time.time()
                 tail = res.chain[n0:]
                 tau2 = float(np.max(np.maximum(
                     integrated_autocorr_time(tail), 1.0)))
                 rh2 = convergence_rhat(tail, tau_saved=tau2)
+                diag_s += time.time() - td
                 if ((res.chain.shape[0] - n0) * nthin >= 20 * tau2 * nthin
                         and rh2 <= target_rhat):
                     extra_burn += n0 * nthin
@@ -496,6 +504,7 @@ def run_fit(
         timings["auto_extend_rounds"] = ext_rounds
         if extra_burn:
             timings["extra_burn_steps"] = extra_burn
+        timings["sample_diag_s"] = diag_s
 
     timings["sample_s"] = time.time() - t0
     if swap_acc_rounds:

@@ -172,3 +172,44 @@ def test_summary_dict_includes_rhat():
     chain = _ar1_chain(0.3, 400, 6, 2, rng)
     s = summary_dict(chain.reshape(-1, 2), ["a", "b"], chain_3d=chain)
     assert 0.9 < s["parameters"]["a"]["rhat"] < 1.05
+
+
+def test_tau_batched_matches_per_series_loop():
+    """The row-chunked FFT tau estimator is a pure performance rewrite:
+    it must reproduce the definitional per-series ``autocorr_function``
+    loop (walker-averaged ACF + Sokal windowing) to FFT round-off in
+    float64 and to ~1e-6 relative in float32 (device chains), and a
+    constant column must take the deterministic zero-ACF path (tau = -1
+    from the windowing arithmetic, clamped downstream by
+    ``chain_tau_steps``) instead of depending on mean-subtraction
+    rounding luck."""
+    def per_series_loop(chain, c=5.0):
+        chain = np.asarray(chain, dtype=float)
+        n_steps, n_walkers, ndim = chain.shape
+        taus = np.empty(ndim)
+        for d in range(ndim):
+            acf = np.zeros(n_steps)
+            for w in range(n_walkers):
+                acf += autocorr_function(chain[:, w, d])
+            acf /= n_walkers
+            tau_run = 2.0 * np.cumsum(acf) - 1.0
+            window = np.arange(n_steps) < c * tau_run
+            m = n_steps - 1 if window.all() else int(np.argmin(window))
+            taus[d] = tau_run[max(m, 1)]
+        return taus
+
+    rng = np.random.default_rng(7)
+    for shape, rho in [((320, 33, 5), 0.9), ((57, 7, 3), 0.5),
+                       ((100, 4, 2), 0.0)]:
+        chain = _ar1_chain(rho, shape[0], shape[1], shape[2], rng)
+        ref = per_series_loop(chain)
+        got64 = integrated_autocorr_time(chain)
+        assert np.allclose(got64, ref, rtol=1e-9, atol=1e-9)
+        got32 = integrated_autocorr_time(chain.astype(np.float32))
+        assert np.allclose(got32, ref, rtol=5e-4, atol=5e-4)
+        # constant column: deterministic dead-series path
+        frozen = chain.astype(np.float32)
+        frozen[:, :, -1] = 3.14
+        gf = integrated_autocorr_time(frozen)
+        assert gf[-1] == -1.0
+        assert np.allclose(gf[:-1], ref[:-1], rtol=5e-4, atol=5e-4)
