@@ -75,7 +75,10 @@ def _guard_per_device_walkers(w_loc: int, ndim: int,
         warnings.warn(
             f"only {w_loc} walkers per device: small independent "
             f"ensembles mix measurably worse per walker (see "
-            f"docs/PERFORMANCE.md); prefer >= 64 per device",
+            f"docs/PERFORMANCE.md); prefer >= 64 per device, or use "
+            f"run_hybrid_coupled_ensemble — cross-chip mixing at "
+            f"near-fused cost, validated at 32 walkers/chip "
+            f"(docs/PERFORMANCE.md A.11)",
             stacklevel=3)
 
 

@@ -77,8 +77,14 @@ def cornerplot(flat_chain: np.ndarray, param_names, ci: float = 95.0,
                     f"^{{+{up[i]-med[i]:.2f}}}$", fontsize=9)
                 ax.set_yticks([])
             else:
+                # rasterized: each panel's QuadMesh is bins^2 quads —
+                # vector output writes all n(n-1)/2 * bins^2 of them as
+                # individual PDF paths (~125k at 13 params x 40 bins,
+                # ~25 s of pure path serialisation on this host);
+                # embedding the panels as images is visually identical
+                # at PDF dpi and an order of magnitude faster to write
                 ax.hist2d(flat_chain[:, j], flat_chain[:, i], bins=bins,
-                          cmap="Greys")
+                          cmap="Greys", rasterized=True)
                 ax.axvline(med[j], color="r", ls="--", lw=0.8)
                 ax.axhline(med[i], color="r", ls="--", lw=0.8)
             if i < n - 1:
