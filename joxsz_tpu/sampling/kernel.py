@@ -137,11 +137,43 @@ class KernelSampler:
         """Multi-chip sampling: independent per-device ensembles through
         the fused kernel under shard_map (parallel/kernel_sharded.py).
         Returns None when the walker count doesn't split evenly over the
-        mesh or the configuration doesn't match the kernel."""
-        from ..parallel.kernel_sharded import run_sharded_kernel_ensembles
+        mesh or the configuration doesn't match the kernel.
 
-        if not self._sharded_layout_ok(p0.shape[0], n_steps, thin, mesh):
+        Below 64 walkers per device — where independent per-chip
+        ensembles mix measurably worse (docs/PERFORMANCE.md A.5) — the
+        run is routed to the hybrid coupled sampler instead
+        (``run_hybrid_coupled_ensemble``: windows of chip-local fused
+        steps + one globally coupled stretch step per window;
+        mixing validated at 32 walkers/chip, near-fused cost — A.11),
+        provided the run is long enough to amortise whole windows.
+        The hybrid records frames only from the local windows, so the
+        realised step count is n_windows * sync_every ≈ n_steps (within
+        half a window) and the chain carries (sync_every-1)/thin frames
+        per window — callers deriving step counts from frames * thin
+        underestimate by ~1/sync_every, in the conservative direction
+        for stopping rules."""
+        from ..parallel.kernel_sharded import (
+            run_hybrid_coupled_ensemble, run_sharded_kernel_ensembles)
+
+        W = p0.shape[0]
+        if not self._sharded_layout_ok(W, n_steps, thin, mesh):
             return None
+        w_loc = W // mesh.shape["walker"]
+        if w_loc < 64:
+            # sync_every must be ≡ 1 (mod thin); aim near the validated
+            # sync_every=100 operating point (A.11)
+            sync_every = thin * max(1, round(99 / thin)) + 1
+            n_windows = max(1, round(n_steps / sync_every))
+            if n_steps >= 4 * sync_every:
+                print(f"note: {w_loc} walkers/device < 64 — using the "
+                      f"hybrid coupled sampler (sync_every={sync_every}, "
+                      f"{n_windows} windows; docs/PERFORMANCE.md A.11)")
+                seed = int(jax.random.randint(key, (), 0,
+                                              np.iinfo(np.int32).max))
+                return run_hybrid_coupled_ensemble(
+                    self._sess, p0, n_windows, sync_every, seed, mesh,
+                    thin=thin, a=self._a, interpret=self._interpret,
+                    chain_space=self._chain_space, allow_small=True)
         return run_sharded_kernel_ensembles(
             self._sess, p0, n_steps, key, mesh, thin=thin, a=self._a,
             interpret=self._interpret, chain_space=self._chain_space,

@@ -565,3 +565,76 @@ def test_driver_cache_identity_guard():
     _cache_put(cache, 2, "k1", s2, "drv1b")
     _cache_put(cache, 2, "k4", s1, "drv4")
     assert "k3" not in cache and _cache_get(cache, "k1", s2) == ("drv1b",)
+
+
+@needs_devices
+def test_run_sharded_routes_small_ensembles_to_hybrid(ref_data,
+                                                      monkeypatch):
+    """KernelSampler.run_sharded routing: below 64 walkers/device the
+    run goes to the hybrid coupled sampler (mixing validated at 32
+    walkers/chip, docs/PERFORMANCE.md A.11) with sync_every ≡ 1 (mod
+    thin) near the validated sync_every=100 operating point; at >= 64 it
+    keeps the independent per-chip ensembles; short runs that cannot
+    amortise whole windows keep the independent path; below the 2*ndim+2
+    statistical floor the kernel path declines entirely (XLA mesh
+    fallback)."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.parallel import kernel_sharded
+    from joxsz_tpu.sampling.kernel import KernelSampler
+
+    cfg = JoXSZConfig.cl1226(str(ref_data))
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    D = len(sess.params.thawed)
+    assert D == 13          # floor 2*D+2 = 28 < 32 < 64 below
+
+    calls = {}
+
+    def fake_hybrid(s, p0, n_windows, sync_every, seed, mesh, **kw):
+        calls["hybrid"] = (p0.shape, n_windows, sync_every, seed, kw)
+        return "HYBRID"
+
+    def fake_indep(s, p0, n_steps, key, mesh, **kw):
+        calls["indep"] = (p0.shape, n_steps)
+        return "INDEP"
+
+    monkeypatch.setattr(kernel_sharded, "run_hybrid_coupled_ensemble",
+                        fake_hybrid)
+    monkeypatch.setattr(kernel_sharded, "run_sharded_kernel_ensembles",
+                        fake_indep)
+
+    sampler = KernelSampler(sess, core=None, dp=128)
+    mesh = make_mesh(4, axis_names=("walker",))
+    key = jax.random.PRNGKey(3)
+
+    # 32 walkers/device, long run -> hybrid; sync_every = 25*4+1
+    p0 = np.zeros((128, D), np.float32)
+    assert sampler.run_sharded(p0, 8000, key, mesh, thin=25) == "HYBRID"
+    shape, n_windows, sync_every, seed, kw = calls.pop("hybrid")
+    assert shape == (128, D)
+    assert sync_every == 101 and (sync_every - 1) % 25 == 0
+    assert n_windows == round(8000 / 101)
+    assert isinstance(seed, int) and kw["thin"] == 25
+    assert kw["allow_small"] is True
+
+    # thin=1 -> the validated sync_every=100 point exactly
+    assert sampler.run_sharded(p0, 2000, key, mesh, thin=1) == "HYBRID"
+    _, n_windows, sync_every, _, _ = calls.pop("hybrid")
+    assert sync_every == 100 and n_windows == 20
+
+    # >= 64 walkers/device -> independent per-chip ensembles
+    p_big = np.zeros((256, D), np.float32)
+    assert sampler.run_sharded(p_big, 8000, key, mesh, thin=25) == "INDEP"
+    calls.pop("indep")
+
+    # too short to amortise windows -> independent path, not hybrid
+    assert sampler.run_sharded(p0, 200, key, mesh, thin=25) == "INDEP"
+    calls.pop("indep")
+    assert "hybrid" not in calls
+
+    # below the statistical floor -> decline the kernel path entirely
+    p_tiny = np.zeros((64, D), np.float32)   # 16/device < 28
+    with pytest.warns(UserWarning, match="below 2\\*ndim\\+2"):
+        assert sampler.run_sharded(p_tiny, 8000, key, mesh,
+                                   thin=25) is None
