@@ -381,7 +381,7 @@ _COUPLED_CACHE_MAX = 8
 
 
 def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
-                        partner, mesh):
+                        partner, mesh, core=None):
     from ..ops.pallas_joint import make_coupled_half_kernel, make_joint_core
 
     n_dev = mesh.shape[axis]
@@ -397,8 +397,10 @@ def _get_coupled_driver(sess, W, n_steps, thin, a, interpret, axis,
         return None
     # the initial-lp core is cached WITH the driver: make_joint_core
     # pays the full _build_spec table-operator construction, noticeable
-    # per call on this 1-core host
-    core = make_joint_core(sess, interpret=interpret)
+    # per call on this 1-core host — callers holding a prebuilt core
+    # (KernelSampler) pass it in instead of paying a second build
+    if core is None:
+        core = make_joint_core(sess, interpret=interpret)
     if core is None:
         return None
     H_loc = half.H_loc
@@ -446,6 +448,7 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
                                  interpret: bool = False,
                                  axis: str = "walker",
                                  partner: str = "onehot",
+                                 core=None,
                                  ) -> EnsembleResult | None:
     """ONE W-total Goodman-Weare ensemble spanning the mesh's chips on
     the kernel path (the single-ensemble analogue of
@@ -485,7 +488,7 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
         raise ValueError(f"n_steps ({n_steps}) must be a multiple of "
                          f"thin ({thin})")
     built = _get_coupled_driver(sess, W, n_steps, thin, a, interpret,
-                                axis, partner, mesh)
+                                axis, partner, mesh, core=core)
     if built is None:
         return None
     fn, half, core = built
@@ -522,6 +525,7 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
                                 partner: str = "onehot",
                                 allow_small: bool = False,
                                 chain_space: str = "hbm",
+                                core=None,
                                 ) -> EnsembleResult | None:
     """Amortized multi-chip single-ensemble sampling (VERDICT r3 task 4).
 
@@ -587,7 +591,7 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
                                       a=a, interpret=interpret,
                                       chain_space=chain_space, axis=axis)
     built = _get_coupled_driver(sess, W, 1, 1, a, interpret, axis,
-                                partner, mesh)
+                                partner, mesh, core=core)
     if window is None or built is None:
         return None
     coupled_fn, half, core = built

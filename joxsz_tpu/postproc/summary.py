@@ -43,8 +43,10 @@ def integrated_autocorr_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
     the diagnostic, not the sampler (``run_fit`` auto_extend calls this
     once per round, plus the head-promotion tail passes).  Float32
     chains (everything fetched from the device) run the FFTs in
-    float32 — ~3-5x faster end-to-end here and a ~1e-8 relative tau
-    perturbation, nothing against the ~2x single-seed tau scatter
+    float32 — ~3-5x faster end-to-end here and a float32-eps-class
+    relative tau perturbation (measured ~1e-8 on AR(1) chains; the
+    parity test budgets 5e-4), nothing against the ~2x single-seed
+    tau scatter
     (docs/PERFORMANCE.md); float64 input keeps float64 FFTs and
     matches the old per-series loop to FFT round-off."""
     chain = np.asarray(chain)

@@ -103,7 +103,12 @@ def run_fit(
     sampling.kernel.KernelSampler) routes the prelim/burn/sampling phases
     — including tempered sampling — through the fused Pallas kernels; for
     mesh runs only the SAMPLING phase is sharded (per-chip independent
-    kernel ensembles), prelim/burn stay on the single-device XLA
+    kernel ensembles; below 64 walkers/device the sampler auto-routes
+    to the hybrid coupled law — see ``KernelSampler.run_sharded``; note
+    the hybrid realises n_windows*sync_every ≈ nsteps and saves frames
+    at effective spacing sync/(frames/window) slightly above ``nthin``,
+    so step counts derived from the saved chain carry a ~1/sync_every
+    conservative bias), prelim/burn stay on the single-device XLA
     sampler.
 
     ``move``: ensemble move for the XLA sampler phases — 'stretch'

@@ -94,6 +94,10 @@ class KernelSampler:
         self._interpret = interpret
         self._chain_space = chain_space
         self._kernels: dict = {}
+        # sticky sub-64 routing decisions per (W, n_dev, thin): one
+        # chunked run must not interleave hybrid and independent-
+        # ensemble chunks (see run_sharded)
+        self._hybrid_routes: dict = {}
 
     def _kernel(self, n_inner: int, W: int, thin=None):
         k = (n_inner, W, thin)
@@ -145,7 +149,11 @@ class KernelSampler:
         (``run_hybrid_coupled_ensemble``: windows of chip-local fused
         steps + one globally coupled stretch step per window;
         mixing validated at 32 walkers/chip, near-fused cost — A.11),
-        provided the run is long enough to amortise whole windows.
+        provided the first call of the run is long enough to amortise
+        whole windows — the decision is STICKY per (W, n_dev, thin), so
+        a chunked/checkpointed run cannot silently interleave hybrid
+        and independent-ensemble chunks in one chain (a short remainder
+        chunk follows whatever law the first chunk chose).
         The hybrid records frames only from the local windows, so the
         realised step count is n_windows * sync_every ≈ n_steps (within
         half a window) and the chain carries (sync_every-1)/thin frames
@@ -158,22 +166,36 @@ class KernelSampler:
         W = p0.shape[0]
         if not self._sharded_layout_ok(W, n_steps, thin, mesh):
             return None
-        w_loc = W // mesh.shape["walker"]
+        n_dev = mesh.shape["walker"]
+        w_loc = W // n_dev
         if w_loc < 64:
             # sync_every must be ≡ 1 (mod thin); aim near the validated
             # sync_every=100 operating point (A.11)
             sync_every = thin * max(1, round(99 / thin)) + 1
-            n_windows = max(1, round(n_steps / sync_every))
-            if n_steps >= 4 * sync_every:
-                print(f"note: {w_loc} walkers/device < 64 — using the "
-                      f"hybrid coupled sampler (sync_every={sync_every}, "
-                      f"{n_windows} windows; docs/PERFORMANCE.md A.11)")
+            rkey = (W, n_dev, thin)
+            use_hybrid = self._hybrid_routes.get(rkey)
+            if use_hybrid is None:
+                use_hybrid = n_steps >= 4 * sync_every
+                self._hybrid_routes[rkey] = use_hybrid
+                if use_hybrid:
+                    print(f"note: {w_loc} walkers/device < 64 — using "
+                          f"the hybrid coupled sampler "
+                          f"(sync_every={sync_every}; "
+                          f"docs/PERFORMANCE.md A.11)")
+            if use_hybrid:
+                # _sharded_layout_ok enforced the 2*ndim+2 floor above;
+                # assert it here because allow_small=True below disables
+                # the runner's own hard guard
+                assert w_loc >= min_walkers_per_device(
+                    len(self._sess.params.thawed))
+                n_windows = max(1, round(n_steps / sync_every))
                 seed = int(jax.random.randint(key, (), 0,
                                               np.iinfo(np.int32).max))
                 return run_hybrid_coupled_ensemble(
                     self._sess, p0, n_windows, sync_every, seed, mesh,
                     thin=thin, a=self._a, interpret=self._interpret,
-                    chain_space=self._chain_space, allow_small=True)
+                    chain_space=self._chain_space, allow_small=True,
+                    core=self._core)
         return run_sharded_kernel_ensembles(
             self._sess, p0, n_steps, key, mesh, thin=thin, a=self._a,
             interpret=self._interpret, chain_space=self._chain_space,

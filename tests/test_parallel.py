@@ -623,13 +623,24 @@ def test_run_sharded_routes_small_ensembles_to_hybrid(ref_data,
     _, n_windows, sync_every, _, _ = calls.pop("hybrid")
     assert sync_every == 100 and n_windows == 20
 
+    # the routing decision is STICKY: a short remainder chunk of the
+    # same (W, n_dev, thin) run stays on the hybrid law instead of
+    # silently switching samplers mid-chain
+    assert sampler.run_sharded(p0, 200, key, mesh, thin=25) == "HYBRID"
+    _, n_windows, sync_every, _, _ = calls.pop("hybrid")
+    assert sync_every == 101 and n_windows == 2   # round(200/101)
+
     # >= 64 walkers/device -> independent per-chip ensembles
     p_big = np.zeros((256, D), np.float32)
     assert sampler.run_sharded(p_big, 8000, key, mesh, thin=25) == "INDEP"
     calls.pop("indep")
 
-    # too short to amortise windows -> independent path, not hybrid
-    assert sampler.run_sharded(p0, 200, key, mesh, thin=25) == "INDEP"
+    # a FIRST call too short to amortise windows -> independent path,
+    # and that decision is sticky too (a later long chunk stays put)
+    fresh = KernelSampler(sess, core=None, dp=128)
+    assert fresh.run_sharded(p0, 200, key, mesh, thin=25) == "INDEP"
+    calls.pop("indep")
+    assert fresh.run_sharded(p0, 8000, key, mesh, thin=25) == "INDEP"
     calls.pop("indep")
     assert "hybrid" not in calls
 
