@@ -48,39 +48,48 @@ def integrated_autocorr_time(chain: np.ndarray, c: float = 5.0) -> np.ndarray:
     parity test budgets 5e-4), nothing against the ~2x single-seed
     tau scatter
     (docs/PERFORMANCE.md); float64 input keeps float64 FFTs and
-    matches the old per-series loop to FFT round-off."""
+    matches the old per-series loop to FFT round-off.
+
+    The whole pass is chunk-wise END-TO-END (mean-subtract, FFT,
+    normalise, walker-sum accumulate per ≤256-walker block): no
+    full-size float64 chain copy or full-(rows, n_steps) ACF buffer is
+    ever held, so peak extra host memory is O(chunk * n_steps) instead
+    of ~3x the chain — a long auto-extended production chain must not
+    hit memory pressure inside the stopping-rule diagnostic on this
+    small host."""
     chain = np.asarray(chain)
     n_steps, n_walkers, ndim = chain.shape
     m = 1 << (2 * n_steps - 1).bit_length()
     fdtype = (np.float32 if chain.dtype == np.float32 else np.float64)
 
-    # (ndim * n_walkers, n_steps) series matrix, parameter-major
-    x64 = np.ascontiguousarray(
-        chain.transpose(2, 1, 0)).reshape(-1, n_steps).astype(np.float64)
-    # exact constant-series detection BEFORE mean subtraction: the
-    # scalar guard (acf[0] == 0) is rounding-luck-dependent — a batched
-    # mean can leave an O(eps) residual on a constant series whose ACF
-    # then normalises to rho = 1 everywhere
-    const = (x64 == x64[:, :1]).all(axis=1, keepdims=True)
-    # mean subtraction stays float64: a float32 subtract of a large
-    # common offset would eat the fluctuation's mantissa
-    x = (x64 - x64.mean(axis=1, keepdims=True)).astype(fdtype)
-
-    # row-chunked FFT batches: one giant batch falls out of cache
-    # (measured ~1.5-4x slower than a few-hundred-row chunk on this
-    # host, both dtypes; 128-512 rows within noise of each other)
-    rows = x.shape[0]
+    # chunk of 256 series per FFT batch: one giant batch falls out of
+    # cache (measured ~1.5-4x slower than a few-hundred-row chunk on
+    # this host, both dtypes; 128-512 rows within noise of each other)
     chunk = 256
-    acf_rows = np.empty((rows, n_steps), dtype=fdtype)
-    for i in range(0, rows, chunk):
-        f = np.fft.rfft(x[i:i + chunk], m, axis=1)
-        acf_rows[i:i + chunk] = np.fft.irfft(
-            f.real**2 + f.imag**2, m, axis=1)[:, :n_steps]
-
-    a0 = acf_rows[:, :1]
-    dead = const | (a0 == 0)
-    acf = np.where(dead, 0.0, acf_rows / np.where(dead, 1.0, a0)).reshape(
-        ndim, n_walkers, n_steps).mean(axis=1, dtype=np.float64)
+    acf = np.zeros((ndim, n_steps), dtype=np.float64)
+    for d in range(ndim):
+        for w0 in range(0, n_walkers, chunk):
+            # (block, n_steps) walker-series block for one parameter —
+            # the only float64 materialisation is this block
+            blk = np.ascontiguousarray(
+                chain[:, w0:w0 + chunk, d].T).astype(np.float64)
+            # exact constant-series detection BEFORE mean subtraction:
+            # the scalar guard (acf[0] == 0) is rounding-luck-dependent
+            # — a batched mean can leave an O(eps) residual on a
+            # constant series whose ACF then normalises to rho = 1
+            const = (blk == blk[:, :1]).all(axis=1, keepdims=True)
+            # mean subtraction stays float64: a float32 subtract of a
+            # large common offset would eat the fluctuation's mantissa
+            x = (blk - blk.mean(axis=1, keepdims=True)).astype(fdtype)
+            f = np.fft.rfft(x, m, axis=1)
+            acf_blk = np.fft.irfft(
+                f.real**2 + f.imag**2, m, axis=1)[:, :n_steps]
+            a0 = acf_blk[:, :1]
+            dead = const | (a0 == 0)
+            acf[d] += np.where(
+                dead, 0.0, acf_blk / np.where(dead, 1.0, a0)).sum(
+                    axis=0, dtype=np.float64)
+    acf /= n_walkers
 
     taus = np.empty(ndim)
     steps = np.arange(n_steps)

@@ -165,6 +165,10 @@ def run_fit(
         # prelim/burn run the single-device XLA sampler
         sharded_step = step_sampler
         step_sampler = None
+        # this fit is a fresh logical run: reset the sampler's per-run
+        # sticky routing (hybrid vs independent ensembles) so a reused
+        # KernelSampler doesn't inherit a previous fit's decision
+        sharded_step.new_run()
         if verbose:
             print("note: mesh run — sampling phase uses per-chip "
                   "fused-kernel ensembles; prelim/burn stay on the "
@@ -271,7 +275,7 @@ def run_fit(
                 # through to the XLA mesh sampler when the walker count
                 # doesn't split evenly or the config mismatches the kernel
                 r = sharded_step.run_sharded(state_x, n, k, mesh,
-                                             thin=nthin)
+                                             thin=nthin, verbose=verbose)
                 if r is None and _mesh_note[0]:
                     _mesh_note[0] = False
                     print("note: sharded kernel sampler declined; falling "

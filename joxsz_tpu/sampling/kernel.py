@@ -96,8 +96,22 @@ class KernelSampler:
         self._kernels: dict = {}
         # sticky sub-64 routing decisions per (W, n_dev, thin): one
         # chunked run must not interleave hybrid and independent-
-        # ensemble chunks (see run_sharded)
+        # ensemble chunks (see run_sharded).  Scoped to a LOGICAL RUN:
+        # ``new_run()`` clears it, so a KernelSampler reused across
+        # independent fits (the recommended driver-cache reuse pattern)
+        # does not inherit the first fit's routing — a short first run
+        # would otherwise pin every later long run of the same shape to
+        # the statistically-worse independent-ensemble path.
         self._hybrid_routes: dict = {}
+
+    def new_run(self):
+        """Start a new logical run: reset per-run sticky decisions
+        (currently the sub-64 hybrid-routing choice).  Call between
+        independent fits when reusing one sampler for its compiled
+        kernel cache; ``run_fit`` does this automatically.  Chunked
+        continuation WITHIN a run must NOT call this — stickiness is
+        what keeps a remainder chunk on the same sampling law."""
+        self._hybrid_routes.clear()
 
     def _kernel(self, n_inner: int, W: int, thin=None):
         k = (n_inner, W, thin)
@@ -137,7 +151,8 @@ class KernelSampler:
             return False
         return True
 
-    def run_sharded(self, p0, n_steps: int, key, mesh, thin: int = 1):
+    def run_sharded(self, p0, n_steps: int, key, mesh, thin: int = 1,
+                    verbose: bool = False):
         """Multi-chip sampling: independent per-device ensembles through
         the fused kernel under shard_map (parallel/kernel_sharded.py).
         Returns None when the walker count doesn't split evenly over the
@@ -177,7 +192,9 @@ class KernelSampler:
             if use_hybrid is None:
                 use_hybrid = n_steps >= 4 * sync_every
                 self._hybrid_routes[rkey] = use_hybrid
-                if use_hybrid:
+                if use_hybrid and verbose:
+                    # gated like driver.py's _mesh_note: non-verbose /
+                    # JSON-consuming callers must not get stray stdout
                     print(f"note: {w_loc} walkers/device < 64 — using "
                           f"the hybrid coupled sampler "
                           f"(sync_every={sync_every}; "

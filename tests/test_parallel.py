@@ -569,7 +569,8 @@ def test_driver_cache_identity_guard():
 
 @needs_devices
 def test_run_sharded_routes_small_ensembles_to_hybrid(ref_data,
-                                                      monkeypatch):
+                                                      monkeypatch,
+                                                      capsys):
     """KernelSampler.run_sharded routing: below 64 walkers/device the
     run goes to the hybrid coupled sampler (mixing validated at 32
     walkers/chip, docs/PERFORMANCE.md A.11) with sync_every ≡ 1 (mod
@@ -643,6 +644,27 @@ def test_run_sharded_routes_small_ensembles_to_hybrid(ref_data,
     assert fresh.run_sharded(p0, 8000, key, mesh, thin=25) == "INDEP"
     calls.pop("indep")
     assert "hybrid" not in calls
+
+    # ... but the stickiness is scoped to one LOGICAL RUN: new_run()
+    # (called by run_fit at fit start) resets it, so a reused sampler
+    # does not inherit a previous fit's short-first-chunk decision
+    fresh.new_run()
+    assert fresh.run_sharded(p0, 8000, key, mesh, thin=25) == "HYBRID"
+    calls.pop("hybrid")
+
+    # the routing note is gated on verbose (default silent — JSON
+    # consumers of run_fit must not get stray stdout); verbose=True
+    # prints it once
+    capsys.readouterr()
+    fresh.new_run()
+    assert fresh.run_sharded(p0, 8000, key, mesh, thin=25) == "HYBRID"
+    calls.pop("hybrid")
+    assert "hybrid coupled sampler" not in capsys.readouterr().out
+    fresh.new_run()
+    assert fresh.run_sharded(p0, 8000, key, mesh, thin=25,
+                             verbose=True) == "HYBRID"
+    calls.pop("hybrid")
+    assert "hybrid coupled sampler" in capsys.readouterr().out
 
     # below the statistical floor -> decline the kernel path entirely
     p_tiny = np.zeros((64, D), np.float32)   # 16/device < 28
