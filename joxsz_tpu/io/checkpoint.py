@@ -30,7 +30,16 @@ def save_chain_hdf5(
     param_names: list[str],
     nburn: int,
     nthin: int,
+    frame_spacing: float | None = None,
 ):
+    """``frame_spacing``: raw sampler steps per saved frame — equals
+    ``nthin`` for every regular sampler, but the hybrid coupled sampler
+    records frames only inside its local windows so its effective
+    spacing is ``nthin * sync_every / (sync_every - 1)`` (see
+    ``parallel.kernel_sharded.run_hybrid_coupled_ensemble``).  Always
+    written so downstream saved-frame -> raw-step conversions
+    (tau, split-R-hat lengths) are self-correcting rather than
+    convention-dependent."""
     import h5py
 
     with h5py.File(path, "w") as f:
@@ -50,6 +59,8 @@ def save_chain_hdf5(
             [n.encode("utf-8") for n in param_names])
         g.attrs["burn"] = nburn
         g.attrs["thin"] = nthin
+        g.attrs["frame_spacing"] = float(
+            nthin if frame_spacing is None else frame_spacing)
 
 
 def load_chain_hdf5(path: str):
@@ -63,6 +74,10 @@ def load_chain_hdf5(path: str):
             "param_names": [n.decode() for n in g.attrs["param_names"]],
             "burn": int(g.attrs["burn"]),
             "thin": int(g.attrs["thin"]),
+            # older files predate the attr: their frames are exactly
+            # 'thin' steps apart
+            "frame_spacing": float(g.attrs.get("frame_spacing",
+                                               g.attrs["thin"])),
         }
 
 

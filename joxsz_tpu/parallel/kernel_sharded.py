@@ -653,6 +653,13 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
         acceptance_fraction=np.asarray(acc)
         / float(n_windows * sync_every),
         final_state=(x, lp, seed),
+        # frames come only from the (sync_every - 1)-step local windows,
+        # so n_windows * sync_every realised steps are spread over
+        # n_windows * (sync_every - 1)/thin frames: the effective
+        # spacing is slightly above thin.  Carried on the result (and
+        # into the HDF5 'frame_spacing' attr by run_fit) so consumers'
+        # saved-frame -> raw-step conversions self-correct.
+        frame_spacing=thin * sync_every / (sync_every - 1),
     )
 
 

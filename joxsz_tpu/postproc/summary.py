@@ -111,10 +111,18 @@ def effective_samples(chain: np.ndarray) -> np.ndarray:
     return n_steps * n_walkers / np.maximum(tau, 1.0)
 
 
-def chain_tau_steps(sub: np.ndarray, thin: int) -> np.ndarray:
+def chain_tau_steps(sub: np.ndarray, thin: float) -> np.ndarray:
     """Per-parameter integrated autocorrelation in RAW sampler steps from
     a thinned chain slice — the one place encoding the estimation rules
-    the TPU tau benches share (bench.py + scripts/tpu_*_bench.py):
+    the TPU tau benches share (bench.py + scripts/tpu_*_bench.py).
+
+    ``thin`` is the frame spacing in raw steps and may be FRACTIONAL:
+    the hybrid coupled sampler saves frames thin*sync_every/
+    (sync_every-1) steps apart (the HDF5 ``frame_spacing`` attr /
+    ``EnsembleResult.frame_spacing``) — pass that spacing, not the
+    nominal thin, or tau comes out ~1/sync_every low.
+
+    Rules:
 
     * the window must be long: chain length >> 5*tau_saved (the caller's
       responsibility — with tau ~ 850 raw steps use >= 20k steps, thin 25);
@@ -148,6 +156,32 @@ def collect_kernel_subchain(run_chunk, n_chunks: int, *, n_sub: int = 64,
                  else c[:, :n_sub, :])
     subs = [sl(run_chunk(i)) for i in range(n_chunks)]
     return np.concatenate([np.asarray(s) for s in subs])
+
+
+def chain_diagnostics_from_file(path: str) -> dict:
+    """Convergence diagnostics straight from a saved chain file,
+    consuming the ``frame_spacing`` attr ``save_chain_hdf5`` writes —
+    the self-correcting way to get raw-step tau/length numbers from a
+    chain regardless of which sampler produced it (a hybrid coupled
+    chain's frames are spaced ``thin * sync_every / (sync_every - 1)``
+    apart, not ``thin``; deriving steps as frames * thin there
+    underestimates by ~1/sync_every).
+
+    Returns ``{"tau_steps": (ndim,) raw-step tau, "rhat": max split-R̂,
+    "chain_steps": raw steps spanned, "frame_spacing": spacing}``."""
+    from ..io.checkpoint import load_chain_hdf5
+
+    d = load_chain_hdf5(path)
+    spacing = d["frame_spacing"]
+    chain = d["chain"]
+    tau_steps = chain_tau_steps(chain, spacing)
+    return {
+        "tau_steps": tau_steps,
+        "rhat": convergence_rhat(chain),
+        "chain_steps": chain.shape[0] * spacing,
+        "frame_spacing": spacing,
+        "param_names": d["param_names"],
+    }
 
 
 def split_rhat(chain: np.ndarray, rank_normalize: bool = True) -> np.ndarray:

@@ -419,9 +419,14 @@ def _postprocess_saved_chain(sess, cfg, chain_path, no_plots=False,
         param_names=names,
         timings={},
     )
+    spacing_note = ""
+    if saved["frame_spacing"] != saved["thin"]:
+        # hybrid coupled chains: frames are spaced slightly wider than
+        # the nominal thin (see io.checkpoint.save_chain_hdf5)
+        spacing_note = f", frame_spacing={saved['frame_spacing']:.4g}"
     print(f"postprocessing {chain_path}: {chain.shape[0]} saved steps x "
           f"{chain.shape[1]} walkers (burn={saved['burn']}, "
-          f"thin={saved['thin']})")
+          f"thin={saved['thin']}{spacing_note})")
     res.print_summary([sess.params[n].unit for n in names])
     _summary_and_figures(sess, cfg, res, no_plots=no_plots)
     if ppc:

@@ -299,6 +299,16 @@ def run_fit(
         return run_ensemble(log_like_batch, state_x, n, k, thin=nthin,
                             store_chain=True, move=move)
 
+    def _eff_spacing(r) -> float:
+        """Raw steps per saved frame for THIS result: nthin unless the
+        sampler declared otherwise (the hybrid coupled sampler's frames
+        are thin * sync_every/(sync_every-1) apart — see
+        EnsembleResult.frame_spacing).  Every saved-frame -> raw-step
+        conversion below (tau, length rules, burn promotion, HDF5 attrs)
+        must go through this so hybrid chains self-correct."""
+        fs = getattr(r, "frame_spacing", None)
+        return float(fs) if fs else float(nthin)
+
     temper_state = None     # full (K, W, D) replica state for auto-extend
     swap_acc_rounds = []    # [(per-boundary swap rates, n steps)] — ladder
     #                         health must survive into timings/summary for
@@ -380,7 +390,8 @@ def run_fit(
             done += n
             save_chain_hdf5(chain_path, np.concatenate(chunks),
                             np.concatenate(lps),
-                            acc_total / done, param_names, nburn, nthin)
+                            acc_total / done, param_names, nburn, nthin,
+                            frame_spacing=_eff_spacing(r))
             if state_path:
                 # save an unconsumed key (see the final-state note below)
                 key, ksave = jax.random.split(key)
@@ -394,6 +405,7 @@ def run_fit(
             chain=np.concatenate(chunks), log_prob=np.concatenate(lps),
             acceptance_fraction=acc_total / done,
             final_state=(state_x, r.final_state[1], key),
+            frame_spacing=r.frame_spacing,
         )
     else:
         res = _sample_call(p1, nsteps, sub)
@@ -415,7 +427,8 @@ def run_fit(
             convergence_rhat
 
         while ext_rounds < auto_extend:
-            chain_steps = res.chain.shape[0] * nthin
+            spacing = _eff_spacing(res)
+            chain_steps = res.chain.shape[0] * spacing
             td = time.time()
             if res.chain.shape[0] < 8:
                 # too few saved draws for any tau/Rhat estimate — by
@@ -427,7 +440,7 @@ def run_fit(
                 # the tau it produced
                 tau_saved = float(np.max(np.maximum(
                     integrated_autocorr_time(res.chain), 1.0)))
-                tau_w = tau_saved * nthin
+                tau_w = tau_saved * spacing
                 rh = convergence_rhat(res.chain, tau_saved=tau_saved)
             diag_s += time.time() - td
             conv_cache = (tau_w, rh)
@@ -451,20 +464,23 @@ def run_fit(
                     integrated_autocorr_time(tail), 1.0)))
                 rh2 = convergence_rhat(tail, tau_saved=tau2)
                 diag_s += time.time() - td
-                if ((res.chain.shape[0] - n0) * nthin >= 20 * tau2 * nthin
+                if ((res.chain.shape[0] - n0) * spacing
+                        >= 20 * tau2 * spacing
                         and rh2 <= target_rhat):
-                    extra_burn += n0 * nthin
+                    extra_burn += int(round(n0 * spacing))
                     res = EnsembleResult(
                         chain=res.chain[n0:],
                         log_prob=res.log_prob[n0:],
                         acceptance_fraction=res.acceptance_fraction,
-                        final_state=res.final_state)
-                    conv_cache = (tau2 * nthin, rh2)
+                        final_state=res.final_state,
+                        frame_spacing=res.frame_spacing)
+                    conv_cache = (tau2 * spacing, rh2)
                     if verbose:
                         print(f"auto-extend: head transient — promoted "
                               f"the first {extra_burn} sampled steps to "
                               f"burn-in; the trailing "
-                              f"{res.chain.shape[0] * nthin} certify "
+                              f"{res.chain.shape[0] * spacing:.0f} "
+                              f"certify "
                               f"(split-Rhat {rh2:.3f} <= {target_rhat})")
                     break
             if verbose:
@@ -502,6 +518,10 @@ def run_fit(
                     + r2.acceptance_fraction * nsteps)
                     / (steps_sampled + nsteps),
                 final_state=r2.final_state,
+                # the sticky routing (KernelSampler.run_sharded) keeps
+                # extension chunks on the first chunk's sampling law,
+                # so one spacing describes the whole chain
+                frame_spacing=r2.frame_spacing,
             )
             steps_sampled += nsteps
             ext_rounds += 1
@@ -509,7 +529,8 @@ def run_fit(
             if chain_path:   # flush progress like the chunked path
                 save_chain_hdf5(chain_path, res.chain, res.log_prob,
                                 res.acceptance_fraction, param_names,
-                                nburn, nthin)
+                                nburn, nthin,
+                                frame_spacing=_eff_spacing(res))
         timings["auto_extend_rounds"] = ext_rounds
         if extra_burn:
             timings["extra_burn_steps"] = extra_burn
@@ -550,14 +571,14 @@ def run_fit(
             else:
                 tau_saved = float(np.max(np.maximum(
                     integrated_autocorr_time(res.chain), 1.0)))
-                worst = tau_saved * nthin
+                worst = tau_saved * _eff_spacing(res)
                 rh = convergence_rhat(res.chain, tau_saved=tau_saved)
             # chain-based length (equals steps_sampled unless the
             # warmup-aware fallback promoted a head segment to burn-in)
-            chain_len_steps = res.chain.shape[0] * nthin
+            chain_len_steps = res.chain.shape[0] * _eff_spacing(res)
             if chain_len_steps < 20 * worst:
                 print(f"WARNING: longest autocorrelation time ~{worst:.0f} "
-                      f"steps; chain of {chain_len_steps} steps may be "
+                      f"steps; chain of {chain_len_steps:.0f} steps may be "
                       "under-converged (consider more steps or more "
                       "walkers)")
             if rh > 1.01:
@@ -593,7 +614,8 @@ def run_fit(
         # promoted from the chain head to burn-in are burn-in on disk too
         save_chain_hdf5(chain_path, res.chain, res.log_prob,
                         res.acceptance_fraction, param_names,
-                        nburn + extra_burn, nthin)
+                        nburn + extra_burn, nthin,
+                        frame_spacing=_eff_spacing(res))
     if state_path:
         x, lp, _ = res.final_state
         # persist an UNCONSUMED key (the final_state key was already used

@@ -36,6 +36,14 @@ class EnsembleResult:
     log_prob: np.ndarray     # (n_saved, n_walkers)
     acceptance_fraction: np.ndarray   # (n_walkers,)
     final_state: tuple       # (positions, log_probs, key) device arrays
+    # raw sampler steps per saved frame.  None means the frames are
+    # exactly ``thin`` steps apart (every regular sampler); the hybrid
+    # coupled sampler records frames only inside its local windows so
+    # its effective spacing is thin * sync_every / (sync_every - 1) —
+    # carrying it here (and into the HDF5 'frame_spacing' attr) makes
+    # downstream tau/R-hat step arithmetic self-correcting instead of
+    # footnote-dependent.
+    frame_spacing: float | None = None
 
 
 def _z_from_uniform(u, a: float, dtype):

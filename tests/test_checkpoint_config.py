@@ -31,6 +31,71 @@ def test_chain_hdf5_roundtrip(tmp_path):
         assert f["mcmc"].attrs["iteration"] == 50
 
 
+def test_chain_hdf5_frame_spacing(tmp_path):
+    """The frame_spacing attr (raw steps per saved frame) round-trips,
+    defaults to thin for regular chains, and legacy files without the
+    attr fall back to thin on load — the hybrid coupled sampler's
+    ~1/sync_every spacing bias is chain metadata, not a footnote
+    (VERDICT r4 #5)."""
+    import h5py
+    from joxsz_tpu.io.checkpoint import save_chain_hdf5, load_chain_hdf5
+
+    chain = np.zeros((4, 6, 2))
+    logp = np.zeros((4, 6))
+    acc = np.zeros(6)
+    path = str(tmp_path / "chain.hdf5")
+
+    # default: spacing == thin
+    save_chain_hdf5(path, chain, logp, acc, ["a", "b"], nburn=0, nthin=5)
+    assert load_chain_hdf5(path)["frame_spacing"] == 5.0
+
+    # hybrid spacing: thin * sync/(sync-1)
+    save_chain_hdf5(path, chain, logp, acc, ["a", "b"], nburn=0, nthin=5,
+                    frame_spacing=5 * 100 / 99)
+    out = load_chain_hdf5(path)
+    assert out["frame_spacing"] == pytest.approx(5 * 100 / 99)
+    assert out["thin"] == 5
+
+    # legacy file without the attr -> falls back to thin
+    with h5py.File(path, "a") as f:
+        del f["mcmc"].attrs["frame_spacing"]
+    assert load_chain_hdf5(path)["frame_spacing"] == 5.0
+
+
+def test_chain_diagnostics_from_file_consumes_spacing(tmp_path):
+    """postproc.summary.chain_diagnostics_from_file reads tau/length in
+    RAW steps through the frame_spacing attr: the same saved frames
+    with a wider declared spacing report proportionally larger
+    raw-step tau and chain span."""
+    from joxsz_tpu.io.checkpoint import save_chain_hdf5
+    from joxsz_tpu.postproc.summary import chain_diagnostics_from_file
+
+    rng = np.random.default_rng(3)
+    # AR(1)-ish walker chains so tau is finite and stable
+    n, w = 400, 8
+    x = np.empty((n, w, 2))
+    x[0] = rng.normal(size=(w, 2))
+    for i in range(1, n):
+        x[i] = 0.6 * x[i - 1] + rng.normal(size=(w, 2))
+    logp = np.zeros((n, w))
+    acc = np.zeros(w)
+
+    p1 = str(tmp_path / "plain.hdf5")
+    p2 = str(tmp_path / "hybrid.hdf5")
+    save_chain_hdf5(p1, x, logp, acc, ["a", "b"], nburn=0, nthin=5)
+    save_chain_hdf5(p2, x, logp, acc, ["a", "b"], nburn=0, nthin=5,
+                    frame_spacing=5 * 100 / 99)
+    d1 = chain_diagnostics_from_file(p1)
+    d2 = chain_diagnostics_from_file(p2)
+    ratio = 100 / 99
+    np.testing.assert_allclose(d2["tau_steps"], d1["tau_steps"] * ratio,
+                               rtol=1e-12)
+    assert d2["chain_steps"] == pytest.approx(d1["chain_steps"] * ratio)
+    assert d1["frame_spacing"] == 5.0
+    assert d2["rhat"] == pytest.approx(d1["rhat"])
+    assert d1["param_names"] == ["a", "b"]
+
+
 def test_state_roundtrip(tmp_path):
     from joxsz_tpu.io.checkpoint import save_state, load_state
 

@@ -489,6 +489,14 @@ def test_hybrid_coupled_mechanics(ref_data):
     n_keep = n_windows * (sync_every - 1) // thin
     assert res.chain.shape == (n_keep, W, D)
     assert res.log_prob.shape == (n_keep, W)
+    # the window-only recording rule is DECLARED on the result: frames
+    # span n_windows*sync_every steps in n_keep frames, i.e. spacing
+    # thin*sync_every/(sync_every-1) — downstream tau/length arithmetic
+    # reads this instead of assuming thin (VERDICT r4 #5)
+    assert res.frame_spacing == pytest.approx(
+        thin * sync_every / (sync_every - 1))
+    assert res.frame_spacing * n_keep == pytest.approx(
+        n_windows * sync_every)
     assert np.all(np.isfinite(res.log_prob))
     # recorded lp matches a re-evaluation of the recorded positions
     core = make_joint_core(sess, block_b=8, interpret=True)
