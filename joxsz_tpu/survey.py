@@ -12,11 +12,15 @@ Two modes:
 
 * ``--spec survey.json`` — real data: one ``JoXSZConfig`` JSON per
   cluster.  Heterogeneous surveys are handled automatically: clusters
-  are GROUPED by stack signature (map geometry + every data-leaf shape,
-  the rectangular-stacking requirement), one batched fit runs per group
-  (each on the kernel path where its group qualifies), and the groups
-  merge back into ONE survey result in spec order — the user never sees
-  a shape/StackMismatch error or has to split the spec by hand::
+  are GROUPED by model family (the thawed parameter vector) and stack
+  signature (map geometry + every data-leaf shape, the
+  rectangular-stacking requirement), one batched fit runs per group
+  (each on the fused kernel path where its group qualifies — the kernel
+  specialises per family, so a gnfw group and a knots group each get
+  their own kernel instead of tripping StackMismatch into the ~10x
+  slower XLA fallback), and same-family groups merge back into ONE
+  survey result in spec order — the user never sees a
+  shape/StackMismatch error or has to split the spec by hand::
 
       {"clusters": [{"name": "cl1", "config": "cl1.json"},
                     {"name": "cl2", "config": "cl2.json"}]}
@@ -349,28 +353,32 @@ def _build_spec_survey(spec_path, args):
         _set_dtype(cfg)
         names.append(e.get("name", cfg.name))
         sessions.append(build_session(cfg, sz_only=args.sz_only))
-    thawed = [list(s.params.thawed) for s in sessions]
-    if any(t != thawed[0] for t in thawed):
-        raise SystemExit(
-            "clusters thaw different parameter vectors (mixed model "
-            f"families): {dict(zip(names, thawed))} — a survey batch "
-            "must share one family")
     xr = [s.model.xray_data for s in sessions]
     if any(x is None for x in xr) and not all(x is None for x in xr):
         raise SystemExit("mixed SZ-only and joint clusters in one survey")
 
-    centers = np.stack([np.asarray(s.params.thawed_values())
-                        for s in sessions])
+    # per-cluster init centers as a LIST: mixed model families thaw
+    # different-length parameter vectors, so no (C, D) stack exists
+    # across families — each group stacks its own below
+    centers = [np.asarray(s.params.thawed_values()) for s in sessions]
     if args.mle:
         for c, s in enumerate(sessions):
             theta, ll = find_mle(s.log_like, centers[c],
                                  s.params.lo, s.params.hi)
             print(f"  {names[c]}: MLE log-like {ll:.2f}")
-            centers[c] = theta
+            centers[c] = np.asarray(theta)
 
+    # group by (model family, stack signature): clusters batch into one
+    # fit only when they thaw the SAME parameter vector AND stack
+    # rectangularly.  Mixed-family specs split into per-family groups
+    # that each reach their own fused kernel (the kernel specialises per
+    # family, ops/pallas_joint._detect_family) instead of tripping
+    # StackMismatch into the ~10x slower XLA fallback — or, worse,
+    # failing outright as the pre-r5 hard error did.
     by_sig: dict[tuple, list[int]] = {}
     for i, s in enumerate(sessions):
-        by_sig.setdefault(_stack_signature(s), []).append(i)
+        by_sig.setdefault(
+            (tuple(s.params.thawed), _stack_signature(s)), []).append(i)
     groups = []
     for idxs in by_sig.values():
         sz_stack = stack_sz_data([sessions[i].model.sz_data
@@ -378,7 +386,8 @@ def _build_spec_survey(spec_path, args):
         xray_stack = (None if xr[idxs[0]] is None
                       else stack_xray_data([xr[i] for i in idxs]))
         groups.append((sessions[idxs[0]], sz_stack, xray_stack,
-                       centers[idxs], [names[i] for i in idxs], None,
+                       np.stack([centers[i] for i in idxs]),
+                       [names[i] for i in idxs], None,
                        idxs))
     return groups
 
@@ -870,35 +879,84 @@ def main(argv=None):
             session=gsess, step_kernel=use_kernel,
             kernel_interpret=args.kernel_interpret, mesh=mesh))
         orders.append(idxs)
-    res = (results[0] if len(results) == 1
-           else _merge_survey_results(results, orders, C))
+    # merge per MODEL FAMILY: groups sharing one thawed parameter
+    # vector merge into a rectangular result exactly as before; a
+    # mixed-family spec yields one merged result PER family (chains of
+    # different families have different widths — there is no single
+    # rectangular chain to merge them into)
+    byfam: dict[tuple, list[int]] = {}
+    for gi, r in enumerate(results):
+        byfam.setdefault(tuple(r.param_names), []).append(gi)
+    fam_bundles = []      # (merged SurveyResult, spec indices in row order)
+    for gis in byfam.values():
+        rs = [results[gi] for gi in gis]
+        if len(rs) == 1:
+            fam_bundles.append((rs[0], list(orders[gis[0]])))
+        else:
+            specs = sorted(i for gi in gis for i in orders[gi])
+            pos = {s: k for k, s in enumerate(specs)}
+            fam_bundles.append((_merge_survey_results(
+                rs, [[pos[i] for i in orders[gi]] for gi in gis],
+                len(specs)), specs))
+    single_family = len(fam_bundles) == 1
+    res = fam_bundles[0][0]
+    # spec-order lookup: cluster c -> (its family's result, local row)
+    where = {}
+    for fres, specs in fam_bundles:
+        for local, spec_i in enumerate(specs):
+            where[spec_i] = (fres, local)
+
     evals = C * args.walkers * (args.burn + args.steps)
     wall = time.time() - t0
+    acc_by_cluster = np.array([where[c][0].acceptance[where[c][1]].mean()
+                               for c in range(C)])
     print(f"fit {C} x {args.walkers} walkers x "
           f"{args.burn}+{args.steps} steps in {wall:.1f}s "
           f"({evals/wall:.0f} evals/s); acceptance "
-          f"{np.round(res.acceptance.mean(axis=1), 3)}")
-    if res.timings is not None and "setup_s" in res.timings:
-        ts, tk = res.timings["setup_s"], res.timings["sampling_s"]
-        print(f"  kernel path: {ts:.1f}s one-time setup (builders/init) "
-              f"+ {tk:.1f}s burn+sampling (incl. first-call compile; "
-              f"{evals/tk:.0f} evals/s)")
+          f"{np.round(acc_by_cluster, 3)}")
+    for fres, _ in fam_bundles:
+        if fres.timings is not None and "setup_s" in fres.timings:
+            ts, tk = fres.timings["setup_s"], fres.timings["sampling_s"]
+            print(f"  kernel path: {ts:.1f}s one-time setup "
+                  f"(builders/init) + {tk:.1f}s burn+sampling (incl. "
+                  f"first-call compile; {evals/tk:.0f} evals/s)")
 
-    pnames = res.param_names
     for c in range(C):
+        fres, local = where[c]
         print(f"--- {names[c]} ---")
-        for i, n in enumerate(pnames):
-            line = (f"  {n:>18} | {res.medians[c, i]:9.3f} "
-                    f"+- {res.sds[c, i]:7.3f}")
-            if res.truths is not None:
-                pull = ((res.medians[c, i] - res.truths[c, i])
-                        / max(res.sds[c, i], 1e-12))
-                line += (f"   truth {res.truths[c, i]:9.3f} "
+        for i, n in enumerate(fres.param_names):
+            line = (f"  {n:>18} | {fres.medians[local, i]:9.3f} "
+                    f"+- {fres.sds[local, i]:7.3f}")
+            if fres.truths is not None:
+                pull = ((fres.medians[local, i] - fres.truths[local, i])
+                        / max(fres.sds[local, i], 1e-12))
+                line += (f"   truth {fres.truths[local, i]:9.3f} "
                          f"(pull {pull:+.1f} sd)")
             print(line)
 
-    summary = res.to_dict()
+    if single_family:
+        summary = res.to_dict()
+    else:
+        # per-cluster rows in spec order (each row's median/sd dicts
+        # carry its own family's parameter names); the flat
+        # 'param_names' key is meaningless across families, so it is
+        # None and 'families' lists each family's vector
+        clusters = [None] * C
+        fam_names = []
+        for fres, specs in fam_bundles:
+            d = fres.to_dict()
+            fam_names.append(d["param_names"])
+            for local, spec_i in enumerate(specs):
+                clusters[spec_i] = d["clusters"][local]
+        summary = {"param_names": None, "families": fam_names,
+                   "clusters": clusters}
     if args.population:
+        if not single_family:
+            raise SystemExit(
+                "--population needs one shared model family (the "
+                "hierarchy pools ONE parameter across clusters); this "
+                f"spec mixes {len(fam_bundles)} families — split the "
+                "spec by family")
         from .sampling.population import population_from_survey
 
         pspec = args.population.split(":")
@@ -925,12 +983,16 @@ def main(argv=None):
         from .io.checkpoint import save_chain_hdf5
 
         for c in range(C):
+            fres, local = where[c]
             p = out.parent / f"{names[c]}_chain.hdf5"
-            save_chain_hdf5(str(p), res.chain[:, c], res.log_prob[:, c],
-                            res.acceptance[c], pnames,
+            save_chain_hdf5(str(p), fres.chain[:, local],
+                            fres.log_prob[:, local],
+                            fres.acceptance[local], fres.param_names,
                             nburn=args.burn, nthin=args.thin)
             print(f"written {p}")
-    return res
+    # mixed-family runs have no single rectangular result: callers get
+    # the per-family bundles in that case
+    return res if single_family else fam_bundles
 
 
 if __name__ == "__main__":
