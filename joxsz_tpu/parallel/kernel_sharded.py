@@ -48,6 +48,16 @@ def _chunk_schedule(n_steps: int, thin: int, w_loc: int, dp: int,
     return chain_chunk_schedule(n_steps, thin, w_loc, dp, chain_space)
 
 
+def _multiprocess() -> bool:
+    """True inside a jax.distributed job spanning processes: inputs must
+    then be placed as GLOBAL arrays from host-replicated values, and
+    results fetched as this process's local blocks (chains never cross
+    hosts) — ``np.asarray`` of a non-addressable array would throw."""
+    import jax
+
+    return jax.process_count() > 1
+
+
 def _guard_per_device_walkers(w_loc: int, ndim: int,
                               allow_small: bool = False):
     """Independent per-chip ensembles are statistically equivalent to
@@ -496,16 +506,47 @@ def run_coupled_sharded_ensemble(sess, p0, n_steps: int, seed: int, mesh,
     DL, DA = Dp - 2, Dp - 1
     f32 = jnp.float32
 
-    x0 = jnp.asarray(p0, f32)
-    lp0 = core(x0)
-    # packed state (make_step_kernel layout): positions + lp/acc lanes
-    xp = jnp.zeros((W, Dp), f32).at[:, :D].set(x0)
-    xp = xp.at[:, DL].set(lp0.astype(f32))
-    xA0, xB0 = xp[:H], xp[H:]
-    consts = half._consts
+    mp = _multiprocess()
+    # host-side packed state (make_step_kernel layout: positions +
+    # lp/acc lanes) placed as GLOBAL walker-sharded arrays: numpy input
+    # is host-replicated, so device_put materialises only this
+    # process's shards — the same call is the single-process path too
+    x0h = np.asarray(p0, np.float32)
+    lp0 = np.asarray(core(jnp.asarray(x0h)), np.float32)
+    xph = np.zeros((W, Dp), np.float32)
+    xph[:, :D] = x0h
+    xph[:, DL] = lp0
+    xsh = NamedSharding(mesh, P(axis))
+    xA0 = jax.device_put(xph[:H], xsh)
+    xB0 = jax.device_put(xph[H:], xsh)
+    # device-resident consts are process-local arrays: a multi-process
+    # jit only accepts global jax.Arrays or host values, so hand the
+    # host copies over in that mode (they enter replicated per in_specs)
+    consts = (half._consts if not mp
+              else tuple(np.asarray(c) for c in half._consts))
     n_keep = n_steps // thin
-    seed_a = jnp.asarray([seed], jnp.int32)
+    seed_a = np.asarray([seed], np.int32)
     xA, xB, frames = fn(seed_a, xA0, xB0, *consts)
+    if mp:
+        from .multihost import local_block
+
+        # this process's contiguous half-row block, in global indices;
+        # frames are (n_keep, 2, H, Dp) sharded along the H axis
+        h0, h1, fr_loc = local_block(frames, axis=2)
+        _, _, xA_loc = local_block(xA)
+        _, _, xB_loc = local_block(xB)
+        fr_loc = np.concatenate([fr_loc[:, 0], fr_loc[:, 1]], axis=1)
+        widx = np.concatenate([np.arange(h0, h1),
+                               H + np.arange(h0, h1)])
+        xfin = np.concatenate([xA_loc, xB_loc])
+        return EnsembleResult(
+            chain=fr_loc[:, :, :D],
+            log_prob=fr_loc[:, :, DL],
+            acceptance_fraction=xfin[:, DA] / float(n_steps),
+            final_state=(jnp.asarray(xfin[:, :D]),
+                         jnp.asarray(xfin[:, DL]), seed),
+            walker_indices=widx,
+        )
     # frames: (n_keep, 2, H, Dp) packed -> (n_keep, W, Dp)
     frames = np.asarray(frames).reshape(n_keep, W, Dp)
     xfin = np.concatenate([np.asarray(xA), np.asarray(xB)])
@@ -625,28 +666,55 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
         epilogue = jax.jit(_epilogue)
         _cache_put(_WINDOW_CACHE, _WINDOW_CACHE_MAX, ekey, sess, epilogue)
 
-    x = jax.device_put(jnp.asarray(p0, f32), xsh)
+    mp = _multiprocess()
+    # numpy input: host-replicated, so this works identically in a
+    # multi-process job (only local shards materialise) and single-proc
+    x = jax.device_put(np.asarray(p0, np.float32), xsh)
     lp = core(x)
-    acc = jnp.zeros(W, f32)
+    acc = jax.device_put(np.zeros(W, np.float32), xsh)
+    econsts = (half._consts if not mp
+               else tuple(np.asarray(c) for c in half._consts))
     rng = np.random.default_rng(seed)
     frames, frame_lps = [], []
     for w in range(n_windows):
-        seeds = jnp.asarray(
+        seeds = np.asarray(
             rng.integers(0, np.iinfo(np.int32).max, size=n_dev),
-            jnp.int32)
+            np.int32)
         x, lp, acc, chain, chain_lp = window(x, lp, acc, seeds)
-        # start the device->host transfer now: the ~20 MB/s tunnel
-        # overlaps with the next window's compute instead of
-        # serialising all frames behind the sampling loop at return
-        chain.copy_to_host_async()
-        chain_lp.copy_to_host_async()
+        if not mp:
+            # start the device->host transfer now: the ~20 MB/s tunnel
+            # overlaps with the next window's compute instead of
+            # serialising all frames behind the sampling loop at return
+            # (multi-process arrays are only partially addressable —
+            # fetched as local blocks below instead)
+            chain.copy_to_host_async()
+            chain_lp.copy_to_host_async()
         frames.append(chain)
         frame_lps.append(chain_lp)
         # one globally coupled step (pack -> both halves -> unpack, one
         # dispatch)
-        seed_a = jnp.asarray(
-            [rng.integers(0, np.iinfo(np.int32).max)], jnp.int32)
-        x, lp, acc = epilogue(seed_a, x, lp, acc, *half._consts)
+        seed_a = np.asarray(
+            [rng.integers(0, np.iinfo(np.int32).max)], np.int32)
+        x, lp, acc = epilogue(seed_a, x, lp, acc, *econsts)
+    if mp:
+        from .multihost import local_block
+
+        ch_blocks, lp_blocks = [], []
+        w0 = w1 = None
+        for c, clp in zip(frames, frame_lps):
+            w0, w1, cb = local_block(c, axis=1)
+            _, _, lb = local_block(clp, axis=1)
+            ch_blocks.append(cb)
+            lp_blocks.append(lb)
+        _, _, acc_loc = local_block(acc)
+        return EnsembleResult(
+            chain=np.concatenate(ch_blocks),
+            log_prob=np.concatenate(lp_blocks),
+            acceptance_fraction=acc_loc / float(n_windows * sync_every),
+            final_state=(x, lp, seed),
+            frame_spacing=thin * sync_every / (sync_every - 1),
+            walker_indices=np.arange(w0, w1),
+        )
     return EnsembleResult(
         chain=np.concatenate([np.asarray(c) for c in frames]),
         log_prob=np.concatenate([np.asarray(c) for c in frame_lps]),

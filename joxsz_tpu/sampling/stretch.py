@@ -44,6 +44,11 @@ class EnsembleResult:
     # downstream tau/R-hat step arithmetic self-correcting instead of
     # footnote-dependent.
     frame_spacing: float | None = None
+    # multi-process (jax.distributed) runs of the coupled/hybrid sharded
+    # samplers return only THIS process's walker block (chains never
+    # cross hosts): the global walker index of each local chain column.
+    # None for single-process results (chain covers all walkers).
+    walker_indices: np.ndarray | None = None
 
 
 def _z_from_uniform(u, a: float, dtype):

@@ -57,6 +57,13 @@ def parse_args(argv=None):
     ap.add_argument("--kernel", action="store_true",
                     help="also run the fused cluster-grid kernel step "
                          "(interpret mode; implies --model joint)")
+    ap.add_argument("--ensemble", action="store_true",
+                    help="validate the SINGLE-ensemble multi-chip "
+                         "samplers instead of the survey path: "
+                         "run_coupled_sharded_ensemble + "
+                         "run_hybrid_coupled_ensemble over a 'walker' "
+                         "mesh (interpret-mode kernels), multi-process "
+                         "vs single-process bit-match (VERDICT r4 #4)")
     ap.add_argument("--data-dir", default="/root/reference/data")
     ap.add_argument("--out", default=str(REPO / "results" /
                                          "multihost_demo.json"))
@@ -169,6 +176,51 @@ def run_problem(args, mesh):
     return result
 
 
+def run_ensemble_problem(args, mesh):
+    """The coupled + hybrid single-ensemble samplers over a 'walker'
+    mesh (VERDICT r4 #4): every process executes the same host loop;
+    under multi-process each returns only its local walker block +
+    global walker indices (chains never cross hosts)."""
+    import numpy as np
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.parallel.kernel_sharded import (
+        run_coupled_sharded_ensemble, run_hybrid_coupled_ensemble)
+
+    cfg = JoXSZConfig.cl1226(args.data_dir)
+    cfg.dtype = "float32"
+    sess = build_session(cfg)
+    D = len(sess.params.thawed)
+    W = args.walkers
+    theta0 = np.asarray(sess.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(11)
+    p0 = (theta0[None] * (1 + 0.01 * rng.standard_normal((W, D)))
+          ).astype(np.float32)
+
+    def pack(res, W):
+        d = {
+            "chain": res.chain.tolist(),
+            "log_prob": res.log_prob.tolist(),
+            "acceptance": np.asarray(res.acceptance_fraction).tolist(),
+            "walker_indices": (
+                list(range(W)) if res.walker_indices is None
+                else np.asarray(res.walker_indices).tolist()),
+        }
+        return d
+
+    res_c = run_coupled_sharded_ensemble(
+        sess, p0, n_steps=args.steps, seed=7, mesh=mesh, thin=2,
+        interpret=True)
+    if res_c is None:
+        raise SystemExit("coupled kernel path unavailable")
+    res_h = run_hybrid_coupled_ensemble(
+        sess, p0, n_windows=2, sync_every=5, seed=9, mesh=mesh, thin=2,
+        interpret=True, allow_small=True)
+    if res_h is None:
+        raise SystemExit("hybrid kernel path unavailable")
+    return {"coupled": pack(res_c, W), "hybrid": pack(res_h, W)}
+
+
 # ---------------------------------------------------------------- roles
 
 
@@ -181,14 +233,20 @@ def main_worker(args):
     jax.config.update("jax_compilation_cache_dir",
                       str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-    mesh = global_mesh(axis_names=("cluster",))
-    result = run_problem(args, mesh)
+    axis = "walker" if args.ensemble else "cluster"
+    mesh = global_mesh(axis_names=(axis,))
+    result = (run_ensemble_problem(args, mesh) if args.ensemble
+              else run_problem(args, mesh))
     result["process_id"] = info.process_id
     result["local_devices"] = info.local_devices
     result["global_devices"] = info.global_devices
     pathlib.Path(args.result).write_text(json.dumps(result))
-    print(f"worker {info.process_id}: clusters "
-          f"{result['cluster_range']} done", flush=True)
+    span = (result["coupled"]["walker_indices"] if args.ensemble
+            else result["cluster_range"])
+    print(f"worker {info.process_id}: "
+          f"{'walkers' if args.ensemble else 'clusters'} "
+          f"{span if not args.ensemble else [span[0], span[-1]]} done",
+          flush=True)
 
 
 def main_single(args):
@@ -203,8 +261,10 @@ def main_single(args):
                       str(REPO / ".jax_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
     from joxsz_tpu.parallel import make_mesh
-    mesh = make_mesh(n, axis_names=("cluster",))
-    result = run_problem(args, mesh)
+    axis = "walker" if args.ensemble else "cluster"
+    mesh = make_mesh(n, axis_names=(axis,))
+    result = (run_ensemble_problem(args, mesh) if args.ensemble
+              else run_problem(args, mesh))
     pathlib.Path(args.result).write_text(json.dumps(result))
     print("single-process reference done", flush=True)
 
@@ -253,7 +313,8 @@ def main_launcher(args):
                 "--steps", str(args.steps),
                 "--model", args.model,
                 "--data-dir", args.data_dir] + \
-               (["--kernel"] if args.kernel else [])
+               (["--kernel"] if args.kernel else []) + \
+               (["--ensemble"] if args.ensemble else [])
         procs = []
         try:
             for i in range(args.nprocs):
@@ -317,13 +378,71 @@ def main_launcher(args):
         "devices_per_proc": args.devices_per_proc,
         "global_devices": workers[0]["global_devices"],
         "model": args.model,
+        "ensemble": args.ensemble,
         "clusters": args.clusters,
         "walkers": args.walkers,
         "steps": args.steps,
-        "per_worker_ranges": [w["cluster_range"] for w in workers],
+        "per_worker_ranges": [
+            (w["coupled"]["walker_indices"] if args.ensemble
+             else w["cluster_range"]) for w in workers],
         "checks": {},
     }
     ok = True
+    if args.ensemble:
+        # single-ensemble samplers: workers hold walker-column blocks;
+        # scatter each into the full (n_keep, W, D)/(n_keep, W) arrays
+        # and compare against the single-process run (which returns the
+        # full ensemble)
+        def scatter(parts, name):
+            ch = lp = acc = None
+            for p in parts:
+                src = p[name]
+                idx = np.asarray(src["walker_indices"], int)
+                c = np.asarray(src["chain"])
+                l_ = np.asarray(src["log_prob"])
+                a_ = np.asarray(src["acceptance"])
+                if ch is None:
+                    ch = np.full((c.shape[0], args.walkers, c.shape[2]),
+                                 np.nan)
+                    lp = np.full((c.shape[0], args.walkers), np.nan)
+                    acc = np.full(args.walkers, np.nan)
+                ch[:, idx] = c
+                lp[:, idx] = l_
+                acc[idx] = a_
+            if np.isnan(lp).any() or np.isnan(acc).any():
+                raise SystemExit(f"{name}: walker coverage incomplete")
+            return ch, lp, acc
+
+        for name in ("coupled", "hybrid"):
+            mh_ch, mh_lp, mh_acc = scatter(workers, name)
+            sp_ch, sp_lp, sp_acc = scatter([single], name)
+            dch = float(np.abs(mh_ch - sp_ch).max())
+            dlp = float(np.abs(mh_lp - sp_lp).max())
+            dacc = float(np.abs(mh_acc - sp_acc).max())
+            passed = bool(np.allclose(mh_ch, sp_ch, rtol=1e-5, atol=1e-6)
+                          and np.allclose(mh_lp, sp_lp, rtol=1e-5,
+                                          atol=1e-5)
+                          and dacc == 0.0)
+            report["checks"][name] = {
+                "max_abs_dchain": dch,
+                "max_abs_dlogprob": dlp,
+                "max_abs_dacceptance": dacc,
+                "bit_exact": bool(dch == 0.0 and dlp == 0.0
+                                  and dacc == 0.0),
+                "pass": passed,
+            }
+            ok = ok and passed
+        report["pass"] = ok
+        out = pathlib.Path(args.out)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        out.write_text(json.dumps(report, indent=1))
+        print(json.dumps(report, indent=1))
+        if not ok:
+            raise SystemExit(
+                "multi-process ensemble run does not match "
+                "single-process")
+        return
+
     paths = [("xla", None)] + ([("kernel", "kernel")] if args.kernel else [])
     for name, key in paths:
         mh_lp, mh_pos = _assemble(workers, key, args.clusters)

@@ -233,3 +233,28 @@ def test_multiprocess_demo_toy(tmp_path):
     assert report["global_devices"] == 4
     assert sorted(tuple(r) for r in report["per_worker_ranges"]) == \
         [(0, 2), (2, 4)]
+
+
+@pytest.mark.slow
+def test_multiprocess_demo_ensemble(tmp_path):
+    """Real 2-process jax.distributed job (gloo) reproduces the
+    single-process mesh run bit-exactly for the SINGLE-ensemble
+    multi-chip samplers — run_coupled_sharded_ensemble +
+    run_hybrid_coupled_ensemble over a 'walker' mesh, interpret-mode
+    kernels (VERDICT r4 #4; the sharded-survey path was already
+    validated by test_multiprocess_demo_toy)."""
+    out = tmp_path / "mh_ens.json"
+    rc = subprocess.run(
+        [sys.executable, str(REPO / "scripts/multihost_survey_demo.py"),
+         "--nprocs", "2", "--devices-per-proc", "2", "--ensemble",
+         "--walkers", "32", "--steps", "6", "--out", str(out)],
+        cwd=str(REPO), stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        timeout=900)
+    assert rc.returncode == 0, rc.stdout.decode()[-3000:]
+    report = json.loads(out.read_text())
+    assert report["pass"]
+    for name in ("coupled", "hybrid"):
+        assert report["checks"][name]["bit_exact"], report["checks"]
+    # each worker owns half the walkers (its A-half + B-half blocks)
+    spans = sorted(len(r) for r in report["per_worker_ranges"])
+    assert spans == [16, 16]
