@@ -2068,7 +2068,10 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                               vmem_limit_mb: int = 96,
                               thin: int | None = None,
                               chain_space: str = "hbm",
-                              ll_tile: int = 256):
+                              ll_tile: int = 256,
+                              packed_state: bool = True,
+                              half_tile: int | None = None,
+                              partner: str = "auto"):
     """Fused parallel-tempered sampler: K replica ensembles at inverse
     temperatures ``betas`` advance ``n_inner`` full stretch-move steps +
     swap sweeps inside ONE pallas_call (reference semantics:
@@ -2092,10 +2095,34 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
     :func:`make_step_kernel`: ``"hbm"`` (default) DMAs each frame out of
     VMEM, lifting the ~26 MB VMEM-output cap; ``"vmem"`` is the original
     path.
+
+    ``packed_state``/``half_tile``/``partner`` port the plain kernel's
+    large-row-count machinery (VERDICT r4 #2 — the K*W=32768-row Mosaic
+    VMEM wall in ``results/tpu_temper_bigw.json`` was the SAME wall
+    class ``make_step_kernel`` removed): packing stores lp/acc in the
+    two free padding lanes of the (2KH, Dp) row buffer (the six
+    lane-padded (2KH, 1) buffers alone cost 6 x 16.8 MB at KH=16384)
+    and aliases it in place; ``half_tile`` runs each half-substep
+    row-tiled so every proposal intermediate is bounded at
+    (half_tile, Dp) — tiles never straddle a rung (half_tile must
+    divide H) and the interpret-mode stream is bit-identical to the
+    untiled kernel (global row-offset PRNG); ``partner`` follows
+    :func:`make_step_kernel` ("auto" = one-hot gather up to
+    ``_PARTNER_AUTO_THRESHOLD`` walkers per rung, the O(H) per-rung
+    rotation above it, where the per-rung (H, H) gather GEMMs would
+    dominate the step).  Auto half_tile=4096 when KH > 8192 and H
+    divides; swaps stay full-width (O(H Dp) row traffic, never the
+    wall).
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
                          f"got {chain_space!r}")
+    if partner == "auto":
+        partner = ("roll" if n_walkers > _PARTNER_AUTO_THRESHOLD
+                   else "onehot")
+    if partner not in ("onehot", "roll"):
+        raise ValueError(f"partner must be 'onehot' or 'roll', "
+                         f"got {partner!r}")
     chain_hbm = chain_space == "hbm"
     spec = _build_spec(sess)
     if spec is None:
@@ -2119,68 +2146,191 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
     f32 = jnp.float32
     sa = float(np.sqrt(a))
     inv24 = float(2.0 ** -24)
+    packed = packed_state and D + 2 <= Dp
+    DL, DA = Dp - 2, Dp - 1
+    if half_tile is None and KH > 8192 and H % 4096 == 0:
+        half_tile = 4096
+    if half_tile is not None:
+        if H % half_tile or half_tile % ll_tile:
+            raise ValueError(
+                f"half_tile ({half_tile}) must divide the per-rung half "
+                f"H ({H}) and be a multiple of ll_tile ({ll_tile})")
+        if half_tile >= KH:
+            half_tile = None
     beta_rows = jnp.asarray(np.repeat(betas, H)[:, None], f32)   # (KH, 1)
     const_vals = list(const_vals) + [beta_rows]
     const_shapes = list(const_shapes) + [(KH, 1)]
     # fori_loop likelihood tiling — same compile-time fix as
-    # make_step_kernel (unrolled tile copies explode Mosaic compiles)
-    use_ll_loop = KH > ll_tile and KH % ll_tile == 0
+    # make_step_kernel (unrolled tile copies explode Mosaic compiles).
+    # Under half_tile the ll loop runs inside each walker tile instead.
+    use_ll_loop = (half_tile is None and KH > ll_tile
+                   and KH % ll_tile == 0)
 
-    def kernel(seed_ref, x0_ref, lp0_ref, acc0_ref, *refs):
+    def _rung_shift(seed_ref, i, which, r):
+        """Hashed state-independent rotation per (substep, rung) for the
+        partner='roll' gather (same device as the swap pairing)."""
+        return jnp.remainder(
+            (jnp.int32(seed_ref[0]) * jnp.int32(1103515245)
+             + i * jnp.int32(40503) + jnp.int32(which) * jnp.int32(10007)
+             + jnp.int32(r) * jnp.int32(7919)) >> 7, jnp.int32(H))
+
+    def kernel(seed_ref, *refs):
         refs = list(refs)
-        sem = ysc_ref = lsc_ref = None
-        if use_ll_loop:
+        sem = ysc_ref = lsc_ref = xroll_ref = None
+        clp_ref = lpo_ref = acco_ref = None
+        if half_tile is not None:
+            if partner == "roll":
+                xroll_ref = refs.pop()
+            lsc_ref = refs.pop()
+            ysc_ref = refs.pop()
+        elif use_ll_loop:
             lsc_ref = refs.pop()
             ysc_ref = refs.pop()
         if n_keep and chain_hbm:
             sem = refs.pop()
         if n_keep:
-            clp_ref = refs.pop()
+            if not packed:
+                clp_ref = refs.pop()
             cx_ref = refs.pop()
         sacc_ref = refs.pop()
-        acco_ref = refs.pop()
-        lpo_ref = refs.pop()
-        xo_ref = refs.pop()
+        if packed:
+            # aliased packed state: xo_ref and the input slot are the
+            # SAME buffer (no second (2KH, Dp) allocation, no copy)
+            xo_ref = refs.pop()
+            refs.pop(0)
+        else:
+            acco_ref = refs.pop()
+            lpo_ref = refs.pop()
+            xo_ref = refs.pop()
+            x0_ref = refs.pop(0)
+            lp0_ref = refs.pop(0)
+            acc0_ref = refs.pop(0)
         const_refs = refs
         if not interpret:
             pltpu.prng_seed(seed_ref[0])
-        xo_ref[:] = x0_ref[:]
-        lpo_ref[:] = lp0_ref[:]
-        acco_ref[:] = acc0_ref[:]
+        if not packed:
+            xo_ref[:] = x0_ref[:]
+            lpo_ref[:] = lp0_ref[:]
+            acco_ref[:] = acc0_ref[:]
         sacc_ref[:] = jnp.zeros((K - 1, 1), f32)
 
-        row_h = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
-        beta = const_refs[-1][:]                     # (KH, 1)
+        TR = half_tile if half_tile is not None else KH  # rows per update
+        if partner != "roll":
+            row_h = jax.lax.broadcasted_iota(jnp.int32, (TR, H), 1)
+        if packed:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (TR, Dp), 1)
+            is_pack = (lane == DL) | (lane == DA)
+            lane_h = jax.lax.broadcasted_iota(jnp.int32, (H, Dp), 1)
+        beta_ref = const_refs[-1]                     # (KH, 1)
         core_refs = const_refs[:-1]
 
-        random_bits = _make_random_bits(interpret, seed_ref, (KH, 4))
+        random_bits = _make_random_bits(interpret, seed_ref, (TR, 4))
 
         const_vals_in = [r[:] for r in core_refs]
 
         def half(i, base, fixed_base, which):
             xm = xo_ref[base:base + KH, :]
-            lm = lpo_ref[base:base + KH, :]
+            lm = (xm[:, DL:DL + 1] if packed
+                  else lpo_ref[base:base + KH, :])
             xf = xo_ref[fixed_base:fixed_base + KH, :]
             u = _uniforms(random_bits(i, which), inv24)
             z = _stretch_z(u[:, 0:1], sa)
-            pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
-            # partner selection is block-diagonal per rung: K per-rung
-            # (H, H) one-hot GEMMs instead of one (KH, KH) GEMM (K-fold
-            # less MXU work on the proposal)
-            xp = jnp.concatenate([
-                jnp.dot((row_h == pidx[r * H:(r + 1) * H]).astype(f32),
-                        xf[r * H:(r + 1) * H],
-                        preferred_element_type=f32)
-                for r in range(K)
-            ], axis=0)
+            if partner == "roll":
+                # per-rung hashed rotation: O(H Dp) vs the quadratic
+                # per-rung one-hot GEMMs
+                xp = jnp.concatenate([
+                    roll_rows(xf[r * H:(r + 1) * H, :],
+                              _rung_shift(seed_ref, i, which, r))
+                    for r in range(K)
+                ], axis=0)
+            else:
+                pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32),
+                                   H - 1)
+                # partner selection is block-diagonal per rung: K
+                # per-rung (H, H) one-hot GEMMs instead of one
+                # (KH, KH) GEMM (K-fold less MXU work on the proposal)
+                row_hh = jax.lax.broadcasted_iota(jnp.int32, (H, H), 1)
+                xp = jnp.concatenate([
+                    jnp.dot((row_hh
+                             == pidx[r * H:(r + 1) * H]).astype(f32),
+                            xf[r * H:(r + 1) * H],
+                            preferred_element_type=f32)
+                    for r in range(K)
+                ], axis=0)
             y = xp + z * (xm - xp)
+            if packed:
+                # zero the packed lanes so ll_body sees exactly the
+                # zero-padded block the unpacked layout feeds it
+                y = jnp.where(is_pack, 0.0, y)
             lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, KH, ll_tile,
                                   use_ll_loop, ysc_ref, lsc_ref)
-            accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D, beta=beta)
-            xo_ref[base:base + KH, :] = jnp.where(accept, y, xm)
-            lpo_ref[base:base + KH, :] = jnp.where(accept, lp_y, lm)
-            acco_ref[base:base + KH, :] = (acco_ref[base:base + KH, :]
-                                           + accept.astype(f32))
+            accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D,
+                                beta=beta_ref[:])
+            if packed:
+                y = jnp.where(lane == DL, lp_y, y)
+                y = jnp.where(lane == DA, xm[:, DA:DA + 1] + 1.0, y)
+                xo_ref[base:base + KH, :] = jnp.where(accept, y, xm)
+            else:
+                xo_ref[base:base + KH, :] = jnp.where(accept, y, xm)
+                lpo_ref[base:base + KH, :] = jnp.where(accept, lp_y, lm)
+                acco_ref[base:base + KH, :] = (
+                    acco_ref[base:base + KH, :] + accept.astype(f32))
+
+        def half_tiled(i, base, fixed_base, which):
+            # walker-tiled half-substep (see make_step_kernel): moving
+            # rows are independent, so tiling preserves the move law
+            # exactly; every proposal intermediate is bounded at
+            # (TR, Dp).  half_tile divides H, so a tile never straddles
+            # a rung boundary — its rung resolves from the row offset.
+            if partner == "roll":
+                # stage the per-rung rolled complementary half once per
+                # substep; tiles then slice it
+                for r in range(K):
+                    xroll_ref[r * H:(r + 1) * H, :] = roll_rows(
+                        xo_ref[fixed_base + r * H:
+                               fixed_base + (r + 1) * H, :],
+                        _rung_shift(seed_ref, i, which, r))
+
+            def tbody(t, c):
+                r0 = t * TR
+                rung0 = (r0 // H) * H
+                xm = xo_ref[pl.ds(base + r0, TR), :]
+                lm = (xm[:, DL:DL + 1] if packed
+                      else lpo_ref[pl.ds(base + r0, TR), :])
+                u = _uniforms(random_bits(i, which, (TR, 4), row0=r0),
+                              inv24)
+                z = _stretch_z(u[:, 0:1], sa)
+                if partner == "roll":
+                    xp = xroll_ref[pl.ds(r0, TR), :]
+                else:
+                    pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32),
+                                       H - 1)
+                    onehot = (row_h == pidx).astype(f32)    # (TR, H)
+                    xp = jnp.dot(
+                        onehot,
+                        xo_ref[pl.ds(fixed_base + rung0, H), :],
+                        preferred_element_type=f32)
+                y = xp + z * (xm - xp)
+                if packed:
+                    y = jnp.where(is_pack, 0.0, y)
+                lp_y = _eval_ll_tiled(y, ll_body, const_vals_in, TR,
+                                      ll_tile, TR > ll_tile, ysc_ref,
+                                      lsc_ref)
+                accept = _gw_accept(u[:, 2:3], z, lp_y, lm, D,
+                                    beta=beta_ref[pl.ds(r0, TR), :])
+                if packed:
+                    y = jnp.where(lane == DL, lp_y, y)
+                    y = jnp.where(lane == DA, xm[:, DA:DA + 1] + 1.0, y)
+                xo_ref[pl.ds(base + r0, TR), :] = jnp.where(accept, y, xm)
+                if not packed:
+                    lpo_ref[pl.ds(base + r0, TR), :] = jnp.where(
+                        accept, lp_y, lm)
+                    acco_ref[pl.ds(base + r0, TR), :] = (
+                        acco_ref[pl.ds(base + r0, TR), :]
+                        + accept.astype(f32))
+                return c
+
+            jax.lax.fori_loop(0, KH // TR, tbody, 0)
 
         def roll_rows(x, shift):
             if interpret:
@@ -2198,30 +2348,48 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                     c0 = hb + kk * H
                     h0 = hb + (kk + 1) * H
                     x_c = xo_ref[c0:c0 + H, :]
-                    lp_c = lpo_ref[c0:c0 + H, :]
                     x_h = roll_rows(xo_ref[h0:h0 + H, :], shift)
-                    lp_h = roll_rows(lpo_ref[h0:h0 + H, :], shift)
+                    if packed:
+                        lp_c = x_c[:, DL:DL + 1]
+                        lp_h = x_h[:, DL:DL + 1]
+                    else:
+                        lp_c = lpo_ref[c0:c0 + H, :]
+                        lp_h = roll_rows(lpo_ref[h0:h0 + H, :], shift)
                     # one uniform per (walker, boundary, half): draw a
                     # fresh (H, 1) block
                     uu = _uniforms(
                         random_bits(i, 16 + 2 * kk + ucol, shape=(H, 1)),
                         inv24)
                     accept = jnp.log(uu) < db * (lp_h - lp_c)   # (H, 1)
-                    new_c = jnp.where(accept, x_h, x_c)
-                    new_clp = jnp.where(accept, lp_h, lp_c)
-                    new_h = jnp.where(accept, x_c, x_h)
-                    new_hlp = jnp.where(accept, lp_c, lp_h)
-                    xo_ref[c0:c0 + H, :] = new_c
-                    lpo_ref[c0:c0 + H, :] = new_clp
-                    xo_ref[h0:h0 + H, :] = roll_rows(new_h, -shift)
-                    lpo_ref[h0:h0 + H, :] = roll_rows(new_hlp, -shift)
+                    if packed:
+                        # whole rows swap (lp rides in its lane), but
+                        # the accept COUNT belongs to the walker slot,
+                        # not the trajectory — restore each slot's own
+                        # acc lane after the row exchange
+                        keep_acc = lane_h == DA
+                        new_c = jnp.where(accept, x_h, x_c)
+                        new_c = jnp.where(keep_acc, x_c, new_c)
+                        new_h = jnp.where(accept, x_c, x_h)
+                        new_h = jnp.where(keep_acc, x_h, new_h)
+                        xo_ref[c0:c0 + H, :] = new_c
+                        xo_ref[h0:h0 + H, :] = roll_rows(new_h, -shift)
+                    else:
+                        new_c = jnp.where(accept, x_h, x_c)
+                        new_clp = jnp.where(accept, lp_h, lp_c)
+                        new_h = jnp.where(accept, x_c, x_h)
+                        new_hlp = jnp.where(accept, lp_c, lp_h)
+                        xo_ref[c0:c0 + H, :] = new_c
+                        lpo_ref[c0:c0 + H, :] = new_clp
+                        xo_ref[h0:h0 + H, :] = roll_rows(new_h, -shift)
+                        lpo_ref[h0:h0 + H, :] = roll_rows(new_hlp, -shift)
                     sacc_ref[kk:kk + 1, :] = (
                         sacc_ref[kk:kk + 1, :]
                         + jnp.sum(accept.astype(f32)).reshape(1, 1))
 
         def body(i, carry):
-            half(i, 0, KH, 0)
-            half(i, KH, 0, 1)
+            hfn = half_tiled if half_tile is not None else half
+            hfn(i, 0, KH, 0)
+            hfn(i, KH, 0, 1)
             swaps(i)
             if n_keep:
                 @pl.when((i + 1) % thin == 0)
@@ -2231,8 +2399,9 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                         # cold rung = rows 0:H (half 0) and KH:KH+H
                         # (half 1); DMA each x half out, waiting
                         # immediately so the live refs stay mutable.
-                        # The lp chain stays a VMEM output but 2D
-                        # (n_keep, W) — see make_step_kernel.
+                        # Packed: the lp lane rides inside the frame.
+                        # Unpacked: the lp chain stays a VMEM output
+                        # but 2D (n_keep, W) — see make_step_kernel.
                         for src, dst in (
                                 (xo_ref.at[pl.ds(0, H)],
                                  cx_ref.at[k, pl.ds(0, H)]),
@@ -2241,20 +2410,24 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
                             cp = pltpu.make_async_copy(src, dst, sem)
                             cp.start()
                             cp.wait()
-                        # store the cold-rung lp as ONE full-width row:
-                        # a half-row store at a dynamic sublane index is
-                        # an unaligned dynamic store Mosaic rejects
-                        clp_ref[pl.ds(k, 1), :] = jnp.concatenate(
-                            [lpo_ref[0:H, :].reshape(1, H),
-                             lpo_ref[KH:KH + H, :].reshape(1, H)],
-                            axis=1)
+                        if not packed:
+                            # store the cold-rung lp as ONE full-width
+                            # row: a half-row store at a dynamic sublane
+                            # index is an unaligned dynamic store Mosaic
+                            # rejects
+                            clp_ref[pl.ds(k, 1), :] = jnp.concatenate(
+                                [lpo_ref[0:H, :].reshape(1, H),
+                                 lpo_ref[KH:KH + H, :].reshape(1, H)],
+                                axis=1)
                     else:
                         cx_ref[pl.ds(k, 1), 0:H] = xo_ref[0:H, :][None]
                         cx_ref[pl.ds(k, 1), H:W] = (
                             xo_ref[KH:KH + H, :][None])
-                        clp_ref[pl.ds(k, 1), 0:H] = lpo_ref[0:H, :][None]
-                        clp_ref[pl.ds(k, 1), H:W] = (
-                            lpo_ref[KH:KH + H, :][None])
+                        if not packed:
+                            clp_ref[pl.ds(k, 1), 0:H] = (
+                                lpo_ref[0:H, :][None])
+                            clp_ref[pl.ds(k, 1), H:W] = (
+                                lpo_ref[KH:KH + H, :][None])
             return carry
 
         jax.lax.fori_loop(0, n_inner, body, 0)
@@ -2269,37 +2442,58 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
 
         xp = jnp.zeros((2 * KH, Dp), f32).at[:, :D].set(
             to_rows(x, D))
-        lpp = to_rows(lp[..., None], 1)
-        accp = to_rows(acc[..., None], 1)
+        if packed:
+            xp = (xp.at[:, DL].set(to_rows(lp[..., None], 1)[:, 0])
+                    .at[:, DA].set(to_rows(acc[..., None], 1)[:, 0]))
+            state_in = (xp,)
+        else:
+            state_in = (xp, to_rows(lp[..., None], 1),
+                        to_rows(acc[..., None], 1))
         seed_arr = jnp.asarray([seed], dtype=jnp.int32).reshape(1)
 
         in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ] + [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in const_shapes]
-        out_shape = [
-            jax.ShapeDtypeStruct((2 * KH, Dp), f32),
-            jax.ShapeDtypeStruct((2 * KH, 1), f32),
-            jax.ShapeDtypeStruct((2 * KH, 1), f32),
-            jax.ShapeDtypeStruct((K - 1, 1), f32),
-        ]
+        ] + [pl.BlockSpec(memory_space=pltpu.VMEM)
+             for _ in range(len(state_in) + len(const_shapes))]
+        if packed:
+            out_shape = [jax.ShapeDtypeStruct((2 * KH, Dp), f32)]
+        else:
+            out_shape = [
+                jax.ShapeDtypeStruct((2 * KH, Dp), f32),
+                jax.ShapeDtypeStruct((2 * KH, 1), f32),
+                jax.ShapeDtypeStruct((2 * KH, 1), f32),
+            ]
+        out_shape += [jax.ShapeDtypeStruct((K - 1, 1), f32)]
         out_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * len(out_shape)
         kwargs = {}
+        if packed:
+            # alias the packed state in place (operand 1 -> output 0):
+            # one (2KH, Dp) buffer instead of two, no entry copy
+            kwargs["input_output_aliases"] = {1: 0}
         scratch = []
         if n_keep:
             out_shape += [jax.ShapeDtypeStruct((n_keep, W, Dp), f32)]
-            if chain_hbm:
+            if chain_hbm and packed:
+                out_specs += [
+                    pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY)]
+                scratch.append(pltpu.SemaphoreType.DMA)
+            elif chain_hbm:
                 out_shape += [jax.ShapeDtypeStruct((n_keep, W), f32)]
                 out_specs += [
                     pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY),
                     pl.BlockSpec(memory_space=pltpu.VMEM)]
                 scratch.append(pltpu.SemaphoreType.DMA)
+            elif packed:
+                out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
             else:
                 out_shape += [jax.ShapeDtypeStruct((n_keep, W, 1), f32)]
                 out_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-        if use_ll_loop:
+        if half_tile is not None:
+            scratch += [pltpu.VMEM((half_tile, Dp), f32),
+                        pltpu.VMEM((half_tile, 1), f32)]
+            if partner == "roll":
+                scratch += [pltpu.VMEM((KH, Dp), f32)]
+        elif use_ll_loop:
             scratch += [pltpu.VMEM((KH, Dp), f32),
                         pltpu.VMEM((KH, 1), f32)]
         if scratch:
@@ -2314,13 +2508,24 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
             out_specs=out_specs,
             interpret=interpret,
             **kwargs,
-        )(seed_arr, xp, lpp, accp, *consts)
+        )(seed_arr, *state_in, *consts)
 
         def from_rows(v, width):
             h0 = v[:KH].reshape(K, H, width)
             h1 = v[KH:].reshape(K, H, width)
             return jnp.concatenate([h0, h1], axis=1)
 
+        if packed:
+            full = from_rows(outs[0], Dp)
+            x_out = full[:, :, :D]
+            lp_out = full[:, :, DL]
+            acc_out = full[:, :, DA]
+            sacc = outs[1][:, 0]
+            if n_keep:
+                cx = outs[2]
+                return (x_out, lp_out, acc_out, sacc,
+                        cx[:, :, :D], cx[:, :, DL])
+            return x_out, lp_out, acc_out, sacc
         x_out = from_rows(outs[0], Dp)[:, :, :D]
         lp_out = from_rows(outs[1], 1)[:, :, 0]
         acc_out = from_rows(outs[2], 1)[:, :, 0]

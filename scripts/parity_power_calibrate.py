@@ -77,6 +77,7 @@ def main():
     burn = int(sys.argv[2]) if len(sys.argv) > 2 else 1000
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 2500
     K = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    seedbase = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
     def init(rng):
         return theta_c[None] * (
@@ -91,10 +92,10 @@ def main():
     # numpy referee replicates: correct and broken
     for tag, broken in (("np", False), ("np_broken", True)):
         meds, stds, walls = [], [], []
-        kk = K if not broken else max(2, K // 2)
+        kk = K
         for r in range(kk):
-            rng = np.random.default_rng(100 + r if not broken
-                                        else 900 + r)
+            rng = np.random.default_rng(
+                seedbase + (100 + r if not broken else 900 + r))
             t0 = time.time()
             ch = gw_reference_chain(ll_batch, init(rng), burn + steps,
                                     rng, broken=broken)
@@ -111,12 +112,14 @@ def main():
     from joxsz_tpu.sampling.stretch import run_ensemble
     meds, stds, walls = [], [], []
     for r in range(K):
-        rng = np.random.default_rng(500 + r)
+        rng = np.random.default_rng(seedbase + 500 + r)
         t0 = time.time()
         res = run_ensemble(ll_batch, jnp.asarray(init(rng)), burn,
-                           jax.random.PRNGKey(50 + r), thin=burn)
+                           jax.random.PRNGKey(seedbase + 50 + r),
+                           thin=burn)
         res = run_ensemble(ll_batch, res.final_state[0], steps,
-                           jax.random.PRNGKey(150 + r), thin=1)
+                           jax.random.PRNGKey(seedbase + 150 + r),
+                           thin=1)
         walls.append(time.time() - t0)
         m, s = summarize(res.chain.reshape(-1, D))
         meds.append(m)
@@ -152,7 +155,9 @@ def main():
           np.min(out["broken_vs_jx"]["width_ratio"]),
           np.max(out["broken_vs_jx"]["width_ratio"]))
 
-    path = pathlib.Path("results/parity_power_calibration.json")
+    out["seedbase"] = seedbase
+    path = pathlib.Path(
+        f"results/parity_power_calibration_s{seedbase}.json")
     path.write_text(json.dumps(out, indent=2))
     print("written", path)
 

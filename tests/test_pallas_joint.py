@@ -589,6 +589,87 @@ def test_multicluster_kernel_knots_family(ref_data):
                                rtol=2e-4, atol=0.5)
 
 
+def _tempered_state(sess32, K, W, seed=9):
+    theta0 = np.asarray(sess32.params.thawed_values(), dtype=np.float32)
+    rng = np.random.default_rng(seed)
+    x0 = jnp.asarray(theta0[None, None] * (1 + 0.02 * rng.standard_normal(
+        (K, W, theta0.size))), jnp.float32)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    lp0 = jnp.stack([core(x0[k]) for k in range(K)])
+    return x0, lp0
+
+
+def test_tempered_kernel_packed_matches_unpacked(sess32):
+    """VERDICT r4 #2: the packed-state tempered kernel (lp/acc in the
+    position buffer's padding lanes, state aliased in place — the plain
+    kernel's W>=32768 fix ported) is bit-identical to the unpacked
+    layout, including the swap sweeps (rows swap with their lp lane,
+    accept counts stay with the walker slot)."""
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+
+    K, W = 3, 16
+    betas = [1.0, 0.6, 0.36]
+    x0, lp0 = _tempered_state(sess32, K, W)
+    outs = {}
+    for packed in (True, False):
+        step = make_tempered_step_kernel(sess32, betas, n_inner=6,
+                                         n_walkers=W, interpret=True,
+                                         thin=3, packed_state=packed)
+        outs[packed] = step(x0, lp0, jnp.zeros((K, W)), 5)
+    for a, b in zip(outs[True], outs[False]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_tempered_kernel_half_tile_matches_untiled(sess32):
+    """VERDICT r4 #2: the walker-tiled tempered half-substep is
+    bit-identical to the untiled kernel in interpret mode (global
+    row-offset PRNG), for both partner laws and both state layouts —
+    tiles never straddle a rung."""
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+
+    K, W = 3, 16                 # H = 8, KH = 24
+    betas = [1.0, 0.6, 0.36]
+    x0, lp0 = _tempered_state(sess32, K, W, seed=12)
+    for partner in ("onehot", "roll"):
+        for packed in (True, False):
+            outs = {}
+            for tile in (None, 4):
+                step = make_tempered_step_kernel(
+                    sess32, betas, n_inner=4, n_walkers=W,
+                    interpret=True, thin=2, ll_tile=4, half_tile=tile,
+                    packed_state=packed, partner=partner)
+                outs[tile] = step(x0, lp0, jnp.zeros((K, W)), 23)
+            for a, b in zip(outs[None], outs[4]):
+                np.testing.assert_array_equal(np.asarray(a),
+                                              np.asarray(b))
+
+
+def test_tempered_kernel_roll_partner_mechanics(sess32):
+    """partner='roll' (the large-W gather law): stored lp stays the
+    untempered log-like on every rung, walkers move, swap counters
+    sane — the rotation partner is a valid stretch move."""
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+
+    K, W = 3, 16
+    betas = [1.0, 0.6, 0.36]
+    x0, lp0 = _tempered_state(sess32, K, W, seed=14)
+    core = make_joint_core(sess32, block_b=8, interpret=True)
+    step = make_tempered_step_kernel(sess32, betas, n_inner=6,
+                                     n_walkers=W, interpret=True,
+                                     thin=3, partner="roll")
+    x, lp, acc, sacc, chain, chain_lp = step(x0, lp0,
+                                             jnp.zeros((K, W)), 31)
+    for k in range(K):
+        lp_re = core(jnp.asarray(x[k]))
+        np.testing.assert_allclose(np.asarray(lp[k]),
+                                   np.asarray(lp_re), rtol=2e-5,
+                                   atol=1e-2)
+    assert np.any(np.asarray(x) != np.asarray(x0))
+    assert np.asarray(acc).mean() > 0
+    assert np.all(np.asarray(sacc) >= 0)
+    assert np.all(np.asarray(sacc) <= 6 * W)
+
+
 def test_tempered_kernel_hbm_chain_matches_vmem(sess32):
     """Tempered chain_space='hbm' (per-half DMA of the cold rung) is
     bit-identical to the VMEM-output path."""
