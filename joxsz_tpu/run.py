@@ -30,6 +30,9 @@ def main(argv=None):
                     help="force the local CPU backend")
     ap.add_argument("--seed", type=int, default=None)
     ap.add_argument("--no-plots", action="store_true")
+    ap.add_argument("--fresh-mle", action="store_true",
+                    help="ignore the MLE disk cache (data/cache/mle_*) "
+                         "and re-run the simplex warm start")
     ap.add_argument("--resume", metavar="STATE_NPZ",
                     help="resume sampling from a saved state file")
     ap.add_argument("--move", choices=["stretch", "de", "snooker"],
@@ -251,6 +254,21 @@ def main(argv=None):
 
     p = sess.params
     save = pathlib.Path(cfg.save_dir)
+    # MLE disk cache keyed on the full config (+ model-family flags via
+    # the thawed names): the simplex warm start is deterministic in
+    # (config, data) and was the largest single block of the flagless
+    # wall; the entry self-validates by re-evaluating the likelihood at
+    # the cached optimum, so changed data invalidates it physically
+    # (sampling.mle.find_mle_cached).  --fresh-mle disables.
+    mle_cache = None
+    if not args.fresh_mle:
+        import hashlib
+
+        mkey = hashlib.sha256(
+            (cfg.to_json() + "|" + ",".join(p.thawed)
+             + f"|dtype={cfg.dtype}").encode()).hexdigest()[:16]
+        repo = pathlib.Path(__file__).resolve().parents[1]
+        mle_cache = str(repo / "data" / "cache" / f"mle_{mkey}.json")
     res = run_fit(
         sess.log_like, p.thawed_values(), p.lo, p.hi, p.thawed,
         nwalkers=m.nwalkers, nburn=m.nburn, nsteps=m.nsteps, nthin=m.nthin,
@@ -266,6 +284,7 @@ def main(argv=None):
         step_sampler=step_sampler,
         move=args.move,
         auto_extend=m.auto_extend,
+        mle_cache=mle_cache,
     )
     res.print_summary([p[n].unit for n in p.thawed])
     (save / f"{cfg.name}_timings.json").write_text(

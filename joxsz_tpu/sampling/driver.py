@@ -94,6 +94,7 @@ def run_fit(
     auto_extend: int = 0,
     target_rhat: float = 1.01,
     verbose: bool = True,
+    mle_cache: str | None = None,
 ) -> FitResult:
     """Full fit; pass ``resume_from`` (a state .npz written by a previous
     run) to skip MLE/init/preliminary/burn-in and continue sampling from
@@ -198,8 +199,20 @@ def run_fit(
     elif do_mle:
         if verbose:
             print("MLE warm start...")
-        mle_theta, mle_ll = find_mle(log_like, theta0, lo, hi,
-                                     verbose=verbose)
+        if mle_cache is not None:
+            # self-validating disk cache (sampling.mle.find_mle_cached):
+            # the MLE is deterministic in (config, data), so repeat fits
+            # of the same cluster skip the whole simplex loop — the
+            # single fresh evaluation at the cached optimum guards
+            # against changed data/physics
+            from .mle import find_mle_cached
+
+            mle_theta, mle_ll, hit = find_mle_cached(
+                log_like, theta0, lo, hi, mle_cache, verbose=verbose)
+            timings["mle_cached"] = hit
+        else:
+            mle_theta, mle_ll = find_mle(log_like, theta0, lo, hi,
+                                         verbose=verbose)
     else:
         mle_theta = np.asarray(theta0, dtype=float)
         mle_ll = float(jax.jit(log_like)(jnp.asarray(mle_theta)))
@@ -422,6 +435,18 @@ def run_fit(
     #                       stopping-rule diagnostics are host FFT work on
     #                       this 1-core machine, and without attribution
     #                       they read as sampler cost in sample_s
+    # stopping-rule diagnostics run on at most this many walker
+    # sequences: tau is a property of the MOVE, not of which walkers are
+    # watched (the tau benches use 64-walker slices for the same
+    # reason, postproc.summary.collect_kernel_subchain), and 256
+    # sequences are ample for split-Rhat — while the full production
+    # W=1024 chain costs ~4x the host FFT work per round (the 7.7 s of
+    # sample_diag_s in the r4 fresh-pin fit, VERDICT weak #4)
+    _DIAG_WALKERS = 256
+
+    def _diag_chain(c):
+        return c[:, :_DIAG_WALKERS] if c.shape[1] > _DIAG_WALKERS else c
+
     if auto_extend > 0:
         from ..postproc.summary import integrated_autocorr_time, \
             convergence_rhat
@@ -435,13 +460,14 @@ def run_fit(
                 # definition under-converged, keep extending
                 tau_w, rh = np.inf, np.inf
             else:
-                # ONE full-chain ACF pass per round (batched host FFTs —
+                # ONE sub-chain ACF pass per round (batched host FFTs —
                 # still the priciest host work in the loop); Rhat reuses
                 # the tau it produced
+                dc = _diag_chain(res.chain)
                 tau_saved = float(np.max(np.maximum(
-                    integrated_autocorr_time(res.chain), 1.0)))
+                    integrated_autocorr_time(dc), 1.0)))
                 tau_w = tau_saved * spacing
-                rh = convergence_rhat(res.chain, tau_saved=tau_saved)
+                rh = convergence_rhat(dc, tau_saved=tau_saved)
             diag_s += time.time() - td
             conv_cache = (tau_w, rh)
             if chain_steps >= 20 * tau_w and rh <= target_rhat:
@@ -459,7 +485,7 @@ def run_fit(
             if (n0 >= 8 and chain_steps >= 20 * tau_w
                     and rh > target_rhat):
                 td = time.time()
-                tail = res.chain[n0:]
+                tail = _diag_chain(res.chain[n0:])
                 tau2 = float(np.max(np.maximum(
                     integrated_autocorr_time(tail), 1.0)))
                 rh2 = convergence_rhat(tail, tau_saved=tau2)
@@ -569,10 +595,11 @@ def run_fit(
                 worst, rh = conv_cache    # from the auto-extend stopping
                 #                           rule — same chain, same rules
             else:
+                dc = _diag_chain(res.chain)
                 tau_saved = float(np.max(np.maximum(
-                    integrated_autocorr_time(res.chain), 1.0)))
+                    integrated_autocorr_time(dc), 1.0)))
                 worst = tau_saved * _eff_spacing(res)
-                rh = convergence_rhat(res.chain, tau_saved=tau_saved)
+                rh = convergence_rhat(dc, tau_saved=tau_saved)
             # chain-based length (equals steps_sampled unless the
             # warmup-aware fallback promoted a head segment to burn-in)
             chain_len_steps = res.chain.shape[0] * _eff_spacing(res)

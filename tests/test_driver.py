@@ -48,6 +48,55 @@ def test_run_fit_end_to_end(tmp_path):
     assert res2.timings["prelim_rounds"] == 0
 
 
+def test_run_fit_mle_cache_roundtrip(tmp_path):
+    """run_fit(mle_cache=...): a first fit writes the cache, a repeat
+    fit hits it (timings['mle_cached'] True, same optimum), and a
+    CHANGED likelihood invalidates the entry through the fresh
+    re-evaluation rather than returning a stale optimum."""
+    log_like, t0, lo, hi, names, mu = _make_problem()
+    cache = str(tmp_path / "mle.json")
+    kw = dict(nwalkers=16, nburn=50, nsteps=100, nthin=2, seed=0,
+              prelim_iterations=50, max_prelim_rounds=1, verbose=False,
+              mle_cache=cache)
+    r1 = run_fit(log_like, t0, lo, hi, names, **kw)
+    assert r1.timings["mle_cached"] is False
+    r2 = run_fit(log_like, t0, lo, hi, names, **kw)
+    assert r2.timings["mle_cached"] is True
+    np.testing.assert_allclose(r2.mle_theta, r1.mle_theta, rtol=1e-12)
+    assert abs(r2.mle_loglike - r1.mle_loglike) < 0.5
+
+    # a different posterior behind the same cache file must be detected
+    def shifted(x):
+        return log_like(x - 2.0)
+
+    r3 = run_fit(shifted, t0, lo, hi, names, **kw)
+    assert r3.timings["mle_cached"] is False
+    assert np.allclose(r3.mle_theta, np.asarray(mu) + 2.0, atol=1e-2)
+
+
+def test_find_mle_cached_guards(tmp_path):
+    """find_mle_cached honours the entry only when the start point and
+    box match; corrupted cache files fall through to a re-fit."""
+    from joxsz_tpu.sampling.mle import find_mle_cached
+
+    def ll(x):
+        return -jnp.sum((x - 1.5) ** 2)
+
+    lo, hi = np.full(2, -5.0), np.full(2, 5.0)
+    cache = tmp_path / "m.json"
+    th1, ll1, hit1 = find_mle_cached(ll, np.zeros(2), lo, hi, cache)
+    assert not hit1 and np.allclose(th1, 1.5, atol=1e-3)
+    # different start point -> not the same cached problem
+    _, _, hit2 = find_mle_cached(ll, np.ones(2), lo, hi, cache)
+    assert not hit2
+    cache.write_text("{not json")
+    th3, _, hit3 = find_mle_cached(ll, np.ones(2), lo, hi, cache)
+    assert not hit3 and np.allclose(th3, 1.5, atol=1e-3)
+    # and the rewritten entry now hits
+    _, _, hit4 = find_mle_cached(ll, np.ones(2), lo, hi, cache)
+    assert hit4
+
+
 def test_run_fit_chunked_checkpointing(tmp_path):
     """Sampling longer than checkpoint_every saved steps must flush the
     chain incrementally and still return the full chain."""
