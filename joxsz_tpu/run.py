@@ -262,10 +262,17 @@ def main(argv=None):
     # (sampling.mle.find_mle_cached).  --fresh-mle disables.
     mle_cache = None
     if not args.fresh_mle:
+        import dataclasses as _dc
         import hashlib
 
+        # hash only what the (deterministic) MLE depends on: model +
+        # data + dtype.  The MCMC schedule, seed, and output paths vary
+        # per run and must NOT key the cache — hashing the full config
+        # minted a fresh entry per seed (r5 hardware check)
+        mle_cfg = _dc.replace(cfg, mcmc=type(cfg.mcmc)(),
+                              save_dir=".", plot_dir=".")
         mkey = hashlib.sha256(
-            (cfg.to_json() + "|" + ",".join(p.thawed)
+            (mle_cfg.to_json() + "|" + ",".join(p.thawed)
              + f"|dtype={cfg.dtype}").encode()).hexdigest()[:16]
         repo = pathlib.Path(__file__).resolve().parents[1]
         mle_cache = str(repo / "data" / "cache" / f"mle_{mkey}.json")
