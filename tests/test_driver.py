@@ -308,6 +308,49 @@ def test_run_fit_auto_extend_uses_step_sampler_path():
     assert SpySampler.sample_calls == 1 + rounds
 
 
+def test_run_fit_propagates_hybrid_frame_spacing(tmp_path):
+    """A mesh run whose sharded sampler declares a hybrid-style
+    frame_spacing must carry it through run_fit into the HDF5 attr
+    (VERDICT r4 #5): stopping-rule arithmetic and chain consumers then
+    self-correct instead of assuming thin."""
+    from joxsz_tpu.io.checkpoint import load_chain_hdf5
+    from joxsz_tpu.sampling.stretch import EnsembleResult
+
+    log_like, t0, lo, hi, names, mu = _make_problem(ndim=2)
+    sync, thin = 5, 2
+    spacing = thin * sync / (sync - 1)
+    rng = np.random.default_rng(0)
+
+    class FakeHybridSampler:
+        def new_run(self):
+            pass
+
+        def run_sharded(self, state_x, n, k, mesh, thin=1,
+                        verbose=False):
+            n_keep = int(round(n * (sync - 1) / sync / thin))
+            W = state_x.shape[0]
+            chain = np.asarray(state_x)[None] + 0.01 * rng.standard_normal(
+                (n_keep, W, state_x.shape[1]))
+            return EnsembleResult(
+                chain=chain, log_prob=np.zeros((n_keep, W)),
+                acceptance_fraction=np.full(W, 0.3),
+                final_state=(jnp.asarray(chain[-1]),
+                             jnp.zeros(W), k),
+                frame_spacing=spacing)
+
+    res = run_fit(log_like, t0, lo, hi, names, nwalkers=16, nburn=20,
+                  nsteps=100, nthin=thin, seed=3, prelim_iterations=20,
+                  max_prelim_rounds=1, mesh=object(),
+                  step_sampler=FakeHybridSampler(),
+                  chain_path=str(tmp_path / "c.hdf5"), verbose=False)
+    saved = load_chain_hdf5(str(tmp_path / "c.hdf5"))
+    assert saved["frame_spacing"] == pytest.approx(spacing)
+    assert saved["thin"] == thin
+    # realised frames follow the window-only recording rule
+    assert res.chain.shape[0] == int(round(100 * (sync - 1) / sync
+                                           / thin))
+
+
 def test_run_fit_auto_extend_tempered():
     """auto_extend composes with tempering: the stopping rule runs on the
     cold-rung chain and each extension round continues the FULL K-rung
