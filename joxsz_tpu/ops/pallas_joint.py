@@ -2215,7 +2215,9 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
         sacc_ref[:] = jnp.zeros((K - 1, 1), f32)
 
         TR = half_tile if half_tile is not None else KH  # rows per update
-        if partner != "roll":
+        if half_tile is not None and partner != "roll":
+            # (TR, H) partner iota is only consumed by half_tiled; the
+            # untiled one-hot path builds its own (H, H) per-rung iota
             row_h = jax.lax.broadcasted_iota(jnp.int32, (TR, H), 1)
         if packed:
             lane = jax.lax.broadcasted_iota(jnp.int32, (TR, Dp), 1)

@@ -672,8 +672,17 @@ def run_hybrid_coupled_ensemble(sess, p0, n_windows: int, sync_every: int,
     x = jax.device_put(np.asarray(p0, np.float32), xsh)
     lp = core(x)
     acc = jax.device_put(np.zeros(W, np.float32), xsh)
-    econsts = (half._consts if not mp
-               else tuple(np.asarray(c) for c in half._consts))
+    if mp:
+        # pre-place the constants ONCE as replicated GLOBAL arrays: the
+        # epilogue runs every window, and raw numpy consts would be
+        # re-uploaded host->device per call (MBs of tables over a
+        # ~20 MB/s link) — the exact per-window overhead this sampler
+        # exists to amortise
+        rep = NamedSharding(mesh, P())
+        econsts = tuple(jax.device_put(np.asarray(c), rep)
+                        for c in half._consts)
+    else:
+        econsts = half._consts
     rng = np.random.default_rng(seed)
     frames, frame_lps = [], []
     for w in range(n_windows):

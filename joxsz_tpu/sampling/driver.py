@@ -168,8 +168,11 @@ def run_fit(
         step_sampler = None
         # this fit is a fresh logical run: reset the sampler's per-run
         # sticky routing (hybrid vs independent ensembles) so a reused
-        # KernelSampler doesn't inherit a previous fit's decision
-        sharded_step.new_run()
+        # KernelSampler doesn't inherit a previous fit's decision.
+        # getattr: step_sampler is duck-typed (the documented interface
+        # predates new_run) — custom samplers without it must keep
+        # working
+        getattr(sharded_step, "new_run", lambda: None)()
         if verbose:
             print("note: mesh run — sampling phase uses per-chip "
                   "fused-kernel ensembles; prelim/burn stay on the "
@@ -287,8 +290,15 @@ def run_fit(
                 # per-chip independent fused-kernel ensembles; falls
                 # through to the XLA mesh sampler when the walker count
                 # doesn't split evenly or the config mismatches the kernel
-                r = sharded_step.run_sharded(state_x, n, k, mesh,
-                                             thin=nthin, verbose=verbose)
+                try:
+                    r = sharded_step.run_sharded(state_x, n, k, mesh,
+                                                 thin=nthin,
+                                                 verbose=verbose)
+                except TypeError:
+                    # duck-typed custom samplers predating the verbose
+                    # kwarg (r5) keep working
+                    r = sharded_step.run_sharded(state_x, n, k, mesh,
+                                                 thin=nthin)
                 if r is None and _mesh_note[0]:
                     _mesh_note[0] = False
                     print("note: sharded kernel sampler declined; falling "
@@ -441,11 +451,18 @@ def run_fit(
     # reason, postproc.summary.collect_kernel_subchain), and 256
     # sequences are ample for split-Rhat — while the full production
     # W=1024 chain costs ~4x the host FFT work per round (the 7.7 s of
-    # sample_diag_s in the r4 fresh-pin fit, VERDICT weak #4)
+    # sample_diag_s in the r4 fresh-pin fit, VERDICT weak #4).
+    # The subset is STRIDED, not a head slice: on a mesh the walker axis
+    # is laid out in per-device blocks (independent per-chip ensembles),
+    # and a head slice would watch only device 0 — a stuck ensemble on
+    # another chip must still fail split-Rhat
     _DIAG_WALKERS = 256
 
     def _diag_chain(c):
-        return c[:, :_DIAG_WALKERS] if c.shape[1] > _DIAG_WALKERS else c
+        w = c.shape[1]
+        if w <= _DIAG_WALKERS:
+            return c
+        return c[:, :: max(1, w // _DIAG_WALKERS)][:, :_DIAG_WALKERS]
 
     if auto_extend > 0:
         from ..postproc.summary import integrated_autocorr_time, \

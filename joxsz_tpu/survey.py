@@ -914,12 +914,16 @@ def main(argv=None):
           f"{args.burn}+{args.steps} steps in {wall:.1f}s "
           f"({evals/wall:.0f} evals/s); acceptance "
           f"{np.round(acc_by_cluster, 3)}")
-    for fres, _ in fam_bundles:
+    for fres, specs in fam_bundles:
         if fres.timings is not None and "setup_s" in fres.timings:
             ts, tk = fres.timings["setup_s"], fres.timings["sampling_s"]
+            # evals for THIS family's clusters only — dividing the
+            # whole survey's count by one family's wall would inflate
+            # every mixed-family line
+            evals_f = len(specs) * args.walkers * (args.burn + args.steps)
             print(f"  kernel path: {ts:.1f}s one-time setup "
                   f"(builders/init) + {tk:.1f}s burn+sampling (incl. "
-                  f"first-call compile; {evals/tk:.0f} evals/s)")
+                  f"first-call compile; {evals_f/tk:.0f} evals/s)")
 
     for c in range(C):
         fres, local = where[c]
