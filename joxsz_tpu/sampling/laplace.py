@@ -132,7 +132,14 @@ def laplace_approximation(log_post, theta_map, lo=None, hi=None,
 def laplace_fit(log_post, theta0, lo, hi, verbose: bool = False,
                 **mle_kwargs) -> LaplaceResult:
     """MAP search (sampling/mle.py simplex+L-BFGS strategy) followed by
-    the Laplace approximation at the found mode."""
+    the Laplace approximation at the found mode.
+
+    The MAP must be POLISHED here: the curvature classification (PD vs
+    boundary vs indefinite) is evaluated at the found point, and the
+    sampler-warm-start stall rule (restart_tol=0.3 ll units, r5) leaves
+    the mode rough enough to flip interior directions non-PD — so this
+    caller restores the tight stall unless overridden."""
+    mle_kwargs.setdefault("restart_tol", 1e-4)
     theta_map, _ = find_mle(log_post, np.asarray(theta0, float),
                             np.asarray(lo, float), np.asarray(hi, float),
                             verbose=verbose, **mle_kwargs)
