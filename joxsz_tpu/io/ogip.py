@@ -86,8 +86,22 @@ def read_rmf(path: str) -> Response:
     e_min = np.asarray(eb_hdu.column("E_MIN"), dtype=float)
     e_max = np.asarray(eb_hdu.column("E_MAX"), dtype=float)
     nC = channel.size
-    # first channel number (TLMIN of F_CHAN, typically 0 or 1)
-    first_chan = int(channel[0])
+    # F_CHAN's channel origin: per OGIP (CAL/GEN/92-002a) the F_CHAN
+    # column's TLMIN declares it.  EBOUNDS CHANNEL[0] is only a
+    # fallback — the two conventions CAN differ across missions (0-based
+    # F_CHAN with 1-based EBOUNDS numbering), and using the wrong origin
+    # silently shifts every response row by one channel (a -1 start
+    # would even wrap values to the row's end).  The out-of-range guard
+    # below keeps any residual mismatch loud, per this module's
+    # "rejected loudly, never misread" contract.
+    fchan_idx = None
+    for i, cname in enumerate(mat_hdu.columns()):
+        if cname == "F_CHAN":
+            fchan_idx = i + 1
+            break
+    tlmin = (None if fchan_idx is None
+             else mat_hdu.header.get(f"TLMIN{fchan_idx}"))
+    first_chan = int(tlmin) if tlmin is not None else int(channel[0])
 
     dense = np.zeros((nE, nC))
     for e in range(nE):
@@ -96,6 +110,14 @@ def read_rmf(path: str) -> Response:
         for g in range(int(n_grp[e])):
             start = int(np.atleast_1d(f_chan[e])[g]) - first_chan
             count = int(np.atleast_1d(n_chan[e])[g])
+            if start < 0 or start + count > nC:
+                raise ValueError(
+                    f"{path}: MATRIX row {e} group {g} spans channels "
+                    f"[{start}, {start + count}) outside [0, {nC}) "
+                    f"after subtracting the F_CHAN origin {first_chan} "
+                    f"(TLMIN{fchan_idx}={tlmin!r}, EBOUNDS first "
+                    f"channel {int(channel[0])}) — inconsistent channel "
+                    f"numbering conventions")
             dense[e, start : start + count] = row[pos : pos + count]
             pos += count
     return Response(

@@ -22,6 +22,15 @@ from matplotlib.backends.backend_pdf import PdfPages
 from ..postproc.profiles import equal_tailed
 
 
+def _out(plotdir: str, name: str) -> str:
+    """Output path via os.path.join: bare concatenation mangled names
+    whenever plotdir lacked a trailing slash ('results/plots' wrote
+    'results/plotstraceplot.pdf' into the parent, silently)."""
+    import os
+
+    return os.path.join(plotdir, name)
+
+
 def _latex(names):
     return [f"${n}$" for n in names]
 
@@ -33,7 +42,7 @@ def traceplot(cube_chain: np.ndarray, param_names, plot_walkers: int = 20,
     rng = np.random.default_rng(seed)
     idx = rng.choice(nw, min(plot_walkers, nw), replace=False)
     labels = _latex(param_names)
-    with PdfPages(plotdir + "traceplot.pdf") as pdf:
+    with PdfPages(_out(plotdir, "traceplot.pdf")) as pdf:
         for start in range(0, ndim, per_page):
             fig, axes = plt.subplots(per_page, 1, figsize=(8, 10),
                                      sharex=True, squeeze=False)
@@ -59,7 +68,8 @@ def cornerplot(flat_chain: np.ndarray, param_names, ci: float = 95.0,
     n = flat_chain.shape[1]
     labels = _latex(param_names)
     lo, med, up = equal_tailed(flat_chain, ci)
-    fig, axes = plt.subplots(n, n, figsize=(2.2 * n, 2.2 * n))
+    fig, axes = plt.subplots(n, n, figsize=(2.2 * n, 2.2 * n),
+                         squeeze=False)
     for i in range(n):
         for j in range(n):
             ax = axes[i, j]
@@ -96,56 +106,71 @@ def cornerplot(flat_chain: np.ndarray, param_names, ci: float = 95.0,
             elif i > 0:
                 ax.set_ylabel(labels[i], fontsize=9)
     fig.subplots_adjust(hspace=0.08, wspace=0.08)
-    with PdfPages(plotdir + "cornerplot.pdf") as pdf:
+    with PdfPages(_out(plotdir, "cornerplot.pdf")) as pdf:
         pdf.savefig(fig, bbox_inches="tight")
     plt.close(fig)
 
 
 def fit_on_data(bands, annuli, sz_data, perc_x, perc_sz, ci: float = 95.0,
                 step_arcsec: float = 2.0, plotdir: str = "./"):
-    """X-ray surface-brightness panels per band + the SZ profile panel."""
-    edges = annuli.edges_arcmin
-    xmid = 0.5 * (edges[1:] + edges[:-1])
-    xerr = 0.5 * (edges[1:] - edges[:-1])
-    geom = np.pi * (edges[1:] ** 2 - edges[:-1] ** 2)
-    npan = len(bands) + 1
-    ncol = 3
+    """X-ray surface-brightness panels per band + the SZ profile panel.
+
+    Either probe may be absent (SZ-only fits have ``perc_x=None``,
+    X-ray-only fits have ``perc_sz=None``/``sz_data=None``): each
+    panel block is drawn only when its data exists, so the figure is
+    produced in every supported mode instead of crashing (X-ray-only)
+    or silently never appearing (SZ-only)."""
+    has_x = perc_x is not None and bands
+    has_sz = perc_sz is not None and sz_data is not None
+    n_bands = len(bands) if has_x else 0
+    npan = n_bands + (1 if has_sz else 0)
+    if npan == 0:
+        return
+    ncol = min(3, npan)
     nrow = int(np.ceil(npan / ncol))
-    fig, axes = plt.subplots(nrow, ncol, figsize=(24, 6 * nrow))
-    axes = np.atleast_2d(axes)
-    lx, mx, ux = perc_x
-    for i, band in enumerate(bands):
-        ax = axes[i // ncol, i % ncol]
-        scale = geom * band.areascales
-        ax.set_xscale("log")
-        ax.set_yscale("log")
-        ax.plot(xmid, mx[i] / scale, color="r")
-        ax.fill_between(xmid, lx[i] / scale, ux[i] / scale, color="gold")
-        ax.errorbar(xmid, band.counts / scale, xerr=xerr,
-                    yerr=np.sqrt(band.counts) / scale, fmt="o",
-                    markersize=3, color="black")
-        ax.text(0.1, 0.1, f"[{band.emin_keV:g}-{band.emax_keV:g}] keV",
-                transform=ax.transAxes)
+    fig, axes = plt.subplots(nrow, ncol, figsize=(8 * ncol, 6 * nrow),
+                             squeeze=False)
+    if has_x:
+        edges = annuli.edges_arcmin
+        xmid = 0.5 * (edges[1:] + edges[:-1])
+        xerr = 0.5 * (edges[1:] - edges[:-1])
+        geom = np.pi * (edges[1:] ** 2 - edges[:-1] ** 2)
+        lx, mx, ux = perc_x
+        for i, band in enumerate(bands):
+            ax = axes[i // ncol, i % ncol]
+            scale = geom * band.areascales
+            ax.set_xscale("log")
+            ax.set_yscale("log")
+            ax.plot(xmid, mx[i] / scale, color="r")
+            ax.fill_between(xmid, lx[i] / scale, ux[i] / scale,
+                            color="gold")
+            ax.errorbar(xmid, band.counts / scale, xerr=xerr,
+                        yerr=np.sqrt(band.counts) / scale, fmt="o",
+                        markersize=3, color="black")
+            ax.text(0.1, 0.1,
+                    f"[{band.emin_keV:g}-{band.emax_keV:g}] keV",
+                    transform=ax.transAxes)
+            ax.set_xlabel("Radius (arcmin)")
+            ax.set_ylabel(r"$S_X$ (counts arcmin$^{-2}$)")
+    if has_sz:
+        lsz, msz, usz = perc_sz
+        ax = axes[(npan - 1) // ncol, (npan - 1) % ncol]
+        r_am = np.asarray(sz_data.flux_r) / 60.0
+        r_model = np.arange(msz.size) * step_arcsec / 60.0  # arcmin
+        ax.errorbar(r_am, np.asarray(sz_data.flux),
+                    yerr=np.asarray(sz_data.flux_err), fmt="o",
+                    markersize=2, color="black", label="SZ data")
+        ax.plot(r_model, msz, color="r", label="Best-fit")
+        ax.fill_between(r_model, lsz, usz, color="gold",
+                        label=f"{ci:g}% CI")
+        ax.set_xlim(0, np.ceil(r_am[-1]))
         ax.set_xlabel("Radius (arcmin)")
-        ax.set_ylabel(r"$S_X$ (counts arcmin$^{-2}$)")
-    lsz, msz, usz = perc_sz
-    ax = axes[(npan - 1) // ncol, (npan - 1) % ncol]
-    sep = sz_data.sep
-    r_am = np.asarray(sz_data.flux_r) / 60.0
-    r_model = np.arange(msz.size) * step_arcsec / 60.0  # arcmin
-    ax.errorbar(r_am, np.asarray(sz_data.flux),
-                yerr=np.asarray(sz_data.flux_err), fmt="o", markersize=2,
-                color="black", label="SZ data")
-    ax.plot(r_model, msz, color="r", label="Best-fit")
-    ax.fill_between(r_model, lsz, usz, color="gold", label=f"{ci:g}% CI")
-    ax.set_xlim(0, np.ceil(r_am[-1]))
-    ax.set_xlabel("Radius (arcmin)")
-    ax.set_ylabel(r"$S_{SZ}$ (mJy beam$^{-1}$)")
-    ax.legend()
+        ax.set_ylabel(r"$S_{SZ}$ (mJy beam$^{-1}$)")
+        ax.legend()
     for k in range(npan, nrow * ncol):
         axes[k // ncol, k % ncol].axis("off")
     fig.tight_layout()
-    with PdfPages(plotdir + "fit_on_data.pdf") as pdf:
+    with PdfPages(_out(plotdir, "fit_on_data.pdf")) as pdf:
         pdf.savefig(fig, bbox_inches="tight")
     plt.close(fig)
 
@@ -167,6 +192,21 @@ def radial_profiles(profset, tempx_differs: bool = True,
     fig, axes = plt.subplots(3, 2, figsize=(10, 12), sharex=True)
     for k, (band, label, yscale) in enumerate(panels):
         ax = axes[k // 2, k % 2]
+        med = np.asarray(band[1][sel], dtype=float)
+        # a quantity can be undefined for the model (cooling time is
+        # NaN without a count-rate table — SZ-only fits): annotate the
+        # panel instead of crashing matplotlib's log locator on a
+        # positive-value-free axis
+        drawable = np.isfinite(med).any() and (
+            yscale != "log" or np.nanmax(med) > 0)
+        if not drawable:
+            ax.text(0.5, 0.5, f"{label}\n(not available for this "
+                    "model)", ha="center", va="center",
+                    transform=ax.transAxes, fontsize=9)
+            ax.set_xscale("log")
+            ax.set_ylabel(label)
+            ax.set_xlim(xmin, xmax)
+            continue
         ax.plot(r[sel], band[1][sel])
         ax.fill_between(r[sel], band[0][sel], band[2][sel],
                         color="powderblue")
@@ -184,7 +224,7 @@ def radial_profiles(profset, tempx_differs: bool = True,
                   fontsize=9)
     axes[2, 0].set_xlabel("Radius (kpc)")
     axes[2, 1].set_xlabel("Radius (kpc)")
-    with PdfPages(plotdir + "radial_profiles.pdf") as pdf:
+    with PdfPages(_out(plotdir, "radial_profiles.pdf")) as pdf:
         pdf.savefig(fig, bbox_inches="tight")
     plt.close(fig)
 
@@ -218,7 +258,7 @@ def mass_plot(r_kpc, mass_bands, cosmo, r_delta=None, m_delta=None,
     ax.set_xlim(xmin, xmax)
     ax.set_xlabel("Radius (kpc)")
     ax.set_ylabel(r"Total mass ($M_\odot$)")
-    with PdfPages(plotdir + "mass_hse.pdf") as pdf:
+    with PdfPages(_out(plotdir, "mass_hse.pdf")) as pdf:
         pdf.savefig(fig, bbox_inches="tight")
     plt.close(fig)
 
@@ -236,6 +276,6 @@ def gas_fraction_plot(r_kpc, fgas_bands, ci: float = 95.0,
     ax.set_xlim(xmin, xmax)
     ax.set_xlabel("Radius (kpc)")
     ax.set_ylabel("Gas fraction")
-    with PdfPages(plotdir + "frac_gas.pdf") as pdf:
+    with PdfPages(_out(plotdir, "frac_gas.pdf")) as pdf:
         pdf.savefig(fig, bbox_inches="tight")
     plt.close(fig)

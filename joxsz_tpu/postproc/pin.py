@@ -99,10 +99,15 @@ def check_pin(summary: dict, pin: dict | None = None, *,
                     f"{name}: std {std_s:.6g} != pinned {std_p:.6g} "
                     f"(exact mode)")
             continue
-        # fresh mode
+        # fresh mode.  A missing n_eff must TIGHTEN, never loosen: the
+        # old default of 1.0 made the MC error ~1.25 sd per side and the
+        # median tolerance ~7.5 pinned sigmas — a vacuous gate (this
+        # module's contract is "never silently substitute a weaker
+        # check").  inf-n_eff zeroes the MC term so the measured
+        # 0.20-sd floor governs instead.
         mc = math.hypot(
-            _median_mc_error(std_p, float(p.get("n_eff", 1.0))),
-            _median_mc_error(std_s, float(s.get("n_eff", 1.0))))
+            _median_mc_error(std_p, float(p.get("n_eff", math.inf))),
+            _median_mc_error(std_s, float(s.get("n_eff", math.inf))))
         tol = max(n_sigma * mc, median_floor_std * std_p)
         if abs(med_s - med_p) > tol:
             report.append(

@@ -80,8 +80,15 @@ def posterior_predictive_pvalues(model, thetas, rng) -> PPCResult:
         err = np.asarray(sz.flux_err)
         flux = np.asarray(sz.flux)
         rep = mu + rng.normal(size=mu.shape) * err
-        sz_obs = np.nansum(((flux - mu) / err) ** 2, axis=1)
-        sz_rep = np.nansum(((rep - mu) / err) ** 2, axis=1)
+        # the SZ likelihood's masking convention is NaN in flux
+        # (models/sz.py nansum): the replicated chi^2 must drop the SAME
+        # points, or every masked point adds a ~chi2(1) term to the
+        # replicated side only and p_sz inflates (masks genuine misfit)
+        valid = np.isfinite(flux) & np.isfinite(err)
+        sz_obs = np.nansum(
+            np.where(valid, ((flux - mu) / err) ** 2, 0.0), axis=1)
+        sz_rep = np.nansum(
+            np.where(valid, ((rep - mu) / err) ** 2, 0.0), axis=1)
         p_sz = float(np.mean(sz_rep >= sz_obs))
 
     if model.xray_data is not None:

@@ -79,6 +79,11 @@ class ProfileSet:
     entropy: np.ndarray
     cooling_time: np.ndarray
     gas_mass: np.ndarray
+    # f_gas = M_gas/M_HSE band, computed inside the SAME vmapped pass as
+    # the thermo profiles (one extra mass evaluation per sample) so the
+    # figure path doesn't pay a third full-chain device pass + compile
+    # (compute_gas_fraction remains as the standalone API)
+    gas_fraction: np.ndarray | None = None
 
 
 def make_profile_fns(model, cosmo: Cosmology, r_kpc,
@@ -120,7 +125,8 @@ def make_profile_fns(model, cosmo: Cosmology, r_kpc,
                      * (K.keV_erg / K.yr_s) / lum)
         else:
             tcool = jnp.full_like(t_sz, jnp.nan)
-        return ne, t_sz, t_x, press, entropy, tcool, mgas
+        fgas = mgas / model.mass(pars, r)
+        return ne, t_sz, t_x, press, entropy, tcool, mgas, fgas
 
     def hse_mass(theta):
         pars = model.params.unpack(theta)
@@ -153,7 +159,7 @@ def compute_profiles(model, cosmo: Cosmology, r_kpc, flat_chain: np.ndarray,
     """Equal-tailed bands of all thermodynamic profiles over the chain."""
     flat_chain = _band_subsample(flat_chain, max_samples)
     thermo_fn, _ = make_profile_fns(model, cosmo, r_kpc)
-    outs = [[] for _ in range(7)]
+    outs = [[] for _ in range(8)]
     for i in range(0, len(flat_chain), batch):
         chunk = jnp.asarray(flat_chain[i : i + batch])
         res = thermo_fn(chunk)
@@ -165,7 +171,7 @@ def compute_profiles(model, cosmo: Cosmology, r_kpc, flat_chain: np.ndarray,
         r_kpc=np.asarray(r_kpc),
         density=bands[0], temp_sz=bands[1], temp_x=bands[2],
         pressure=bands[3], entropy=bands[4], cooling_time=bands[5],
-        gas_mass=bands[6],
+        gas_mass=bands[6], gas_fraction=bands[7],
     )
 
 

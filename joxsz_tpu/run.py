@@ -388,7 +388,11 @@ def _summary_and_figures(sess, cfg, res, no_plots=False):
     cornerplot(flat, p.thawed, ci=cfg.ci, plotdir=plotdir)
 
     perc_x, perc_sz = posterior_predictive(sess.model, flat, ci=cfg.ci)
-    if perc_x is not None and sess.annuli is not None:
+    # draw whenever EITHER probe has predictions: SZ-only fits have
+    # perc_x=None but still get the reference's SZ data-vs-model panel
+    # (fit_on_data draws each block only when its data exists)
+    if ((perc_x is not None and sess.annuli is not None)
+            or perc_sz is not None):
         fit_on_data(sess.bands, sess.annuli, sess.model.sz_data,
                     perc_x, perc_sz, ci=cfg.ci,
                     step_arcsec=cfg.step_arcsec, plotdir=plotdir)
@@ -407,8 +411,12 @@ def _summary_and_figures(sess, cfg, res, no_plots=False):
               r_delta=r_delta[:, 0], m_delta=m_delta[:, 0],
               plotdir=plotdir)
 
-    fgas = compute_gas_fraction(sess.model, sess.cosmology, r_pp, flat,
-                                ci=cfg.ci)
+    # f_gas came out of the thermo pass (ProfileSet.gas_fraction) —
+    # no third full-chain device pass; compute_gas_fraction remains the
+    # standalone API
+    fgas = (profs.gas_fraction if profs.gas_fraction is not None
+            else compute_gas_fraction(sess.model, sess.cosmology, r_pp,
+                                      flat, ci=cfg.ci))
     gas_fraction_plot(r_pp, fgas, ci=cfg.ci, plotdir=plotdir)
     print(f"figures written to {plotdir} in {time.time()-t0:.1f}s")
 

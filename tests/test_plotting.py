@@ -78,3 +78,60 @@ def test_fit_on_data_figure(tmp_path, ref_data):
     fit_on_data(sess.bands, sess.annuli, sess.model.sz_data, perc_x,
                 perc_sz, step_arcsec=2.0, plotdir=out)
     assert _pdf_ok(tmp_path / "fit_on_data.pdf")
+
+
+def test_fit_on_data_single_probe_modes(tmp_path, ref_data):
+    """r5 review: SZ-only fits (perc_x=None) must still produce the SZ
+    data-vs-model panel, and X-ray-only calls (perc_sz=None /
+    sz_data=None) must not crash on the missing SZ block."""
+    from joxsz_tpu.config import JoXSZConfig
+    from joxsz_tpu.build import build_session
+    from joxsz_tpu.plotting import fit_on_data
+
+    sess = build_session(JoXSZConfig.cl1226(str(ref_data)))
+    prof = -2.0 * np.exp(-np.arange(86) / 20.0)
+    perc_sz = np.stack([prof * 1.1, prof, prof * 0.9])
+    cts = np.stack([b.counts for b in sess.bands])
+    perc_x = np.stack([cts * 0.9, cts, cts * 1.1])
+
+    # SZ-only
+    d1 = tmp_path / "szonly"
+    d1.mkdir()
+    fit_on_data(None, None, sess.model.sz_data, None, perc_sz,
+                step_arcsec=2.0, plotdir=str(d1))
+    assert _pdf_ok(d1 / "fit_on_data.pdf")
+
+    # X-ray-only
+    d2 = tmp_path / "xonly"
+    d2.mkdir()
+    fit_on_data(sess.bands, sess.annuli, None, perc_x, None,
+                step_arcsec=2.0, plotdir=str(d2))
+    assert _pdf_ok(d2 / "fit_on_data.pdf")
+
+
+def test_plotdir_without_trailing_slash(tmp_path):
+    """r5 review: output paths go through os.path.join — a plotdir
+    without a trailing slash must write INTO the directory, not mangle
+    the filename into the parent."""
+    rng = np.random.default_rng(0)
+    flat = rng.standard_normal((400, 2))
+    cube = rng.standard_normal((8, 50, 2))
+    from joxsz_tpu.plotting import cornerplot, traceplot
+
+    out = tmp_path / "plots"
+    out.mkdir()
+    traceplot(cube, ["a", "b"], plotdir=str(out))      # no trailing /
+    cornerplot(flat, ["a", "b"], plotdir=str(out))
+    assert _pdf_ok(out / "traceplot.pdf")
+    assert _pdf_ok(out / "cornerplot.pdf")
+    assert not (tmp_path / "plotstraceplot.pdf").exists()
+
+
+def test_cornerplot_single_parameter(tmp_path):
+    """r5 review: a 1-parameter chain must not crash on axes indexing
+    (squeeze=False)."""
+    from joxsz_tpu.plotting import cornerplot
+
+    flat = np.random.default_rng(1).standard_normal((300, 1))
+    cornerplot(flat, ["a"], plotdir=str(tmp_path))
+    assert _pdf_ok(tmp_path / "cornerplot.pdf")

@@ -84,3 +84,25 @@ def test_check_pin_detects_shift_and_width_change():
     dropped = {n: dict(p) for n, p in base.items() if n != names[2]}
     ok, report = check_pin({"parameters": dropped}, mode="fresh")
     assert not ok and "parameter set differs" in report[0]
+
+
+def test_check_pin_missing_neff_tightens_not_loosens():
+    """r5 review: a summary missing n_eff must NOT fall back to n_eff=1
+    (which made the MC term ~1.25 sd/side and the median tolerance
+    ~7.5 sigma — a vacuous gate).  With the inf-n_eff default the
+    0.20-sd floor governs, so a 1-sd median shift must FAIL."""
+    pin = load_pin()
+    names = list(pin["parameters"])
+    stripped = {}
+    for n, p in pin["parameters"].items():
+        q = dict(p)
+        q.pop("n_eff", None)
+        stripped[n] = q
+    ok, report = check_pin({"parameters": stripped}, mode="fresh")
+    assert ok, report      # identical medians still pass
+
+    shifted = {n: dict(p) for n, p in stripped.items()}
+    shifted[names[0]]["median"] = (stripped[names[0]]["median"]
+                                   + 1.0 * stripped[names[0]]["std"])
+    ok, report = check_pin({"parameters": shifted}, mode="fresh")
+    assert not ok and names[0] in report[0]

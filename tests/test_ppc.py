@@ -96,3 +96,32 @@ def test_ppc_on_real_data_pins_the_measured_misfit(sess, ref_data):
     kres = ppc_at_mle(build_session(cfg), 3)
     assert kres.p_sz > 0.02                   # knots resolves the SZ misfit
     assert kres.sz_obs.mean() < 0.6 * res.sz_obs.mean()
+
+
+def test_ppc_sz_masking_symmetric(sess):
+    """r5 review: NaN-masked flux points (the SZ likelihood's masking
+    convention, models/sz.py nansum) must be excluded from BOTH the
+    observed and replicated chi^2 — the old code added a ~chi2(1) term
+    per masked point to the replicated side only, inflating p_sz."""
+    theta = np.asarray(sess.params.thawed_values())
+    thetas = np.tile(theta, (100, 1))
+    rng = np.random.default_rng(5)
+    mock = simulate_observation(sess.model, theta, rng)
+
+    res_full = posterior_predictive_pvalues(
+        mock.model, thetas, np.random.default_rng(7))
+
+    flux = np.asarray(mock.model.sz_data.flux).copy()
+    flux[3] = np.nan
+    masked_sz = dataclasses.replace(mock.model.sz_data,
+                                    flux=jnp.asarray(flux))
+    masked_model = dataclasses.replace(mock.model, sz_data=masked_sz)
+    res_mask = posterior_predictive_pvalues(
+        masked_model, thetas, np.random.default_rng(7))
+
+    # identical RNG: the replicated chi^2 must DROP exactly the masked
+    # point's contribution — strictly fewer terms than the full case
+    assert np.all(res_mask.sz_rep <= res_full.sz_rep + 1e-9)
+    assert np.all(np.isfinite(res_mask.sz_obs))
+    assert np.all(np.isfinite(res_mask.sz_rep))
+    assert 0.0 <= res_mask.p_sz <= 1.0
