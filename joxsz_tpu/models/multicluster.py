@@ -36,10 +36,23 @@ def stack_sz_data(datas: list[SZData]) -> SZData:
     seps = {d.sep for d in datas}
     if len(seps) != 1:
         raise ValueError("clusters must share map geometry (sep differs)")
+    # static (non-leaf) flags must agree or tree_map fails with a
+    # cryptic pytree-structure error naming no field
+    integs = {bool(d.calc_integ) for d in datas}
+    if len(integs) != 1:
+        raise ValueError(
+            "clusters mix calc_integ=True and False — the integrated-Y "
+            "option is a static flag and must be uniform across a stack")
     return _stack(datas)
 
 
 def stack_xray_data(datas: list[XrayData]) -> XrayData:
+    tables = {d.table is None for d in datas}
+    if len(tables) != 1:
+        raise ValueError(
+            "clusters mix with-table and table-free XrayData — the "
+            "count-rate table is structural and must be uniform across "
+            "a stack")
     return _stack(datas)
 
 
@@ -57,6 +70,32 @@ def make_multicluster_log_like(model, sz_stack: SZData | None,
     whose (C, W)-batched small GEMMs tile poorly on the MXU (the two paths
     are verified equal in tests).  ``flatten=False`` keeps the simple
     nested-vmap reference path."""
+    # a None stack for a probe the model has data BOUND for is ambiguous:
+    # the nested path would silently substitute the model's single
+    # bound dataset for every cluster while the flat path would drop the
+    # probe — two different posteriors depending on an unrelated flag.
+    # Require the caller to be explicit (pass the stack, or build the
+    # model without that probe).
+    if sz_stack is None and getattr(model, "sz_data", None) is not None:
+        raise ValueError(
+            "sz_stack is None but the model has SZ data bound: pass a "
+            "stacked SZData (stack_sz_data) or build the model SZ-free "
+            "— a None stack would silently reuse the single bound "
+            "dataset on the nested path and drop the probe on the flat "
+            "path")
+    if xray_stack is None and getattr(model, "xray_data", None) is not None:
+        raise ValueError(
+            "xray_stack is None but the model has X-ray data bound: "
+            "pass a stacked XrayData (stack_xray_data) or build the "
+            "model SZ-only")
+    if flatten and sz_stack is None and xray_stack is not None:
+        import warnings
+
+        warnings.warn(
+            "flatten=True without an SZ stack falls back to the nested "
+            "(C, W) vmap path — measured ~20x slower on TPU than the "
+            "flat widened-GEMM path (docs/PERFORMANCE.md)",
+            stacklevel=2)
     if flatten and sz_stack is not None:
         if _flat_shared_grids_ok(sz_stack, xray_stack):
             return _make_flat_log_like(model, sz_stack, xray_stack)
@@ -212,14 +251,11 @@ def _make_flat_log_like(model, sz: SZData, xr: XrayData | None):
             # count-rate lerp as one-hot matmul against ALL clusters'
             # tables, then select
             tl = jnp.log(T_s)                                     # (CW, n_shell)
-            grid = tabs.Tlog[0]
-            dt = grid[1] - grid[0]
-            pos = jnp.clip((tl - grid[0]) / dt, 0.0, nT - 1 - 1e-6)
-            kf = jnp.floor(pos)
-            frac = pos - kf
-            j = jnp.arange(nT, dtype=pos.dtype)
-            w = (jnp.where(j == kf[..., None], 1.0 - frac[..., None], 0.0)
-                 + jnp.where(j == kf[..., None] + 1.0, frac[..., None], 0.0))
+            # shared uniform-grid hat weights (models/xray.py — ONE
+            # implementation of the end-clip/floor/frac numerics)
+            from .xray import uniform_hat_weights
+
+            w = uniform_hat_weights(tabs.Tlog, tl)
             # (CW*n_shell, nT) @ (nT, C*n_band) -> select cluster block
             lr0_all = jnp.transpose(tabs.lograte_Z0, (2, 0, 1)).reshape(
                 nT, C * n_band)
@@ -243,7 +279,11 @@ def _make_flat_log_like(model, sz: SZData, xr: XrayData | None):
             pred = (proj * exps * xr.areascales[cidx]
                     + bscale[:, None, None] * xr.backrates[cidx] * exps
                     * xr.areas[cidx])
-            ok = jnp.min(pred.reshape(pred.shape[0], -1), axis=1) > 0.0
+            # positivity veto over VALID cells only (matches
+            # models/xray.py::xray_log_like's masked form): a masked
+            # annulus (exposure 0 -> pred 0) must not veto every theta
+            mpred = jnp.where(xr.counts_mask[cidx] > 0, pred, 1.0)
+            ok = jnp.min(mpred.reshape(mpred.shape[0], -1), axis=1) > 0.0
             safe = jnp.where(pred > 0.0, pred, 1.0)
             cash = jnp.sum(xr.counts_mask[cidx]
                            * (xr.counts_filled[cidx] * jnp.log(safe) - safe),

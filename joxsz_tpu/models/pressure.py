@@ -63,13 +63,14 @@ class GNFWPressure:
         and making the HSE-mass monotonicity veto falsely reject
         genuine posterior states (f64-adjudicated on converged-chain
         samples, scripts/cpu_finite_mask_adjudicate.py)."""
-        P0, a, b, c, rp = (pars["P_0"], pars["a"], pars["b"], pars["c"],
-                           pars["r_p"])
+        a, b, c, rp = pars["a"], pars["b"], pars["c"], pars["r_p"]
         r = jnp.asarray(r_kpc)
-        lnx = jnp.log(r / rp)
-        press = P0 * jnp.exp(-c * lnx
-                             - ((b - c) / a) * jax.nn.softplus(a * lnx))
-        s = jax.nn.sigmoid(a * lnx)          # x^a / (1 + x^a)
+        # reuse __call__ for P: the overflow-hardened pressure
+        # expression lives in ONE place — a future stability change
+        # there cannot desynchronise P and dP/dr (which would corrupt
+        # the HSE-mass veto while the profile still looked right)
+        press = self(pars, r)
+        s = jax.nn.sigmoid(a * jnp.log(r / rp))   # x^a / (1 + x^a)
         return -press / r * (c + (b - c) * s)
 
 

@@ -47,6 +47,12 @@ class UPPTemperature:
 class VikhlininTemperature:
     """Parametric 3D temperature profile (keV), decoupled from pressure.
 
+    Vikhlinin et al. 2006 form with the slope-transition width FIXED at
+    b_t = 2 (the common simplification): T = T_0 * cool(r) *
+    (1 + (r/r_t)^2)^(-c_t/2) — only the 6 parameters below are free, so
+    fits interpreted against the full published parametrization should
+    note the fixed b_t.
+
     When used in place of ``UPPTemperature`` the SZ pressure and the X-ray
     temperature are sampled independently (useful for consistency checks
     between the two probes)."""

@@ -29,6 +29,31 @@ from ..geometry.annuli import Annuli
 from ..io.readers import BandData
 
 
+def uniform_hat_weights(grid, x):
+    """Dense (..., n) hat-basis lerp weights on a UNIFORM grid:
+    w[j] = (1-frac)[j==k] + frac[j==k+1] with end-clamping, so
+    ``w @ table`` is the linear interpolation of ``table`` at ``x``.
+
+    THE one implementation of the uniform-grid log-T lerp weights —
+    shared by :meth:`CountRateTable.rates` and the flat multicluster
+    path (models/multicluster.py), so the subtle numerics (the
+    ``n-1-1e-6`` end clip, floor/frac construction) cannot drift
+    between copies.  ``grid`` may carry leading batch axes; only its
+    first row's spacing is used (callers guarantee shared grids)."""
+    g = grid.reshape(-1, grid.shape[-1])[0]
+    n = g.shape[0]
+    dt = g[1] - g[0]
+    pos = jnp.clip((x - g[0]) / dt, 0.0, n - 1 - 1e-6)
+    k = jnp.floor(pos)
+    frac = pos - k
+    j = jnp.arange(n, dtype=pos.dtype)
+    shape = x.shape + (n,)
+    kb = jnp.broadcast_to(k[..., None], shape)
+    fb = jnp.broadcast_to(frac[..., None], shape)
+    return (jnp.where(j == kb, 1.0 - fb, 0.0)
+            + jnp.where(j == kb + 1.0, fb, 0.0))
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class CountRateTable:
@@ -59,20 +84,7 @@ class CountRateTable:
             r1 = jnp.exp(lerp_lookup(self.Tlog, self.lograte_Z1, tl,
                                      extrapolate=False))
             return r0 * (1.0 - Z_solar) + r1 * Z_solar
-        grid = self.Tlog
-        n = grid.shape[0]
-        dt = grid[1] - grid[0]                     # uniform log-T grid
-        pos = jnp.clip((tl - grid[0]) / dt, 0.0, n - 1 - 1e-6)
-        k = jnp.floor(pos)
-        frac = pos - k
-        # interpolation weights as a dense (..., nT) matrix:
-        # w[j] = (1-frac) [j==k] + frac [j==k+1]
-        j = jnp.arange(n, dtype=pos.dtype)
-        shape = tl.shape + (n,)
-        kb = jnp.broadcast_to(k[..., None], shape)
-        fb = jnp.broadcast_to(frac[..., None], shape)
-        w = jnp.where(j == kb, 1.0 - fb, 0.0) + jnp.where(j == kb + 1.0,
-                                                          fb, 0.0)
+        w = uniform_hat_weights(self.Tlog, tl)
         # lerp-lookup semantics beyond the grid: clamp-with-end-slope is
         # unnecessary here (the grid spans 0.06-60 keV; T is clipped by
         # `pos`), so clamping to the end segment matches lerp_lookup's
@@ -236,9 +248,16 @@ def xray_log_like(pars: dict, x: XrayData, density, temperature,
                   Z_name: str = "Z") -> jnp.ndarray:
     """Cash log-likelihood with the reference's positivity veto: any
     non-positive predicted profile value => -inf
-    (/root/reference/joxsz_funcs.py:529-532)."""
+    (/root/reference/joxsz_funcs.py:529-532).
+
+    The veto is evaluated over VALID cells only (counts_mask): a
+    masked-out annulus (counts=NaN, exposure=0 — the standard exclusion
+    convention) has pred=0 for every theta, and an unmasked min would
+    make the whole fit -inf with no diagnostic.  The reference takes
+    the raw min, but its one dataset has no masked annuli; the fused
+    kernel and the flat multicluster path apply the same masked form."""
     pred = predicted_counts(pars, x, density, temperature, Z_name)
-    ok = jnp.min(pred) > 0.0
+    ok = jnp.min(jnp.where(x.counts_mask > 0, pred, 1.0)) > 0.0
     safe_pred = jnp.where(pred > 0.0, pred, 1.0)
     ll = cash_log_like(x.counts_filled, x.counts_mask, safe_pred)
     return jnp.where(ok, ll, -jnp.inf)

@@ -890,7 +890,13 @@ def _build_spec(sess, ablate: str = ""):
             pred = proj * sigf + bscale * bgf
             if ablate == "xray_nocash":      # profiling only
                 return total + jnp.sum(pred, axis=1, keepdims=True) * 1e-9
-            okmin = jnp.all(pred > 0.0, axis=1, keepdims=True)
+            # positivity veto over VALID cells only (cmf is the counts
+            # mask) — matches models/xray.py::xray_log_like's masked
+            # form; identical math for all-valid datasets (the bundled
+            # cluster), and a masked annulus (exposure 0 -> pred 0)
+            # no longer vetoes every theta
+            okmin = jnp.all((pred > 0.0) | (cmf == 0.0), axis=1,
+                            keepdims=True)
             safe = jnp.where(pred > 0.0, pred, 1.0)
             cash = jnp.sum(cmf * (ctf * jnp.log(safe) - safe),
                            axis=1, keepdims=True)

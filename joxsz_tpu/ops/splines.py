@@ -65,6 +65,15 @@ def interp_matrix(
         if not extrap:
             M[~inside] = 0.0
     else:
+        # same affine-fill guard as the cubic fast path: pushing the
+        # identity through interp1d turns a constant out-of-range fill c
+        # into a row of c's, so M @ v returns c*sum(v) instead of c — a
+        # silently wrong matrix for any non-zero fill
+        extrap = isinstance(fill_value, str) and fill_value == "extrapolate"
+        if not extrap and _fill_pair(fill_value) != (0.0, 0.0):
+            raise NotImplementedError(
+                "constant fills other than 0 are not expressible as a "
+                "value->output matrix")
         eye = np.eye(knots.size)
         f = interp1d(
             knots,

@@ -156,3 +156,61 @@ def test_multicluster_sampler_on_mesh(sess):
                             key=jax.random.PRNGKey(0), mesh=mesh)
     assert out["log_prob"].shape == (C, W)
     assert np.all(np.isfinite(out["log_prob"]))
+
+
+def test_none_stack_with_bound_probe_rejected(sess):
+    """r5 review: a None stack for a probe the model has data bound for
+    gave two DIFFERENT posteriors depending on `flatten` (nested
+    silently reused the single bound dataset per cluster, flat dropped
+    the probe) — now an explicit error."""
+    sz_list, xr_list = _perturbed_clusters(sess, 2)
+    sz_stack = stack_sz_data(sz_list)
+    xr_stack = stack_xray_data(xr_list)
+    with pytest.raises(ValueError, match="xray_stack is None"):
+        make_multicluster_log_like(sess.model, sz_stack, None)
+    with pytest.raises(ValueError, match="sz_stack is None"):
+        make_multicluster_log_like(sess.model, None, xr_stack)
+
+
+def test_stack_static_flag_mismatch_rejected(sess):
+    """r5 review: mixed static flags used to die inside tree_map with a
+    cryptic pytree-structure error naming no field."""
+    sz_list, _ = _perturbed_clusters(sess, 2)
+    sz_hetero = [sz_list[0],
+                 dataclasses.replace(sz_list[1],
+                                     calc_integ=not sz_list[1].calc_integ)]
+    with pytest.raises(ValueError, match="calc_integ"):
+        stack_sz_data(sz_hetero)
+
+
+def test_masked_annulus_does_not_veto_everything(sess):
+    """r5 review: the positivity veto ran over ALL cells, so an annulus
+    excluded the standard way (counts masked, exposure 0 -> pred 0 for
+    every theta) made the whole likelihood -inf unconditionally.  The
+    masked form must return a finite log-like for a valid theta, on
+    both the single-cluster and flat multicluster paths."""
+    from joxsz_tpu.models.xray import xray_log_like
+
+    theta = jnp.asarray(np.asarray(sess.params.thawed_values()))
+    pars = sess.model.params.unpack(theta)
+
+    xr = sess.model.xray_data
+    mask = np.asarray(xr.counts_mask).copy()
+    exps = np.asarray(xr.exposures).copy()
+    mask[:, 4] = 0.0
+    exps[:, 4] = 0.0
+    xr_masked = dataclasses.replace(
+        xr, counts_mask=jnp.asarray(mask), exposures=jnp.asarray(exps))
+
+    ll = xray_log_like(pars, xr_masked, sess.model.density,
+                       sess.model.temperature, sess.model.Z_name)
+    assert np.isfinite(float(ll)), "masked annulus vetoed every theta"
+
+    # flat multicluster path, same masked dataset per cluster
+    sz_list, _ = _perturbed_clusters(sess, 2)
+    sz_stack = stack_sz_data(sz_list)
+    xr_stack = stack_xray_data([xr_masked, xr_masked])
+    ll_fn = make_multicluster_log_like(sess.model, sz_stack, xr_stack)
+    thetas = jnp.broadcast_to(theta, (2, 4, theta.size))
+    out = np.asarray(ll_fn(thetas))
+    assert np.isfinite(out).all(), out

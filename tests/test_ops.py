@@ -189,3 +189,22 @@ def test_sz_operator_magnitude(sz_setup):
     assert 1e-5 < y_prof[0] < 1e-3
     # beam+TF smoothing keeps the profile peaked at centre
     assert y_prof[0] == np.max(y_prof)
+
+
+def test_interp_matrix_nonzero_fill_rejected_all_kinds():
+    """r5 review: the generic (non-cubic) fallback silently built a
+    wrong matrix for non-zero constant fills (identity push-through
+    turns fill c into rows of c, so M @ v = c*sum(v)); it must raise
+    like the cubic path does."""
+    from joxsz_tpu.ops.splines import interp_matrix
+
+    knots = np.linspace(0.0, 1.0, 8)
+    q = np.array([-0.5, 0.5, 1.5])
+    for kind in ("linear", "cubic"):
+        with pytest.raises(NotImplementedError, match="constant fills"):
+            interp_matrix(knots, q, kind=kind, fill_value=(7.0, 7.0))
+    # zero fill and extrapolation stay supported
+    M = interp_matrix(knots, q, kind="linear", fill_value=0.0)
+    v = np.linspace(2.0, 3.0, 8)
+    assert M.shape == (3, 8)
+    assert M[0] @ v == 0.0 and M[2] @ v == 0.0
