@@ -76,12 +76,20 @@ def _operator_cache_path(cfg: JoXSZConfig) -> pathlib.Path:
     entries under different hashes."""
     import json as _json
 
+    sz_inputs = dataclasses.asdict(cfg.sz)
+    # fields the OPERATOR does not depend on must not key the cache:
+    # conversion_file feeds the likelihood's y->mJy lerp, and the
+    # integrated-Y prior options only shape SZData — hashing them
+    # rebuilt byte-identical operators into duplicate cache files (the
+    # exact failure mode this keying scheme was introduced to fix)
+    for k in ("conversion_file", "calc_integ", "integ_mu", "integ_sig"):
+        sz_inputs.pop(k, None)
     op_inputs = dict(
         step_arcsec=cfg.step_arcsec,
         cluster_extent_kpc=cfg.cluster_extent_kpc,
         redshift=cfg.redshift, H0=cfg.H0, WM=cfg.WM, WV=cfg.WV,
         abel_scheme=cfg.abel_scheme,
-        sz=dataclasses.asdict(cfg.sz),
+        sz=sz_inputs,
     )
     key = hashlib.sha256(
         (_json.dumps(op_inputs, sort_keys=True)

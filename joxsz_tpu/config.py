@@ -177,7 +177,15 @@ class JoXSZConfig:
         raw = json.loads(text)
         sz = SZConfig(**raw.pop("sz", {}))
         xr = raw.pop("xray", None)
-        xray = XrayConfig(**{**xr, "bands_eV": tuple(map(tuple, xr["bands_eV"]))}) \
-            if xr else None
+        if xr:
+            # bands_eV may be omitted (XrayConfig declares a default);
+            # only normalise it to tuples when present — indexing it
+            # unconditionally made every partial xray override config
+            # unloadable with a bare KeyError
+            if "bands_eV" in xr:
+                xr = {**xr, "bands_eV": tuple(map(tuple, xr["bands_eV"]))}
+            xray = XrayConfig(**xr)
+        else:
+            xray = None
         mcmc = MCMCConfig(**raw.pop("mcmc", {}))
         return cls(sz=sz, xray=xray, mcmc=mcmc, **raw)

@@ -29,6 +29,13 @@ def make_mesh(n_devices: int | None = None,
               shape: tuple[int, ...] | None = None) -> Mesh:
     devs = jax.devices()
     if n_devices is not None:
+        if n_devices > len(devs):
+            # silently building a smaller mesh would make every
+            # walkers-per-device computation downstream (statistical
+            # floors, hybrid auto-routing) wrong with no signal
+            raise ValueError(
+                f"make_mesh: {n_devices} devices requested but only "
+                f"{len(devs)} available")
         devs = devs[:n_devices]
     n = len(devs)
     if shape is None:

@@ -52,16 +52,32 @@ def make_sharded_drive(log_prob_batch, ndim: int, mesh: Mesh,
     return drive
 
 
+_SHARDED_DRIVE_CACHE: dict = {}
+
+
 def run_sharded_ensemble(log_prob_batch, p0, n_steps, key, mesh,
                          thin: int = 1, a: float = 2.0):
-    """Convenience wrapper mirroring ``run_ensemble`` on a mesh."""
+    """Convenience wrapper mirroring ``run_ensemble`` on a mesh.
+
+    Compiled drivers are cached per (fn, schedule, shapes, mesh) like
+    every other sampler driver: the fit driver's chunked-checkpoint and
+    auto-extend loops call this once per chunk with identical
+    configuration, and an uncached build paid a full re-trace per chunk
+    on the mesh XLA-fallback path."""
     W, D = p0.shape
     validate_schedule(n_steps, thin, W)
     xs = NamedSharding(mesh, P("walker"))
     x = jax.device_put(jnp.asarray(p0), xs)
     lp = log_prob_batch(x)
     acc = jnp.zeros((W,), dtype=x.dtype)
-    drive = make_sharded_drive(log_prob_batch, D, mesh, n_steps, thin, a)
+    cache_key = (log_prob_batch, n_steps, thin, a, W, D, mesh)
+    drive = _SHARDED_DRIVE_CACHE.get(cache_key)
+    if drive is None:
+        drive = make_sharded_drive(log_prob_batch, D, mesh, n_steps,
+                                   thin, a)
+        _SHARDED_DRIVE_CACHE[cache_key] = drive
+        if len(_SHARDED_DRIVE_CACHE) > 16:
+            _SHARDED_DRIVE_CACHE.pop(next(iter(_SHARDED_DRIVE_CACHE)))
     (x, lp, acc), (chain, logp) = drive(x, lp, acc, key)
     return {
         "chain": np.asarray(chain),

@@ -100,7 +100,9 @@ def run_batched_ensembles(log_prob_batch_cluster, p0, n_burn: int,
     @jax.jit
     def drive(p0, rkey):
         lp0 = log_prob_batch_cluster(p0)
-        acc0 = jnp.zeros((C, W), dtype=p0.dtype)
+        # float32 counters regardless of walker dtype (bf16 saturates
+        # at 256)
+        acc0 = jnp.zeros((C, W), dtype=jnp.float32)
         state = (p0, lp0, acc0)
         if n_burn:
             kb, rkey = jax.random.split(rkey)
@@ -110,15 +112,21 @@ def run_batched_ensembles(log_prob_batch_cluster, p0, n_burn: int,
 
         def outer(state, k):
             state, _ = jax.lax.scan(step, state, jax.random.split(k, thin))
-            return state, (state[0], state[1])
+            # the lp chain is emitted only when requested: stacking it
+            # unconditionally allocated an (n_saved, C, W) HBM buffer
+            # (hundreds of MB at survey scale) that was then thrown away
+            return state, ((state[0], state[1]) if record_log_prob
+                           else (state[0],))
 
-        state, (chain, lp_chain) = jax.lax.scan(
+        state, saved = jax.lax.scan(
             outer, state, jax.random.split(rkey, n_saved))
-        return state, chain, lp_chain
+        return state, saved
 
-    (x, lp, acc), chain, lp_chain = drive(p0, key)
+    (x, lp, acc), saved = drive(p0, key)
     if record_log_prob:
+        chain, lp_chain = saved
         return (np.asarray(chain), np.asarray(lp_chain),
                 np.asarray(acc) / float(n_steps), np.asarray(x))
+    (chain,) = saved
     return (np.asarray(chain), np.asarray(acc) / float(n_steps),
             np.asarray(x))

@@ -324,5 +324,11 @@ def population_from_survey(result, params, param: str,
             draws = rng.choice(draws, size=max_samples, replace=False)
         cols.append(draws)
     S = min(len(d) for d in cols)
-    samples = np.stack([d[:S] for d in cols])
+    # equalise counts by RANDOM subsample, never d[:S]: the flat chain
+    # is frame-major, so a head slice keeps the most burn-adjacent,
+    # most autocorrelated block — an asymmetric bias against the
+    # clusters that happened to have longer chains
+    samples = np.stack([
+        d if len(d) == S else rng.choice(d, size=S, replace=False)
+        for d in cols])
     return fit_population(samples, model, seed=seed, **kw)

@@ -364,7 +364,10 @@ def run_ensemble(
     n_saved = n_steps // thin
 
     lp0 = log_prob_batch(p0)
-    acc0 = jnp.zeros((W,), dtype=p0.dtype)
+    # acceptance counters stay float32 regardless of the walker dtype:
+    # a bf16 counter saturates at 256 (257 rounds back down), silently
+    # under-reporting acceptance on long low-precision runs
+    acc0 = jnp.zeros((W,), dtype=jnp.float32)
     drive = _get_drive(log_prob_batch, n_saved, thin, a, store_chain,
                        unroll_inner, W, D, p0.dtype, move, de_gamma)
     state, saved = drive(p0, lp0, acc0, key)

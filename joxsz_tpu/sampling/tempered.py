@@ -66,8 +66,9 @@ def run_tempered_ensemble(
         n_steps, thin, a, K, W, D, dtype)
 
     lp0 = lp_all(p0)
-    acc0 = jnp.zeros((K, W), dtype=dtype)
-    sacc0 = jnp.zeros((K - 1,), dtype=dtype)
+    # float32 counters regardless of walker dtype (bf16 saturates at 256)
+    acc0 = jnp.zeros((K, W), dtype=jnp.float32)
+    sacc0 = jnp.zeros((K - 1,), dtype=jnp.float32)
     (x, lp, acc, sacc), (chain, logp) = drive(p0, lp0, acc0, sacc0, key)
     return TemperedResult(
         chain=np.asarray(chain),

@@ -368,3 +368,36 @@ def test_integrated_y_option(ref_data):
     assert np.isclose(ll_with - ll_without, expected_penalty, rtol=1e-6)
     # Y of a massive cluster: positive, order 1e-4..1e-2 arcmin^2
     assert 0 < cint < 1.0
+
+
+def test_config_from_json_partial_xray_block():
+    """r5 review: a JSON config whose xray block omits bands_eV (the
+    dataclass declares a default) crashed with a bare KeyError; partial
+    xray overrides must load."""
+    from joxsz_tpu.config import JoXSZConfig
+
+    cfg = JoXSZConfig.cl1226()
+    full = JoXSZConfig.from_json(cfg.to_json())
+    assert full.xray.bands_eV == cfg.xray.bands_eV
+
+    import json as _json
+    raw = _json.loads(cfg.to_json())
+    raw["xray"] = {"rmf": "a.rmf", "arf": "a.arf"}
+    partial = JoXSZConfig.from_json(_json.dumps(raw))
+    assert partial.xray.rmf == "a.rmf"
+    # dataclass default applies
+    from joxsz_tpu.config import XrayConfig
+    assert partial.xray.bands_eV == XrayConfig().bands_eV
+
+
+def test_make_mesh_rejects_overask():
+    """r5 review: requesting more devices than exist silently built a
+    smaller mesh, corrupting every walkers-per-device computation
+    downstream — must raise."""
+    import jax
+    import pytest as _pytest
+    from joxsz_tpu.parallel import make_mesh
+
+    n = len(jax.devices())
+    with _pytest.raises(ValueError, match="devices requested"):
+        make_mesh(n + 1)
