@@ -19,7 +19,6 @@ from .config import JoXSZConfig
 from .cosmology import Cosmology
 from .io.readers import (
     read_xy, read_transfer_function, read_conversion_table, load_band,
-    annuli_edges_arcmin,
 )
 from .geometry import (
     build_beam, build_map_geometry, build_filter_image, Annuli, MapGeometry,
@@ -181,11 +180,14 @@ def build_session(cfg: JoXSZConfig, sz_only: bool = False,
     xray_data = None
     edges_logkpc = None
     if cfg.xray is not None and not sz_only:
-        edges = annuli_edges_arcmin(cfg.xray.fg_template, cfg.xray.bands_eV[0])
-        annuli = Annuli(edges_arcmin=edges, cosmology=cosmo)
-        edges_logkpc = annuli.edges_logkpc
         bands = [load_band(cfg.xray.fg_template, cfg.xray.bg_template, b)
                  for b in cfg.xray.bands_eV]
+        # edges derive from the already-loaded band (BandData.edges_arcmin
+        # is the same construction as annuli_edges_arcmin without
+        # re-reading the file)
+        annuli = Annuli(edges_arcmin=bands[0].edges_arcmin,
+                        cosmology=cosmo)
+        edges_logkpc = annuli.edges_logkpc
         expect = {"z": cfg.redshift, "NH_1022pcm2": cfg.xray.NH_1022pcm2,
                   "bands_eV": tuple(cfg.xray.bands_eV),
                   "model_version": SPECTRAL_MODEL_VERSION}

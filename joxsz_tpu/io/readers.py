@@ -63,7 +63,15 @@ def read_transfer_function(
     c: float = 0.95,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Wavenumber (arcsec^-1) and transmission; optional c*Phi((k-loc)/s)
-    approximation (reference's `tf_approx` mode)."""
+    approximation (reference's `tf_approx` mode).
+
+    A file is required even in approx mode — the wavenumber GRID comes
+    from it, only the transmission values are replaced."""
+    if filename is None:
+        raise ValueError(
+            "sz.tf_file is required: the transfer-function wavenumber "
+            "grid is read from it even with tf_approx=True (only the "
+            "transmission values are synthesised)")
     wn, tf = read_xy(filename, ncol=2)
     if approx:
         from scipy.stats import norm
@@ -102,6 +110,13 @@ class BandData:
         return np.pi * ((r + hw) ** 2 - (r - hw) ** 2)
 
     @property
+    def edges_arcmin(self) -> np.ndarray:
+        """Annulus edges [r0-hw0, r_i+hw_i...] — same construction as
+        :func:`annuli_edges_arcmin` without re-reading the file."""
+        r, hw = self.radii_arcmin, self.halfwidths_arcmin
+        return np.hstack((r[0] - hw[0], r + hw))
+
+    @property
     def areascales(self) -> np.ndarray:
         return self.areas_arcmin2 / self.geom_areas_arcmin2
 
@@ -119,10 +134,19 @@ def load_band(
     fg = np.loadtxt(fg_template % (lo, hi))
     bg = np.loadtxt(bg_template % (lo, hi))
     n = fg.shape[0]
-    if abs(bg[n - 1, 0] - fg[n - 1, 0]) > 1e-3:
+    # validate the FULL radial grid, not just the last radius: a bg
+    # profile with different interior binning but the same outer edge
+    # would otherwise silently assign wrong background rates per
+    # annulus, and a short bg file would die in a raw IndexError
+    if bg.shape[0] < n:
         raise ValueError(
-            f"fg/bg radial grids disagree for band {band_eV}: "
-            f"{bg[n-1,0]} vs {fg[n-1,0]}"
+            f"background profile for band {band_eV} has {bg.shape[0]} "
+            f"annuli but the foreground has {n}")
+    if np.max(np.abs(bg[:n, 0] - fg[:, 0])) > 1e-3:
+        i = int(np.argmax(np.abs(bg[:n, 0] - fg[:, 0])))
+        raise ValueError(
+            f"fg/bg radial grids disagree for band {band_eV} at "
+            f"annulus {i}: {bg[i, 0]} vs {fg[i, 0]}"
         )
     return BandData(
         emin_keV=lo / 1000.0,

@@ -137,7 +137,16 @@ def make_sz_core(op, conv_table, flux, flux_err, dtype=jnp.float32,
         out_ref[:] = -0.5 * jnp.sum(resid * resid, axis=-1, keepdims=True)
 
     @jax.jit
-    def sz_core_pallas(pp, t_all, calibration):
+    def _sz_core_jit(pp, t_all, calibration, consts):
+        # dataset arrays enter as jit ARGUMENTS, not closure captures:
+        # captured arrays embed in the lowered HLO as literals, so any
+        # data change (new cluster, fresh mock flux) would change the
+        # module hash and defeat the persistent compile cache at
+        # identical shapes (CLAUDE.md; same fix as the fused kernel
+        # builders).  The ~6-float conversion knots remain embedded —
+        # they are part of the instrument, and threading them through
+        # the pallas operand list buys nothing at that size.
+        LT_c, GT_c, flux_c, w_c = consts
         B = pp.shape[0]
         Bp = _round_up(B, block_b)
         pp_p = jnp.zeros((Bp, NP), dtype=dtype).at[:B, :n_press].set(pp)
@@ -171,7 +180,12 @@ def make_sz_core(op, conv_table, flux, flux_err, dtype=jnp.float32,
                                        memory_space=pltpu.VMEM),
             ),
             interpret=interpret,
-        )(pp_p, t_p, cal_p, LT_j, GT_j, flux_j[None, :], w_j[None, :])
+        )(pp_p, t_p, cal_p, LT_c, GT_c, flux_c[None, :], w_c[None, :])
         return out[:B, 0]
+
+    _sz_consts = (LT_j, GT_j, flux_j, w_j)
+
+    def sz_core_pallas(pp, t_all, calibration):
+        return _sz_core_jit(pp, t_all, calibration, _sz_consts)
 
     return sz_core_pallas

@@ -79,12 +79,9 @@ def run_hmc(
 
     validate_schedule(n_steps, thin)
 
-    safe_lp = lambda x: jnp.where(jnp.isfinite(log_prob(x)),
-                                  log_prob(x), -jnp.inf)
-    lp_b = jax.vmap(safe_lp)
-    grad_one = jax.grad(lambda x: jnp.where(jnp.isfinite(log_prob(x)),
-                                            log_prob(x), -1e12))
-    grad_b = jax.vmap(grad_one)
+    from .adapt import make_safe_lp_grad
+
+    lp_b, grad_b = make_safe_lp_grad(log_prob)
 
     if mass_diag is None:
         var = jnp.var(p0, axis=0) + 1e-12
@@ -108,31 +105,6 @@ def run_hmc(
         a_prob = jnp.mean(jnp.minimum(jnp.exp(log_ratio), 1.0))
         return x, lp, accept, a_prob
 
-    # --- warmup with dual averaging ----------------------------------------
-    from .adapt import dual_averaging_update
-
-    mu = jnp.log(10.0 * init_step_size)
-
-    from functools import partial
-
-    @partial(jax.jit, static_argnums=(4,))
-    def warmup(x, lp, mass, rkey, n):
-        def body(carry, kt):
-            x, lp, log_eps, log_eps_bar, h_bar = carry
-            k, t = kt
-            eps = jnp.exp(log_eps)
-            x, lp, _, a_prob = hmc_step(x, lp, eps, mass, k)
-            log_eps, log_eps_bar, h_bar = dual_averaging_update(
-                t, a_prob, h_bar, log_eps_bar, mu, target_accept)
-            return (x, lp, log_eps, log_eps_bar, h_bar), None
-
-        keys = jax.random.split(rkey, n)
-        ts = jnp.arange(1, n + 1, dtype=dtype)
-        (x, lp, _, log_eps_bar, _), _ = jax.lax.scan(
-            body, (x, lp, jnp.log(init_step_size),
-                   jnp.log(init_step_size), 0.0), (keys, ts))
-        return x, lp, jnp.exp(log_eps_bar)
-
     # --- sampling -----------------------------------------------------------
     @jax.jit
     def sample(x, lp, eps, mass, rkey):
@@ -155,18 +127,19 @@ def run_hmc(
             outer, (x, lp, jnp.zeros(x.shape[0], dtype=dtype)), keys)
         return (x, lp, acc), saved
 
+    # --- warmup: the shared dual-averaging + mass-window scaffold ----------
+    from .adapt import dual_averaging_warmup
+
+    def _warm_transition(x, lp, eps, mass, k):
+        x, lp, _, a_prob = hmc_step(x, lp, eps, mass, k)
+        return x, lp, a_prob
+
     k1, k1b, k2 = jax.random.split(key, 3)
     lp0 = lp_b(p0)
-    mass = mass0
-    if adapt_mass and n_warmup >= 100:
-        n1 = n_warmup // 2
-        x, lp, _ = warmup(p0, lp0, mass, k1, n1)
-        # window 2: re-estimate the posterior scale from the (independent)
-        # chains' spread, then re-adapt the step size against it
-        mass = 1.0 / (jnp.var(x, axis=0) + 1e-12)
-        x, lp, eps = warmup(x, lp, mass, k1b, n_warmup - n1)
-    else:
-        x, lp, eps = warmup(p0, lp0, mass, k1, n_warmup)
+    x, lp, eps, mass = dual_averaging_warmup(
+        _warm_transition, p0, lp0, mass0, (k1, k1b), n_warmup,
+        init_step_size=init_step_size, target_accept=target_accept,
+        adapt_mass=adapt_mass, dtype=dtype)
     (x, lp, acc), (chain, logp) = sample(x, lp, eps, mass, k2)
     return HMCResult(
         chain=np.asarray(chain),

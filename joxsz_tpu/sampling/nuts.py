@@ -125,7 +125,14 @@ def _nuts_transition(lp_b, grad_b, x, lp, eps, mass, key,
             slp = jnp.where(take, nlp, sub["slp"])
             wsub = jnp.where(frozen | diverged, sub["wsub"], wnew)
 
-            alpha = jnp.minimum(jnp.exp(w - w0), 1.0)
+            # NaN guard mirroring hmc.py's log_ratio guard: a chain
+            # started at lp = -inf has w0 = -inf, and w - w0 = NaN
+            # would poison the CROSS-CHAIN mean(alpha) fed to the
+            # shared dual-averaging step size — NaN-ing every chain
+            ratio = w - w0
+            alpha = jnp.minimum(
+                jnp.exp(jnp.where(jnp.isnan(ratio), -jnp.inf, ratio)),
+                1.0)
             sum_alpha = sub["sum_alpha"] + jnp.where(frozen, 0.0, alpha)
             n_alpha = sub["n_alpha"] + jnp.where(frozen, 0.0, 1.0)
 
@@ -235,12 +242,9 @@ def run_nuts(
 
     validate_schedule(n_steps, thin)
 
-    safe_lp = lambda x: jnp.where(jnp.isfinite(log_prob(x)),
-                                  log_prob(x), -jnp.inf)
-    lp_b = jax.vmap(safe_lp)
-    grad_one = jax.grad(lambda x: jnp.where(jnp.isfinite(log_prob(x)),
-                                            log_prob(x), -1e12))
-    grad_b = jax.vmap(grad_one)
+    from .adapt import make_safe_lp_grad
+
+    lp_b, grad_b = make_safe_lp_grad(log_prob)
 
     if mass_diag is None:
         mass_diag = 1.0 / (jnp.var(p0, axis=0) + 1e-12)
@@ -248,29 +252,6 @@ def run_nuts(
 
     transition = partial(_nuts_transition, lp_b, grad_b,
                          max_depth=max_depth)
-
-    # --- dual-averaging warmup (shared scheme, sampling/adapt.py) -----------
-    from .adapt import dual_averaging_update
-
-    mu = jnp.log(10.0 * init_step_size)
-
-    @partial(jax.jit, static_argnums=(4,))
-    def warmup(x, lp, mass, rkey, n):
-        def body(carry, kt):
-            x, lp, log_eps, log_eps_bar, h_bar = carry
-            k, t = kt
-            x, lp, alpha, _ = transition(x, lp, jnp.exp(log_eps), mass, k)
-            log_eps, log_eps_bar, h_bar = dual_averaging_update(
-                t, jnp.mean(alpha), h_bar, log_eps_bar, mu, target_accept)
-            return (x, lp, log_eps, log_eps_bar, h_bar), None
-
-        keys = jax.random.split(rkey, n)
-        ts = jnp.arange(1, n + 1, dtype=dtype)
-        (x, lp, _, log_eps_bar, _), _ = jax.lax.scan(
-            body, (x, lp, jnp.log(jnp.asarray(init_step_size, dtype)),
-                   jnp.log(jnp.asarray(init_step_size, dtype)), 0.0),
-            (keys, ts))
-        return x, lp, jnp.exp(log_eps_bar)
 
     @jax.jit
     def sample(x, lp, eps, mass, rkey):
@@ -296,16 +277,19 @@ def run_nuts(
             keys)
         return (x, lp, asum, dsum), saved
 
+    # --- warmup: the shared dual-averaging + mass-window scaffold ----------
+    from .adapt import dual_averaging_warmup
+
+    def _warm_transition(x, lp, eps, mass, k):
+        x, lp, alpha, _ = transition(x, lp, eps, mass, k)
+        return x, lp, alpha
+
     k1, k1b, k2 = jax.random.split(key, 3)
     lp0 = lp_b(p0)
-    mass = mass0
-    if adapt_mass and n_warmup >= 100:
-        n1 = n_warmup // 2
-        x, lp, _ = warmup(p0, lp0, mass, k1, n1)
-        mass = 1.0 / (jnp.var(x, axis=0) + 1e-12)
-        x, lp, eps = warmup(x, lp, mass, k1b, n_warmup - n1)
-    else:
-        x, lp, eps = warmup(p0, lp0, mass, k1, n_warmup)
+    x, lp, eps, mass = dual_averaging_warmup(
+        _warm_transition, p0, lp0, mass0, (k1, k1b), n_warmup,
+        init_step_size=init_step_size, target_accept=target_accept,
+        adapt_mass=adapt_mass, dtype=dtype)
     (x, lp, asum, dsum), (chain, logp) = sample(x, lp, eps, mass, k2)
     n_trans = max(n_steps, 1)
     return NUTSResult(

@@ -138,3 +138,41 @@ def test_annuli_outer_edge(ref_data, cosmo):
     ann = Annuli(edges_arcmin=edges, cosmology=cosmo)
     assert abs(edges[-1] - 7.667) < 0.01
     assert abs(ann.edges_kpc[-1] - 3681) < 10
+
+
+def test_read_transfer_function_requires_file():
+    """r5 review: tf_file=None crashed with AttributeError inside
+    read_xy; the error must name the config field and explain why the
+    file is needed even with tf_approx."""
+    with pytest.raises(ValueError, match="tf_file"):
+        read_transfer_function(None, approx=True)
+
+
+def test_load_band_validates_full_bg_grid(tmp_path):
+    """r5 review: only the LAST fg/bg radius was compared, so a bg file
+    with different interior binning silently assigned wrong background
+    rates, and a short bg file raised a raw IndexError."""
+    fg = np.column_stack([np.arange(1, 6, dtype=float),
+                          np.full(5, 0.5), np.arange(5, dtype=float),
+                          np.ones(5), np.ones(5)])
+    np.savetxt(tmp_path / "fg_700_1000.txt", fg)
+
+    bad = fg.copy()
+    bad[2, 0] += 0.5                 # interior radius misaligned
+    np.savetxt(tmp_path / "bg_700_1000.txt", bad)
+    with pytest.raises(ValueError, match="annulus 2"):
+        load_band(str(tmp_path / "fg_%d_%d.txt"),
+                  str(tmp_path / "bg_%d_%d.txt"), (700, 1000))
+
+    np.savetxt(tmp_path / "bg_700_1000.txt", fg[:3])   # short bg
+    with pytest.raises(ValueError, match="3 annuli"):
+        load_band(str(tmp_path / "fg_%d_%d.txt"),
+                  str(tmp_path / "bg_%d_%d.txt"), (700, 1000))
+
+    np.savetxt(tmp_path / "bg_700_1000.txt", fg)       # aligned passes
+    band = load_band(str(tmp_path / "fg_%d_%d.txt"),
+                     str(tmp_path / "bg_%d_%d.txt"), (700, 1000))
+    # edges from the loaded band match the file-based helper
+    np.testing.assert_allclose(
+        band.edges_arcmin,
+        annuli_edges_arcmin(str(tmp_path / "fg_%d_%d.txt"), (700, 1000)))

@@ -116,3 +116,29 @@ def test_nuts_on_joint_posterior(ref_data):
     # (wrong posterior, sign errors) show up at many widths.
     assert np.all(np.abs(med_n - med_s) < 2.0 * width), (
         list(zip(sess.params.thawed, (med_n - med_s) / width)))
+
+
+def test_nuts_survives_inf_start_chain():
+    """r5 review: a chain started at lp = -inf gave alpha = NaN, and the
+    CROSS-CHAIN mean fed to the shared dual-averaging step size NaN-ed
+    every chain.  The guarded transition must keep the healthy chains
+    sampling."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from joxsz_tpu.sampling import run_nuts
+
+    def lp(x):
+        # hard veto outside |x| < 3 per coordinate
+        ok = jnp.all(jnp.abs(x) < 3.0)
+        return jnp.where(ok, -0.5 * jnp.sum(x * x), -jnp.inf)
+
+    rng = np.random.default_rng(0)
+    p0 = 0.3 * rng.standard_normal((8, 2))
+    p0[0] = [10.0, 10.0]              # vetoed start
+    res = run_nuts(lp, jnp.asarray(p0), n_steps=50, key=jax.random.PRNGKey(1),
+                   n_warmup=60, max_depth=5)
+    assert np.isfinite(res.step_size)
+    # the healthy chains produced finite samples
+    assert np.isfinite(res.chain[:, 1:]).all()
+    assert np.isfinite(res.log_prob[:, 1:]).all()
