@@ -75,7 +75,14 @@ def check_pin(summary: dict, pin: dict | None = None, *,
     report line, and a parameter missing from either side is a failure
     (a renamed/dropped parameter is exactly the kind of silent change
     the pin exists to catch)."""
-    pin = pin or load_pin()
+    if mode not in ("exact", "fresh"):
+        # an unknown mode must not silently fall through to the LOOSER
+        # fresh gates (module contract: never substitute a weaker check)
+        raise ValueError(f"mode must be 'exact' or 'fresh', got {mode!r}")
+    if pin is None:
+        # `pin or load_pin()` would silently swap an explicitly passed
+        # empty/truncated pin for the bundled default
+        pin = load_pin()
     pp = pin["parameters"]
     sp = summary["parameters"] if "parameters" in summary else summary
     report: list[str] = []

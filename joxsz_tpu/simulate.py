@@ -88,18 +88,28 @@ def simulate_observation(model, theta, rng, *, sz_noise: bool = True,
         xr = model.xray_data
         xr_true = np.asarray(
             _jitted_profile(model, "xray_profiles")(theta_j))
-        if np.any(xr_true < 0):
+        mask = np.asarray(xr.counts_mask) > 0
+        # support guard over VALID cells: pred must be strictly
+        # positive there or the generating theta itself is vetoed to
+        # -inf by xray_log_like (pred == 0 and NaN both fail `> 0` —
+        # the old `< 0` check let exact zeros and NaNs through, to die
+        # later as an unrecoverable truth or an opaque poisson error)
+        if not np.all(xr_true[mask] > 0):
             raise ValueError(
-                "negative predicted X-ray counts at theta — the vector "
-                "is outside the likelihood's support; pick parameters "
-                "with a physical (positive) predicted profile")
-        xr_counts = (rng.poisson(xr_true).astype(float) if xray_noise
-                     else xr_true.copy())
-        # mock data has no gaps: every (band, annulus) cell observed
+                "non-positive (or NaN) predicted X-ray counts in valid "
+                "cells at theta — the vector is outside the "
+                "likelihood's support; pick parameters with a physical "
+                "(strictly positive) predicted profile")
+        xr_counts = (rng.poisson(np.where(mask, xr_true, 0.0))
+                     .astype(float) if xray_noise else
+                     np.where(mask, xr_true, 0.0))
+        # the ORIGINAL mask is kept ('same shapes, masks, exposures as
+        # the originals'): forcing all-ones made mocks from datasets
+        # with excluded annuli (exposure 0 -> pred 0 for every theta)
+        # -inf everywhere
         replace["xray_data"] = dataclasses.replace(
             xr, counts=jnp.asarray(xr_counts, dtype=xr.counts.dtype),
-            counts_filled=jnp.asarray(xr_counts, dtype=xr.counts.dtype),
-            counts_mask=jnp.ones_like(xr.counts_mask))
+            counts_filled=jnp.asarray(xr_counts, dtype=xr.counts.dtype))
 
     return MockObservation(
         model=dataclasses.replace(model, **replace),

@@ -7,12 +7,22 @@ jax is imported anywhere.
 """
 
 import os
+import re
 
 flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
+_m = re.search(r"--xla_force_host_platform_device_count=(\d+)", flags)
+if _m is None:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+elif int(_m.group(1)) < 8:
+    # a smaller leftover count (e.g. a debugging shell export) would
+    # silently degrade every multi-chip sharding test to a smaller
+    # mesh; bump it — the backend is not initialized yet at conftest
+    # time, so the correction takes effect
+    os.environ["XLA_FLAGS"] = re.sub(
+        r"--xla_force_host_platform_device_count=\d+",
+        "--xla_force_host_platform_device_count=8", flags)
 
 import jax
 

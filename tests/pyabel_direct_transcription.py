@@ -39,6 +39,12 @@ def pyabel_direct_forward(fr: np.ndarray, r: np.ndarray,
     """Forward direct Abel transform of one profile on grid ``r``."""
     fr = np.asarray(fr, dtype=np.float64)
     r = np.asarray(r, dtype=np.float64)
+    # same input contract as the production ops.abel.forward_abel_matrix:
+    # r[0] = 0 makes arccosh(r[1]/r[0]) = inf and w0 = 0 an inf*0 = NaN
+    # in row 0, duplicates divide by zero in the slope — the reference
+    # transcription must fail as loudly as the code it pins
+    if np.any(r <= 0) or np.any(np.diff(r) <= 0):
+        raise ValueError("r must be strictly increasing and positive")
     f = np.atleast_2d(fr.copy())
 
     # direction == 'forward': integrand w = 2 r f

@@ -105,4 +105,10 @@ def xray_cash_numpy(session, theta):
     pred = xray_pred_numpy(session, theta)
     cts = np.asarray(x.counts)
     mask = ~np.isnan(cts)
+    # the runtime's positivity veto (models/xray.py::xray_log_like):
+    # without it a theta outside the support returned NaN with a
+    # RuntimeWarning, so a parity check there failed as 'nan != -inf'
+    # with no hint the point is simply vetoed
+    if np.any(pred[mask] <= 0):
+        return float("-inf")
     return float(np.sum(cts[mask] * np.log(pred[mask]) - pred[mask]))

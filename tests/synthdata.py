@@ -114,6 +114,14 @@ def make_synthetic_config(tmp_path, rng, *, step_arcsec=4.0,
                 [rc, hw, np.zeros(n_ann), area, bgrate]))
 
         # --- count-rate table at the requested nT ------------------------
+        import pathlib
+
+        import pytest
+
+        if not pathlib.Path(f"{REF_X}/source.rmf").exists():
+            # mirror conftest's ref_data fixture: skip, don't
+            # FileNotFoundError deep inside load_response
+            pytest.skip("reference data not mounted")
         spec = TableSpec(rmf=f"{REF_X}/source.rmf", arf=f"{REF_X}/source.arf",
                          bands_eV=bands, z=redshift, NH_1022pcm2=NH_1022,
                          nT=nT)
