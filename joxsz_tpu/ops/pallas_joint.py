@@ -33,7 +33,7 @@ except Exception:  # pragma: no cover
     pltpu = None
     _HAVE_PLTPU = False
 
-from .pallas_kernels import _pad_to, _round_up
+from .pallas_kernels import _pad_to, _round_up, sz_padded_data
 
 
 _REF_THAWED = ["log(n_0)", r"\beta", "log(r_c)", "log(r_s)", r"\epsilon",
@@ -265,15 +265,11 @@ def _cluster_arrays(spec, sz, xr, L, G, w_T0_raw):
 
     LT = _pad_to(np.asarray(L, dtype=f64).T, (NP, PIX))
     GT = _pad_to(np.asarray(G, dtype=f64).T, (PIX, ND))
-    flux64 = np.asarray(sz.flux, dtype=f64)
-    err64 = np.asarray(sz.flux_err, dtype=f64)
-    if flux64.shape[0] > ND:
+    if np.asarray(sz.flux).shape[0] > ND:
         raise StackMismatch("flux profile longer than the spec's padded "
                             "data axis (heterogeneous stack)")
-    valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
-    flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
-    w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
-                  (ND,))
+    # shared SZ validity rule (ops.pallas_kernels.sz_padded_data)
+    flux_p, w_p = sz_padded_data(sz.flux, sz.flux_err, ND, dtype=f64)
     w_T0 = _pad_to(np.asarray(w_T0_raw, dtype=f64), (NP,))
 
     xray_arrays = []
@@ -1121,6 +1117,51 @@ _PARTNER_AUTO_THRESHOLD = 4096
 # move targets the same posterior, but seed-pinned chains from before
 # the refactor are not reproduced bit-for-bit.
 
+def _auto_half_tile(rows: int, H: int, ll_tile: int,
+                    threshold: int, target: int = 4096) -> int | None:
+    """Pick a walker tile for the half-substep when ``rows`` exceeds the
+    proven untiled ceiling: the LARGEST multiple of ``ll_tile`` <=
+    ``target`` that divides H (tile sizes 2048-8192 measured within
+    1.1%, results/tpu_half_tile.json).  Requiring exactly 4096 silently
+    built the untiled kernel — documented to crash the Mosaic compile
+    helper with no message — for any W > 32768 whose half is not
+    4096-divisible."""
+    if rows <= threshold:
+        return None
+    t = min(target, H)
+    t -= t % ll_tile
+    while t >= ll_tile:
+        if H % t == 0:
+            return t
+        t -= ll_tile
+    return None
+
+
+def _hash_shift(seed0, i, which, H, extra=None):
+    """State-independent hashed rotation shift for the roll-partner
+    paths — ONE implementation on purpose: the coupled kernel's
+    bit-exactness contract with make_step_kernel (pinned by
+    test_coupled_sharded_bitmatches_single_device) depends on literal
+    identity of this expression across kernels, and it was previously
+    copy-pasted at four sites."""
+    v = (jnp.int32(seed0) * jnp.int32(1103515245)
+         + i * jnp.int32(40503) + jnp.int32(which) * jnp.int32(10007))
+    if extra is not None:
+        v = v + jnp.int32(extra) * jnp.int32(7919)
+    return jnp.remainder(v >> 7, jnp.int32(H))
+
+
+def _make_roll_rows(interpret):
+    """Row-rotation dispatch shared by every kernel (interpret mode has
+    no pltpu.roll lowering)."""
+    def roll_rows(x, shift):
+        if interpret:
+            return jnp.roll(x, shift, axis=0)
+        return pltpu.roll(x, shift, 0)
+
+    return roll_rows
+
+
 def _make_random_bits(interpret, seed_ref, default_shape, extra=None):
     """Per-substep random-bits source.  Hardware: pltpu.prng_random_bits
     (int32 — convert via _uniforms, never a bare shift).  Interpret mode
@@ -1321,8 +1362,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
     # 128-padded width and D <= 16 for every family)
     packed = packed_state and D + 2 <= Dp
     DL, DA = Dp - 2, Dp - 1
-    if half_tile is None and W > 32768 and (W // 2) % 4096 == 0:
-        half_tile = 4096
+    if half_tile is None:
+        half_tile = _auto_half_tile(W, W // 2, ll_tile, threshold=32768)
     if half_tile is not None:
         if H % half_tile or half_tile % ll_tile:
             raise ValueError(
@@ -1384,6 +1425,7 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             lane = jax.lax.broadcasted_iota(jnp.int32, (TR, Dp), 1)
             is_pack = (lane == DL) | (lane == DA)
         random_bits = _make_random_bits(interpret, seed_ref, (TR, 4))
+        roll_rows = _make_roll_rows(interpret)
 
         const_vals_in = [r[:] for r in const_refs]   # loaded ONCE
 
@@ -1397,15 +1439,8 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             if partner == "roll":
                 # one hashed state-independent rotation per substep
                 # (same device as the tempered kernel's swap pairing)
-                shift = jnp.remainder(
-                    (jnp.int32(seed_ref[0]) * jnp.int32(1103515245)
-                     + i * jnp.int32(40503)
-                     + jnp.int32(which) * jnp.int32(10007)) >> 7,
-                    jnp.int32(H))
-                if interpret:
-                    xp = jnp.roll(xf, shift, axis=0)
-                else:
-                    xp = pltpu.roll(xf, shift, 0)
+                shift = _hash_shift(seed_ref[0], i, which, H)
+                xp = roll_rows(xf, shift)
             else:
                 pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32),
                                    H - 1)
@@ -1439,16 +1474,9 @@ def make_step_kernel(sess, n_inner: int, n_walkers: int, a: float = 2.0,
             # statically (a per-tile modular gather would need dynamic
             # sizes Mosaic doesn't have).
             if partner == "roll":
-                shift = jnp.remainder(
-                    (jnp.int32(seed_ref[0]) * jnp.int32(1103515245)
-                     + i * jnp.int32(40503)
-                     + jnp.int32(which) * jnp.int32(10007)) >> 7,
-                    jnp.int32(H))
+                shift = _hash_shift(seed_ref[0], i, which, H)
                 xf = xo_ref[fixed_base:fixed_base + H, :]
-                if interpret:
-                    xroll_ref[:] = jnp.roll(xf, shift, axis=0)
-                else:
-                    xroll_ref[:] = pltpu.roll(xf, shift, 0)
+                xroll_ref[:] = roll_rows(xf, shift)
 
             def tbody(t, c):
                 r0 = t * TR
@@ -1731,16 +1759,10 @@ def make_coupled_half_kernel(sess, n_walkers_total: int, n_shards: int,
         z = _stretch_z(u[:, 0:1], sa)
         if partner == "roll":
             # same hashed state-independent rotation as make_step_kernel
-            shift = jnp.remainder(
-                (jnp.int32(sc_ref[0]) * jnp.int32(1103515245)
-                 + i * jnp.int32(40503)
-                 + jnp.int32(which) * jnp.int32(10007)) >> 7,
-                jnp.int32(H))
+            # (_hash_shift is the ONE shared implementation)
+            shift = _hash_shift(sc_ref[0], i, which, H)
             shift2 = jnp.remainder(shift + noff, jnp.int32(H))
-            if interpret:
-                xp = jnp.roll(xf, shift2, axis=0)[:H_loc]
-            else:
-                xp = pltpu.roll(xf, shift2, 0)[:H_loc]
+            xp = _make_roll_rows(interpret)(xf, shift2)[:H_loc]
         else:
             pidx = jnp.minimum((u[:, 1:2] * H).astype(jnp.int32), H - 1)
             row = jax.lax.broadcasted_iota(jnp.int32, (H_loc, H), 1)
@@ -1872,6 +1894,17 @@ def make_multicluster_step_kernel(sess, sz_stack, xr_stack, n_inner: int,
     builder calls over the same survey (skips re-deriving and
     re-transferring the stacked constants).  ``spec``: a prebuilt
     ``_build_spec(sess)`` dict to reuse across builders likewise.
+    
+
+    KNOWN LIMIT (r5 review, documented not ported): this factory keeps
+    the pre-packed-state layout (separate lane-padded lp/acc buffers)
+    and the one-hot partner gather — fine at survey-scale walker counts
+    (<= ~4096/cluster), but it will hit the Mosaic VMEM wall
+    packed_state removed from the plain/tempered kernels if driven to
+    W >= ~32768 per cluster, and the quadratic gather re-becomes the
+    ceiling above ~4096 walkers.  Port the packed/half_tile/roll
+    machinery here before chasing per-cluster walker counts in that
+    regime.
     """
     if chain_space not in ("hbm", "vmem"):
         raise ValueError(f"chain_space must be 'hbm' or 'vmem', "
@@ -2139,6 +2172,13 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
     D, Dp = spec["D"], spec["Dp"]
     betas = np.asarray(betas, dtype=np.float64)
     K = betas.size
+    if K < 2:
+        # a 1-rung ladder is the plain sampler; the swap machinery would
+        # otherwise allocate a zero-row (0, 1) VMEM output — an opaque
+        # Mosaic build crash instead of a usable error
+        raise ValueError(
+            f"tempering needs at least 2 betas (got {K}); use the plain "
+            "step kernel for a single rung")
     W = n_walkers
     if W % 2:
         raise ValueError("need an even number of walkers")
@@ -2154,8 +2194,8 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
     inv24 = float(2.0 ** -24)
     packed = packed_state and D + 2 <= Dp
     DL, DA = Dp - 2, Dp - 1
-    if half_tile is None and KH > 8192 and H % 4096 == 0:
-        half_tile = 4096
+    if half_tile is None:
+        half_tile = _auto_half_tile(KH, H, ll_tile, threshold=8192)
     if half_tile is not None:
         if H % half_tile or half_tile % ll_tile:
             raise ValueError(
@@ -2174,11 +2214,9 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
 
     def _rung_shift(seed_ref, i, which, r):
         """Hashed state-independent rotation per (substep, rung) for the
-        partner='roll' gather (same device as the swap pairing)."""
-        return jnp.remainder(
-            (jnp.int32(seed_ref[0]) * jnp.int32(1103515245)
-             + i * jnp.int32(40503) + jnp.int32(which) * jnp.int32(10007)
-             + jnp.int32(r) * jnp.int32(7919)) >> 7, jnp.int32(H))
+        partner='roll' gather (same device as the swap pairing; the
+        shared _hash_shift with the rung folded in as `extra`)."""
+        return _hash_shift(seed_ref[0], i, which, H, extra=r)
 
     def kernel(seed_ref, *refs):
         refs = list(refs)
@@ -2340,10 +2378,7 @@ def make_tempered_step_kernel(sess, betas, n_inner: int, n_walkers: int,
 
             jax.lax.fori_loop(0, KH // TR, tbody, 0)
 
-        def roll_rows(x, shift):
-            if interpret:
-                return jnp.roll(x, shift, axis=0)
-            return pltpu.roll(x, shift, 0)
+        roll_rows = _make_roll_rows(interpret)
 
         def swaps(i):
             # pair rung kk with kk+1, half-by-half, rotation pairing

@@ -48,6 +48,22 @@ def _round_up(n: int, m: int) -> int:
     return (n + m - 1) // m * m
 
 
+def sz_padded_data(flux, flux_err, ND, dtype=np.float64):
+    """Padded flux + masked weight rows — THE one implementation of the
+    SZ validity rule (NaN/inf flux or error, or zero error, contributes
+    exactly zero to the chi^2, reproducing the reference's nansum,
+    joxsz_funcs.py:479).  Shared by make_sz_core and the mega-kernel's
+    _cluster_arrays so the rule cannot silently diverge."""
+    flux64 = np.asarray(flux, dtype=dtype)
+    err64 = np.asarray(flux_err, dtype=dtype)
+    valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
+    flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
+    # weight 0 on padded/invalid entries kills their residuals
+    w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
+                  (ND,))
+    return flux_p, w_p
+
+
 def make_sz_core(op, conv_table, flux, flux_err, dtype=jnp.float32,
                  block_b: int = 128, use_pallas: bool = True,
                  interpret: bool = False):
@@ -72,15 +88,8 @@ def make_sz_core(op, conv_table, flux, flux_err, dtype=jnp.float32,
     t_tab, v_tab = conv_table
     n_tab = len(t_tab)
     # NaN flux/error entries are dropped from chi^2 (the reference's
-    # nansum, joxsz_funcs.py:479): zero their weight and value so the
-    # plain-sum kernel reproduces nansum semantics
-    flux64 = np.asarray(flux, dtype=np.float64)
-    err64 = np.asarray(flux_err, dtype=np.float64)
-    valid = np.isfinite(flux64) & np.isfinite(err64) & (err64 != 0)
-    flux_p = _pad_to(np.where(valid, flux64, 0.0), (ND,))
-    # weight 0 on padded/invalid entries kills their residuals
-    w_p = _pad_to(np.where(valid, 1.0 / np.where(valid, err64, 1.0), 0.0),
-                  (ND,))
+    # nansum, joxsz_funcs.py:479): shared rule in sz_padded_data
+    flux_p, w_p = sz_padded_data(flux, flux_err, ND)
 
     LT_j = jnp.asarray(LT, dtype=dtype)
     GT_j = jnp.asarray(GT, dtype=dtype)

@@ -955,3 +955,32 @@ def test_ilv_bit_exact(ref_data, pm, monkeypatch):
     assert np.isfinite(outs[False]).any()
     assert np.array_equal(outs[False], outs[True]), (
         np.max(np.abs(outs[False] - outs[True])))
+
+
+def test_auto_half_tile_picks_valid_divisor():
+    """r5 review: requiring exactly 4096 silently built the untiled
+    kernel (a no-message Mosaic crash) for any large W whose half is
+    not 4096-divisible; the heuristic must pick the largest valid
+    ll_tile-multiple divisor instead."""
+    from joxsz_tpu.ops.pallas_joint import _auto_half_tile
+
+    # below the threshold: untiled
+    assert _auto_half_tile(32768, 16384, 256, threshold=32768) is None
+    # the proven peak config: exactly 4096
+    assert _auto_half_tile(65536, 32768, 256, threshold=32768) == 4096
+    # H = 18432 (W = 36864): 4096 does not divide, 3072 does
+    assert _auto_half_tile(36864, 18432, 256, threshold=32768) == 3072
+    # no valid divisor at all -> None (documented failure mode):
+    # 32768 = 2^15 has no factor divisible by 3, so no multiple of 384
+    # divides it
+    assert _auto_half_tile(65536, 32768, 384, threshold=32768) is None
+    # tempered rung-tile: tile == H (whole rung per tile) is allowed
+    assert _auto_half_tile(16384, 512, 256, threshold=8192) == 512
+
+
+def test_tempered_kernel_rejects_single_rung(sess32):
+    from joxsz_tpu.ops.pallas_joint import make_tempered_step_kernel
+
+    with pytest.raises(ValueError, match="at least 2 betas"):
+        make_tempered_step_kernel(sess32, [1.0], n_inner=4, n_walkers=8,
+                                  interpret=True)
