@@ -150,7 +150,10 @@ class EnsembleSampler:
     def get_chain(self, flat=False, thin=1, discard=0):
         if self._chain is None:
             raise AttributeError("no chain stored yet: run run_mcmc first")
-        c = self._chain[discard::thin]
+        # emcee's backend thinning selects frames
+        # [discard+thin-1 : n : thin] (get_value); [discard::thin] gave
+        # both different frames AND a different length for thin > 1
+        c = self._chain[discard + thin - 1::thin]
         if flat:
             return c.reshape(-1, self.ndim)
         return c
@@ -158,7 +161,7 @@ class EnsembleSampler:
     def get_log_prob(self, flat=False, thin=1, discard=0):
         if self._log_prob is None:
             raise AttributeError("no chain stored yet: run run_mcmc first")
-        lp = self._log_prob[discard::thin]
+        lp = self._log_prob[discard + thin - 1::thin]
         return lp.reshape(-1) if flat else lp
 
     @property
@@ -222,8 +225,16 @@ class EnsembleSampler:
         state = self._coerce_initial(initial_state)
         total = int(nsteps) * int(thin_by)
         validate_schedule(total, int(thin_by), self.nwalkers)
-        key = jax.random.PRNGKey(self._seed if seed is None else int(seed))
-        key = jax.random.fold_in(key, self._rng_calls)
+        if seed is None:
+            # continuation calls must not replay the earlier stream:
+            # fold in the call counter
+            key = jax.random.fold_in(jax.random.PRNGKey(self._seed),
+                                     self._rng_calls)
+        else:
+            # an EXPLICIT seed is a reproducibility request: the same
+            # seed must give the same chain regardless of prior call
+            # history (folding the hidden counter broke that)
+            key = jax.random.PRNGKey(int(seed))
         self._rng_calls += 1
         p0 = jnp.asarray(state.coords, dtype=self._dtype)
         res = run_ensemble(self._log_prob_batch, p0, total, key,

@@ -226,7 +226,9 @@ def run_multihost_multi_cluster(log_prob_batch_cluster, p0, n_steps, key,
         @partial(jax.jit, in_shardings=(sh, rep), out_shardings=outs)
         def drive(x, key):
             lp = log_prob_batch_cluster(x)
-            acc = jnp.zeros((C, W), dtype=x.dtype)
+            # float32 counters regardless of walker dtype (bf16
+            # saturates at 256 — same hardening as sampling/stretch.py)
+            acc = jnp.zeros((C, W), dtype=jnp.float32)
             # n_burn=0 keeps the exact run_multi_cluster PRNG schedule
             # (bit-equivalence pinned by tests/test_multihost.py)
             ks = jnp.asarray(key)

@@ -284,7 +284,28 @@ def _stack_signature(sess) -> tuple:
                      for leaf in jax.tree_util.tree_leaves(tree))
 
     sz = sess.model.sz_data
-    return ((int(sz.sep),) + shapes(sz) + shapes(sess.model.xray_data))
+    # static flags that change the pytree STRUCTURE (not any leaf shape)
+    # must key the group too, or mixed specs die inside stack_sz_data
+    # with an error the docstring promises the user never sees
+    statics = (int(sz.sep), bool(getattr(sz, "calc_integ", False)))
+    return (statics + shapes(sz) + shapes(sess.model.xray_data)
+            + _model_fingerprint(sess))
+
+
+def _model_fingerprint(sess) -> tuple:
+    """Model-level settings a batched group SHARES from its
+    representative session: the prior boxes/Gaussians and the
+    physicality-veto flag.  Two clusters with identical shapes and
+    family but e.g. different prior bounds or exclude_unphysical_mass
+    must NOT batch — the group fit would silently apply the first
+    cluster's model to all (r5 review)."""
+    p = sess.params
+    return (bool(getattr(sess.model, "exclude_unphysical_mass", True)),
+            tuple(np.asarray(p.lo, float)),
+            tuple(np.asarray(p.hi, float)),
+            tuple(bool(g) for g in np.asarray(p.is_gauss)),
+            tuple(np.asarray(p.mu, float)),
+            tuple(np.asarray(p.sigma, float)))
 
 
 def _merge_survey_results(results: list[SurveyResult],
@@ -448,17 +469,57 @@ def _run_multihost_survey(args, sess, sz_stack, xray_stack, centers,
                          f"{n_dev} devices")
 
     dtype = (np.float64 if jax.config.jax_enable_x64 else np.float32)
-    batched_ll = jax.jit(make_multicluster_log_like(
-        sess.model, sz_stack, xray_stack, flatten=True))
     k_init, k_run = jax.random.split(jax.random.PRNGKey(args.seed))
     t0 = time.time()
-    # identical on every process: same program, same seed
-    p0 = np.asarray(batched_init(batched_ll, centers.astype(dtype),
-                                 args.walkers, k_init))
+
+    _flat_cache: list = []
+
+    def flat_ll():
+        # built LAZILY: with --step-kernel the flat XLA program (the
+        # documented ~10x-slower path, with a costly compile on this
+        # slow-compile host) is only needed if the kernel declines
+        if not _flat_cache:
+            _flat_cache.append(jax.jit(make_multicluster_log_like(
+                sess.model, sz_stack, xray_stack, flatten=True)))
+        return _flat_cache[0]
+
+    # identical on every process: same program, same seed.  With
+    # --step-kernel the init runs through the kernel's own joint core
+    # (mirroring the single-host _fit_survey_kernel) so init finiteness
+    # is judged by the SAME likelihood the kernel samples with and the
+    # flat XLA path is never compiled just for init
+    p0 = None
+    if args.step_kernel:
+        import jax.numpy as jnp
+
+        from .ops.pallas_joint import (_build_spec, make_joint_core,
+                                       make_multicluster_consts)
+
+        spec = _build_spec(sess)
+        consts = (make_multicluster_consts(sess, sz_stack, xray_stack,
+                                           spec=spec, device=False)
+                  if spec is not None else None)
+        core = (make_joint_core(sess, block_b=min(256, args.walkers),
+                                interpret=args.kernel_interpret,
+                                spec=spec)
+                if consts is not None else None)
+        if core is not None:
+            per_c = [tuple(v[c] for v in consts) for c in range(C)]
+
+            def core_ll(x):
+                return jnp.stack([core._jitted(x[c], per_c[c])
+                                  for c in range(C)])
+
+            p0 = np.asarray(batched_init(
+                core_ll, jnp.asarray(centers, jnp.float32),
+                args.walkers, k_init))
+    if p0 is None:
+        p0 = np.asarray(batched_init(flat_ll(), centers.astype(dtype),
+                                     args.walkers, k_init))
     out = None
     if args.step_kernel:
         out = _multihost_kernel_fit(args, sess, sz_stack, xray_stack,
-                                    p0, batched_ll, mesh)
+                                    p0, flat_ll, mesh)
         if out is None:
             if info.is_coordinator:
                 print("note: configuration outside the multicluster "
@@ -469,7 +530,7 @@ def _run_multihost_survey(args, sess, sz_stack, xray_stack, centers,
                   f"the {n_dev}-device global mesh")
     if out is None:
         out = run_multihost_multi_cluster(
-            batched_ll, p0, args.steps, k_run, mesh, thin=args.thin,
+            flat_ll(), p0, args.steps, k_run, mesh, thin=args.thin,
             n_burn=args.burn, record=True)
     wall = time.time() - t0
     c0, c1 = out["cluster_range"]
@@ -553,7 +614,7 @@ def _run_multihost_survey(args, sess, sz_stack, xray_stack, centers,
 
 
 def _multihost_kernel_fit(args, sess, sz_stack, xray_stack, p0,
-                          batched_ll, mesh):
+                          flat_ll, mesh):
     """Multihost production path: the cluster-grid Pallas step kernel
     sharded over the global 'cluster' mesh axis across processes
     (parallel.multihost.make_multihost_multicluster_step), burn then
@@ -607,7 +668,7 @@ def _multihost_kernel_fit(args, sess, sz_stack, xray_stack, p0,
                                                      consts_host)))
                        for c in range(C)]).astype(np.float32)
     else:       # pragma: no cover — same spec gate as the step kernel
-        lp = np.asarray(batched_ll(x), np.float32)
+        lp = np.asarray(flat_ll()(x), np.float32)
     acc = np.zeros((C, W), np.float32)
     base = 2 * args.seed * n_dev
     seeds = base + np.arange(n_dev, dtype=np.int32)
@@ -871,13 +932,24 @@ def main(argv=None):
         if len(groups) > 1:
             print(f"group {gi + 1}/{len(groups)}: "
                   f"{len(idxs)} cluster(s) {gnames}")
+        # per-group mesh gate: an auto-grouped heterogeneous spec can
+        # split into groups whose cluster count doesn't divide over the
+        # mesh — run those single-device with a note instead of dying
+        # mid-run in make_sharded_multicluster_step and losing every
+        # group already fit
+        gmesh = mesh
+        if mesh is not None and len(idxs) % args.mesh != 0:
+            print(f"  note: {len(idxs)} cluster(s) don't divide over "
+                  f"the {args.mesh}-device mesh — this group runs "
+                  "single-device")
+            gmesh = None
         results.append(fit_survey(
             gsess.model, sz_stack, xray_stack, centers,
             cluster_names=gnames, n_walkers=args.walkers,
             n_burn=args.burn, n_steps=args.steps,
             thin=args.thin, seed=args.seed + gi, truths=truths,
             session=gsess, step_kernel=use_kernel,
-            kernel_interpret=args.kernel_interpret, mesh=mesh))
+            kernel_interpret=args.kernel_interpret, mesh=gmesh))
         orders.append(idxs)
     # merge per MODEL FAMILY: groups sharing one thawed parameter
     # vector merge into a rectangular result exactly as before; a

@@ -339,3 +339,50 @@ def test_merge_survey_results_restores_spec_order():
     np.testing.assert_array_equal(merged.chain[:, 2], r1.chain[:, 1])
     np.testing.assert_array_equal(merged.medians[1], r2.medians[0])
     assert merged.flat_chain(1).shape == (n_saved * W, D)
+
+
+def test_spec_survey_splits_on_model_settings(ref_data, tmp_path):
+    """r5 review: clusters sharing shapes and family but differing in
+    MODEL-level settings (the physicality veto, prior boxes) must not
+    batch — the group fit silently applied the first cluster's model to
+    all."""
+
+    class _Args:
+        sz_only = False
+        mle = False
+
+    cfgs = []
+    for i, veto in enumerate((True, False, True)):
+        cfg = JoXSZConfig.cl1226(str(ref_data))
+        cfg.name = f"cl{i}"
+        cfg.exclude_unphysical_mass = veto
+        p = tmp_path / f"cl{i}.json"
+        p.write_text(cfg.to_json())
+        cfgs.append({"name": f"cl{i}", "config": str(p)})
+    spec = tmp_path / "survey.json"
+    spec.write_text(json.dumps({"clusters": cfgs}))
+    groups = _build_spec_survey(str(spec), _Args())
+    assert sorted(tuple(g[6]) for g in groups) == [(0, 2), (1,)]
+
+
+def test_spec_survey_splits_on_calc_integ(ref_data, tmp_path):
+    """r5 review: calc_integ is static pytree metadata (no leaf-shape
+    change) — mixed specs previously grouped together and died inside
+    stack_sz_data, the error the docstring promises users never see."""
+
+    class _Args:
+        sz_only = False
+        mle = False
+
+    cfgs = []
+    for i, integ in enumerate((False, True)):
+        cfg = JoXSZConfig.cl1226(str(ref_data))
+        cfg.name = f"cl{i}"
+        cfg.sz.calc_integ = integ
+        p = tmp_path / f"cl{i}.json"
+        p.write_text(cfg.to_json())
+        cfgs.append({"name": f"cl{i}", "config": str(p)})
+    spec = tmp_path / "survey.json"
+    spec.write_text(json.dumps({"clusters": cfgs}))
+    groups = _build_spec_survey(str(spec), _Args())
+    assert sorted(tuple(g[6]) for g in groups) == [(0,), (1,)]
