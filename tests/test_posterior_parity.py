@@ -12,8 +12,10 @@ widths against bands calibrated on this exact schedule
 (scripts/parity_power_calibrate.py, two independent realisations in
 results/parity_power_calibration_s{0,1000}.json):
 
-  * correct-vs-correct scatter: max |median diff| 0.058 / 0.086 widths,
-    max |log width ratio| 0.060 — the bands below carry >= 1.6x margin;
+  * correct-vs-correct scatter: max |median diff| 0.058 / 0.086 /
+    0.033 widths, max |log width ratio| 0.060 / 0.052 over THREE
+    realisations (seed bases 0/1000/2000) — the bands below carry
+    >= 1.6x margin;
   * a z-exponent (d-1) -> (d+1) broken move measures at
     max |log width ratio| 0.193 / 0.194 (stable across realisations) —
     the negative-control test asserts this FAILS the parity criteria;
