@@ -9,8 +9,8 @@ accepted median pulls up to 0.75 posterior widths — that detects only a
 grossly broken sampler.  This version runs K fixed-seed REPLICATES of
 both samplers and compares replicate-mean medians and replicate-median
 widths against bands calibrated on this exact schedule
-(scripts/parity_power_calibrate.py, two independent realisations in
-results/parity_power_calibration_s{0,1000}.json):
+(scripts/parity_power_calibrate.py, three independent realisations
+in results/parity_power_calibration_s{0,1000,2000}.json):
 
   * correct-vs-correct scatter: max |median diff| 0.058 / 0.086 /
     0.033 widths, max |log width ratio| 0.060 / 0.052 over THREE
